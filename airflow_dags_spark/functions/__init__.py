@@ -1,0 +1,31 @@
+"""Column-level functions (SURVEY.md §2.3, §2.6)."""
+
+from airflow_dags_spark.functions.cleaning import (
+    strip_braces,
+    safe_date_yyyymmdd,
+    safe_numeric,
+    not_null,
+    prefix_filter,
+    null_or_stale,
+    conditional_concat_url,
+    yyyymmdd_int,
+)
+from airflow_dags_spark.functions.json_extract import (
+    extract_balanced_json,
+    balanced_json_udf,
+)
+from airflow_dags_spark.functions.sampling import deterministic_sample
+
+__all__ = [
+    "strip_braces",
+    "safe_date_yyyymmdd",
+    "safe_numeric",
+    "not_null",
+    "prefix_filter",
+    "null_or_stale",
+    "conditional_concat_url",
+    "yyyymmdd_int",
+    "extract_balanced_json",
+    "balanced_json_udf",
+    "deterministic_sample",
+]

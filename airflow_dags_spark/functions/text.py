@@ -1,0 +1,147 @@
+"""Text-analysis column builders (north-star §2.9: language-ID, quality
+scoring, token counting, fingerprinting).
+
+Everything here is JVM-side builtins (split/regexp/md5/aggregate) so text
+processing at 100 TB stays inside whole-stage codegen — no Python in the hot
+path. Tokenization is deliberately engine-portable (trim + lower + split on
+whitespace) so DuckDB oracles reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalized(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased text — canonical form for hashing."""
+    return F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalized(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """n-token shingles over an ALREADY-MATERIALIZED tokens column.
+
+    ``toks`` must be a plain attribute (not an inlined split(...) tree):
+    element_at inside the lambda evaluates its array argument per element,
+    so an inlined split would re-tokenize O(tokens × shingles) times.
+    Callers stage ``tokens(text)`` into its own projection first — Catalyst
+    keeps multi-use non-cheap projections materialized (CollapseProject's
+    isCheap rule), making this a true compute-once barrier.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """n-token shingles straight from a text column — convenient for small
+    inputs/oracle queries; for hot paths prefer staging tokens first
+    (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_from_shingles(sh: Column, salts: list[str]) -> list[Column]:
+    """Portable MinHash: per salt, min(md5(salt || shingle)) over a
+    materialized shingles column.
+
+    md5 plays the role of the salted hash family; min over hex strings is a
+    valid min-wise hash (lexicographic order on a uniform 128-bit value).
+    Any engine with md5 reproduces the signature bit-for-bit — which is what
+    makes the near-dup path oracle-checkable, unlike seeded murmur3.
+    """
+
+    def band(salt: str) -> Column:
+        # NB: the lambda must take exactly one arg — PySpark interprets a
+        # two-arg lambda as (element, index).
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s))))
+
+    return [band(salt).alias(f"band_{i}") for i, salt in enumerate(salts)]
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalized(col))
+
+
+# Quality scoring ------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def quality_columns(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio heuriestics (SURVEY §2.9)."""
+    c = _c(col)
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": F.round(
+            F.when(n_tok > 0, (F.length(F.concat_ws("", toks)).cast("double")) / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+        ),
+    }
+
+
+def lang_id_heuristic(col: Column | str) -> Column:
+    """Deterministic marker-token language guess (n-gram heuristic stand-in).
+
+    A real deployment would plug a fastText-style model in via pandas UDF;
+    the engine surface (a string column in, a lang code out) is what's being
+    tested, with a rule set both Spark and the SQL oracle express.
+    """
+    toks = tokens(col)
+    has = lambda w: F.array_contains(toks, w)  # noqa: E731
+    return (
+        F.when(has("the") | has("and") | has("of"), F.lit("en"))
+        .when(has("der") | has("und") | has("das"), F.lit("de"))
+        .when(has("le") | has("et") | has("la"), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+# BPE-ish subword counting ----------------------------------------------------
+
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex (letters / digits /
+    single punctuation), the standard proxy for LLM token budgeting."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_PATTERN), 0)).cast(
+        "bigint"
+    )

@@ -1,0 +1,199 @@
+"""Deduplication family for training-data pipelines (north-star §2.9).
+
+Five strategies, scale-ranked:
+
+- ``exact_dedup``          — hash-groupBy on md5(normalized text). One
+  shuffle on a 128-bit key; survivor = min doc_id (deterministic).
+- ``minhash_bands``        — portable md5-salted MinHash band signatures
+  (see functions.text.minhash_signature); banding turns near-dup into an
+  equi-join on band values — the 100 TB path: shuffle on band, compare only
+  within buckets.
+- ``minhash_lsh_pairs``    — pyspark.ml MinHashLSH approxSimilarityJoin
+  (murmur-based, seeded) for the tuned-recall variant.
+- ``simhash``              — 64-bit simhash fingerprint via Arrow-batched
+  pandas UDF (md5-derived bit planes, deterministic).
+- ``ngram_jaccard_pairs``  — exact Jaccard over word shingles for candidate
+  pairs (the verify step after any LSH bucketing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from airflow_dags_spark.functions.text import (
+    fingerprint,
+    jaccard,
+    minhash_from_shingles,
+    normalized,
+    shingles_from_tokens,
+    tokens,
+)
+
+DEFAULT_SALTS = ["b0:", "b1:", "b2:", "b3:"]
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content hash,
+    survivor = min key (deterministic, unlike dropDuplicates). Map-side
+    partial agg shrinks the shuffle to one row per distinct hash."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(key_col).alias(key_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(key_col, F.col("__fp").alias("content_hash"), "n_copies")
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_shingle: int = 3,
+    salts: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc MinHash band signature (portable, oracle-checkable).
+
+    Near-dup candidates = docs sharing any band value; downstream that is a
+    self-equi-join per band — at 100 TB each band join shuffles on a short
+    hex key with heavy bucket pruning, never an all-pairs compare.
+
+    Staged projections (tokens → shingles → bands) keep each expensive array
+    expression computed exactly once per row."""
+    staged = df.select(
+        F.col(key_col), tokens(text_col).alias("__toks")
+    ).select(
+        key_col, shingles_from_tokens(F.col("__toks"), n_shingle).alias("__sh")
+    )
+    sig = minhash_from_shingles(F.col("__sh"), salts or DEFAULT_SALTS)
+    return staged.select(F.col(key_col), *sig)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_shingle: int = 3,
+    salts: list[str] | None = None,
+) -> DataFrame:
+    """Band-bucket self-join → distinct candidate pairs (a < b)."""
+    bands = minhash_bands(df, text_col, key_col, n_shingle, salts)
+    n_bands = len(salts or DEFAULT_SALTS)
+    stacked = bands.selectExpr(
+        key_col,
+        "stack({n}, {args}) AS (band_idx, band_val)".format(
+            n=n_bands,
+            args=", ".join(f"{i}, band_{i}" for i in range(n_bands)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"), F.col(f"b.{key_col}").alias("key_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, left_text: str, right_text: str, n_shingle: int = 3
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (the LSH verify step).
+    Shingle sets are staged so each side tokenizes once per row."""
+    staged = pairs.withColumns(
+        {"__ta": tokens(left_text), "__tb": tokens(right_text)}
+    ).withColumns(
+        {
+            "__sa": shingles_from_tokens(F.col("__ta"), n_shingle),
+            "__sb": shingles_from_tokens(F.col("__tb"), n_shingle),
+        }
+    )
+    return staged.withColumn(
+        "jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6)
+    ).drop("__ta", "__tb", "__sa", "__sb")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    *,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via pyspark.ml MinHashLSH (seeded murmur hashes; not
+    engine-portable → rows-only correctness check, pytest-verified recall).
+
+    approxSimilarityJoin distance = 1 - Jaccard(feature sets)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = df.select(key_col, normalized(text_col).alias("__norm")).where(
+        F.size(tokens(text_col)) > 0
+    )
+    tokenized = Tokenizer(inputCol="__norm", outputCol="__tokens").transform(docs)
+    featurized = HashingTF(
+        inputCol="__tokens", outputCol="__features", numFeatures=num_features
+    ).transform(tokenized)
+    model = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(featurized)
+    joined = model.approxSimilarityJoin(
+        featurized, featurized, 1.0 - jaccard_threshold, distCol="__dist"
+    )
+    return (
+        joined.where(F.col(f"datasetA.{key_col}") < F.col(f"datasetB.{key_col}"))
+        .select(
+            F.col(f"datasetA.{key_col}").alias("key_a"),
+            F.col(f"datasetB.{key_col}").alias("key_b"),
+            F.round(1.0 - F.col("__dist"), 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+# SimHash ---------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits a signed 64-bit long without overflow
+
+
+def _simhash_one(text: str | None) -> int | None:
+    if text is None:
+        return None
+    toks = " ".join(text.strip().lower().split()).split(" ")
+    if toks == [""]:
+        return 0
+    counts = [0] * SIMHASH_BITS
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)  # 60 bits
+        for i in range(SIMHASH_BITS):
+            counts[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if counts[i] > 0:
+            out |= 1 << i
+    return out
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """60-bit SimHash fingerprint, md5-derived (deterministic across runs).
+    Arrow-batched; near-dup = small Hamming distance between fingerprints."""
+    return texts.map(_simhash_one)
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    return df.select(key_col, simhash_udf(F.col(text_col)).alias("simhash"))

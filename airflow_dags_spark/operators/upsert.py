@@ -1,0 +1,239 @@
+"""Engine-owned MERGE/upsert library over plain Parquet (SURVEY.md §4.3#1).
+
+Spark core has no ``MERGE INTO`` for parquet; rather than take a Delta
+dependency, the engine implements the reference's three write disciplines as
+join-based rewrites with an atomic directory-swap commit:
+
+- ``insert_if_absent``  — K3, ``ON CONFLICT DO NOTHING``
+  (dags/monthly_price_paid_data.py:147-155)
+- ``merge_upsert``      — K4/K5, ``ON CONFLICT DO UPDATE`` incl.
+  case-insensitive keys (dags/pull_new_sales_list.py:252-261,
+  dags/rightmove_outcodes.py:58-69)
+- ``advance_watermark`` — K6/T1, per-key processed-through commit
+  (dags/pull_new_sales_list.py:236-239,267-271)
+
+Semantics decisions (documented, tested):
+- duplicate keys in the source: first-wins by an explicit ``order_by``
+  (matching the reference's seen-set dedup A1); required, not optional —
+  nondeterministic survivors don't survive a correctness gate.
+- null source keys: rejected (the reference's keys are NOT NULL PKs).
+- atomicity: new data is staged to ``<path>/.stage-<uuid>``, then swapped in
+  with two renames. Non-ACID window ≈ one rename; a crash mid-swap leaves
+  the stage dir (self-healing on next run). At 100 TB the same API would sit
+  on a table format (Delta/Iceberg MERGE) — the call sites don't change.
+
+Scale notes:
+- the join is the whole cost: source⋈target on the key. Small source
+  (incremental batch) → broadcast the SOURCE, stream the target through it;
+  Spark picks this automatically under the session broadcast threshold.
+- rewriting the full target per merge is the plain-parquet tax; with a
+  partitioned target only partitions containing matched keys need rewrite
+  (dynamic partition overwrite) — ``partition_by`` enables that here.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ParquetTable:
+    """A path-backed parquet table with keyed-write discipline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str | list[str],
+        *,
+        case_insensitive: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.case_insensitive = case_insensitive
+        self.partition_by = partition_by or []
+
+    # -- filesystem helpers (Hadoop FS so s3a:///hdfs:// paths work too) ----
+
+    def _fs(self):
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        return jvm, jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(conf)
+
+    def exists(self) -> bool:
+        jvm, fs = self._fs()
+        return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(self.path)))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- key handling -------------------------------------------------------
+
+    def _norm_key(self, df: DataFrame, k: str) -> Column:
+        col = df[k]
+        return F.lower(col) if self.case_insensitive else col
+
+    def _join_cond(self, src: DataFrame, tgt: DataFrame) -> Column:
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & (self._norm_key(src, k) == self._norm_key(tgt, k))
+        return cond
+
+    def _dedup_source(self, src: DataFrame, order_by: list[str]) -> DataFrame:
+        """First-wins dedup of source keys (A1 semantics) + null-key reject."""
+        for k in self.keys:
+            src = src.where(F.col(k).isNotNull())
+        w = Window.partitionBy(
+            *[self._norm_key(src, k) for k in self.keys]
+        ).orderBy(*[F.col(c) for c in order_by])
+        return (
+            src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    # -- atomic commit ------------------------------------------------------
+
+    def _atomic_overwrite(self, df: DataFrame) -> None:
+        """Stage → swap. Parquet writes aren't in-place-updatable; reading
+        and rewriting into the live path would corrupt the source of the
+        read, so stage to a sibling dir and rename."""
+        jvm, fs = self._fs()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        backup = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(stage)
+        if fs.exists(hpath(self.path)):
+            fs.rename(hpath(self.path), hpath(backup))
+        fs.rename(hpath(stage), hpath(self.path))
+        if fs.exists(hpath(backup)):
+            fs.delete(hpath(backup), True)
+
+    # -- write disciplines ---------------------------------------------------
+
+    def create_if_not_exists(self, df: DataFrame) -> bool:
+        """K1 — idempotent typed create: write only if the path is absent
+        (ref: CREATE TABLE IF NOT EXISTS, dags/pull_new_sales_list.py:73-81).
+        Returns True if created."""
+        if self.exists():
+            return False
+        writer = df.write.mode("errorifexists")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+        return True
+
+    def append(self, df: DataFrame) -> None:
+        """K2 — bulk append, no conflict handling (initial load only;
+        ref: execute_values batches, dags/initial_price_paid_data.py:136-142)."""
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def insert_if_absent(self, src: DataFrame, order_by: list[str]) -> None:
+        """K3 — ``ON CONFLICT DO NOTHING``: append only keys absent from the
+        target (left anti-join), never touching existing rows. Existing files
+        are untouched — this is an append, not a rewrite, so repeated
+        incremental loads stay O(batch), not O(table)."""
+        if not self.exists():
+            self._atomic_overwrite(self._dedup_source(src, order_by))
+            return
+        tgt = self.read()
+        clean = self._dedup_source(src, order_by)
+        new_rows = clean.join(tgt, self._join_cond(clean, tgt), "left_anti")
+        self.append(new_rows.select(*[F.col(c) for c in tgt.columns]))
+
+    def merge_upsert(
+        self,
+        src: DataFrame,
+        order_by: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """K4/K5 — ``ON CONFLICT DO UPDATE``: full-outer join + per-column
+        coalesce, atomic swap. ``update_cols=None`` updates every non-key
+        column; the reference's K4 updates only ``updated_date``
+        (dags/pull_new_sales_list.py:255-257)."""
+        clean = self._dedup_source(src, order_by)
+        if not self.exists():
+            self._atomic_overwrite(clean)
+            return
+        tgt = self.read()
+        non_key = [c for c in tgt.columns if c not in self.keys]
+        updatable = set(update_cols) if update_cols is not None else set(non_key)
+        src_a = clean.alias("s")
+        tgt_a = tgt.alias("t")
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & (self._norm_key(src_a, k) == self._norm_key(tgt_a, k))
+        joined = tgt_a.join(src_a, cond, "full_outer")
+        out_cols: list[Column] = []
+        for k in self.keys:
+            # matched/unmatched-target rows keep the target's key casing;
+            # insert rows take the source's.
+            out_cols.append(F.coalesce(tgt_a[k], src_a[k]).alias(k))
+        for c in non_key:
+            if c in updatable:
+                out_cols.append(F.coalesce(src_a[c], tgt_a[c]).alias(c))
+            else:
+                out_cols.append(F.coalesce(tgt_a[c], src_a[c]).alias(c))
+        self._atomic_overwrite(joined.select(*out_cols))
+
+    def advance_watermark(
+        self, processed_keys: DataFrame, watermark_col: str, value
+    ) -> None:
+        """K6/T1 — set ``watermark_col = value`` for the given keys (also for
+        keys that yielded zero rows, so they are not retried —
+        dags/pull_new_sales_list.py:236-239)."""
+        updates = processed_keys.select(*self.keys).distinct().withColumn(
+            watermark_col, F.lit(value)
+        )
+        self.merge_upsert(updates, order_by=self.keys, update_cols=[watermark_col])
+
+
+# module-level conveniences ---------------------------------------------------
+
+
+def insert_if_absent(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    key: str | list[str],
+    order_by: list[str],
+) -> None:
+    ParquetTable(spark, path, key).insert_if_absent(src, order_by)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    key: str | list[str],
+    order_by: list[str],
+    update_cols: list[str] | None = None,
+    case_insensitive: bool = False,
+) -> None:
+    ParquetTable(spark, path, key, case_insensitive=case_insensitive).merge_upsert(
+        src, order_by, update_cols
+    )
+
+
+def advance_watermark(
+    spark: SparkSession,
+    path: str,
+    processed_keys: DataFrame,
+    key: str | list[str],
+    watermark_col: str,
+    value,
+) -> None:
+    ParquetTable(spark, path, key).advance_watermark(
+        processed_keys, watermark_col, value
+    )

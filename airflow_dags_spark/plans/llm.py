@@ -1,0 +1,300 @@
+"""LLM-data-pipeline queries (north-star §2.9) over documents/embeddings.
+
+Oracle-checked where DuckDB can express the same computation (exact dedup,
+portable md5-MinHash, shingle Jaccard, brute-force cosine top-k, text
+stats); seeded-ML variants (MinHashLSH, random-projection ANN, SimHash UDF)
+register rows-only and are verified in pytest against exact references.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
+    bpe_token_count,
+    fingerprint,
+    lang_id_heuristic,
+    quality_columns,
+    token_count,
+)
+from airflow_dags_spark.operators.dedup import (
+    exact_dedup,
+    minhash_bands,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from airflow_dags_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+# Canonical normalized-text SQL fragment, kept in lockstep with
+# functions.text.normalized().
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+# Word-shingle list (n=3) over normalized tokens, DuckDB side of
+# functions.text.word_shingles.
+_SHINGLES = f"""
+list_distinct(
+  list_transform(
+    generate_series(1, GREATEST(len(string_split({_NORM}, ' ')) - 2, 0)),
+    i -> string_split({_NORM}, ' ')[i] || ' ' ||
+         string_split({_NORM}, ' ')[i+1] || ' ' ||
+         string_split({_NORM}, ' ')[i+2]
+  )
+)
+"""
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT MIN(doc_id) AS doc_id, md5({_NORM}) AS content_hash, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5({_NORM})
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(normalized text), min-key survivor."""
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+MINHASH_BANDS_ORACLE = f"""
+SELECT doc_id,
+  CASE WHEN len({_SHINGLES}) > 0
+       THEN list_min(list_transform({_SHINGLES}, s -> md5('b0:' || s))) END AS band_0,
+  CASE WHEN len({_SHINGLES}) > 0
+       THEN list_min(list_transform({_SHINGLES}, s -> md5('b1:' || s))) END AS band_1,
+  CASE WHEN len({_SHINGLES}) > 0
+       THEN list_min(list_transform({_SHINGLES}, s -> md5('b2:' || s))) END AS band_2,
+  CASE WHEN len({_SHINGLES}) > 0
+       THEN list_min(list_transform({_SHINGLES}, s -> md5('b3:' || s))) END AS band_3
+FROM documents
+"""
+
+
+@register("dedup_minhash_bands", MINHASH_BANDS_ORACLE)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash band signatures (md5-salted min-wise hashing over
+    3-token shingles) — the oracle-checkable core of near-dup LSH."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_bands(d, "text", "doc_id", n_shingle=3)
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+  ROUND(
+    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+         THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s)))
+         ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on candidate pairs (consecutive doc_ids stand in
+    for LSH candidates so the check stays linear, not all-pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("key_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("key_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    return ngram_jaccard(pairs, "text_a", "text_b", n_shingle=3).select(
+        "key_a", "key_b", "jaccard"
+    )
+
+
+@register("dedup_minhash_lsh_pairs", None)  # seeded murmur → rows-only
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via pyspark.ml MinHashLSH approxSimilarityJoin."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.3)
+
+
+@register("dedup_simhash", None)  # pandas-UDF fingerprint → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (Arrow-batched pandas UDF)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+COSINE_TOPK_ORACLE = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+     q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     sims AS (
+       SELECT qid, cid,
+              ROUND(
+                CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                     THEN list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     ELSE 0.0 END, 6) AS sim
+       FROM q, c
+     )
+SELECT qid, cid, sim FROM (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+) t WHERE rn <= 10
+"""
+
+
+@register("sim_cosine_topk", COSINE_TOPK_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, 10, query_filter=F.col("vec_id") < 5)
+
+
+@register("sim_ann_lsh_topk", None)  # seeded random projections → rows-only
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via BucketedRandomProjectionLSH (scale path)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, 10, query_filter=F.col("vec_id") < 5)
+
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+  LENGTH(text) AS n_chars,
+  len(string_split({_NORM}, ' ')) AS n_tokens,
+  ROUND(CASE WHEN len(string_split({_NORM}, ' ')) > 0
+        THEN CAST(LENGTH(REPLACE({_NORM}, ' ', '')) AS DOUBLE)
+             / len(string_split({_NORM}, ' '))
+        ELSE 0.0 END, 6) AS avg_token_len,
+  ROUND(CASE WHEN len(string_split({_NORM}, ' ')) > 0
+        THEN CAST(len(list_filter(string_split({_NORM}, ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+             / len(string_split({_NORM}, ' '))
+        ELSE 0.0 END, 6) AS stopword_ratio,
+  ROUND(CASE WHEN LENGTH(text) > 0
+        THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / LENGTH(text)
+        ELSE 0.0 END, 6) AS punct_ratio
+FROM documents
+"""
+
+
+@register("text_quality_stats", TEXT_STATS_ORACLE)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation and
+    stopword ratios — all JVM builtins, one codegen stage."""
+    d = read_table(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+LANG_ID_ORACLE = f"""
+SELECT doc_id,
+  CASE
+    WHEN list_contains(string_split({_NORM}, ' '), 'the')
+      OR list_contains(string_split({_NORM}, ' '), 'and')
+      OR list_contains(string_split({_NORM}, ' '), 'of') THEN 'en'
+    WHEN list_contains(string_split({_NORM}, ' '), 'der')
+      OR list_contains(string_split({_NORM}, ' '), 'und')
+      OR list_contains(string_split({_NORM}, ' '), 'das') THEN 'de'
+    WHEN list_contains(string_split({_NORM}, ' '), 'le')
+      OR list_contains(string_split({_NORM}, ' '), 'et')
+      OR list_contains(string_split({_NORM}, ' '), 'la') THEN 'fr'
+    ELSE 'unknown'
+  END AS lang_guess,
+  lang AS lang_label
+FROM documents
+"""
+
+
+@register("text_lang_id", LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic next to the ground-truth label."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id_heuristic("text").alias("lang_guess"),
+        F.col("lang").alias("lang_label"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+  len(string_split({_NORM}, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting (LLM budget proxy)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({_NORM}) AS fp FROM documents
+"""
+
+
+@register("text_fingerprint", FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+STATS_BY_SOURCE_ORACLE = f"""
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+  CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("text_stats_by_source", STATS_BY_SOURCE_ORACLE)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per (lang, source) doc/char/token totals."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS payload_hash
+FROM documents
+"""
+
+
+@register("multimodal_metadata", MULTIMODAL_META_ORACLE)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload as binary + typed metadata.
+    (Real image/audio payloads are opaque bytes exactly like this; decode is
+    a mapInPandas stage — see operators/multimodal.py.)"""
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_hash"),
+    )

@@ -1,0 +1,518 @@
+"""Relational core (SURVEY.md §2.4, §2.5, §7 Phase 0+2).
+
+The reference has no explicit joins/aggregations — they hide inside Postgres
+upserts (J1–J3) and the driver harness exercises them on TPC-H-ish keys. All
+queries here are pure Spark builtins; Catalyst handles pushdown, pruning and
+join strategy (broadcast for the small dimensions, sort-merge + AQE skew
+handling for fact-fact).
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer-side lookups) stay broadcast under
+  the 64 MiB threshold set in session.ENGINE_CONFS;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key — at 100 TB both
+  sides would be bucketed by orderkey in the lakehouse layout to eliminate
+  the shuffle entirely; AQE handles skewed keys either way;
+- global top-k uses TakeOrderedAndProject (per-partition top-k + merge of
+  k·p rows), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan→filter→project→hash-agg→sort)
+# --------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
+  ROUND(AVG(l_discount), 4)                                          AS avg_disc,
+  COUNT(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query. Physical plan: parquet scan with pushed shipdate
+    filter + 2-col-key partial hash-agg (map-side combine) → single shuffle
+    on (returnflag, linestatus) → final agg. The groupBy key has ~6 distinct
+    values, so the shuffle moves only partial-agg rows — O(partitions), not
+    O(data) — the plan that survives 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way joins
+# --------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT
+  l.l_orderkey                                         AS orderkey,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT)     AS orderdate_num
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_top_revenue_orders", Q3_ORACLE)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact join → agg → top-k.
+    customer(BUILDING) broadcasts into orders; orders⋈lineitem shuffles on
+    orderkey (bucketed co-location at 100 TB); top-10 via
+    TakeOrderedAndProject, deterministic tiebreak on orderkey."""
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyyMMdd").cast("bigint").alias("orderdate_num"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n.n_name                                              AS nation,
+  r.r_name                                              AS region,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  COUNT(*)                                              AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("q5_nation_revenue", Q5_ORACLE)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. region/nation/customer broadcast up the
+    chain (all dimension-sized); only orders⋈lineitem shuffles. Catalyst's
+    join reordering + AQE pick this automatically; broadcast() pins the
+    dims so the plan is stable at any scale."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT
+  c.c_custkey                                   AS custkey,
+  c.c_mktsegment                                AS mktsegment,
+  COUNT(o.o_orderkey)                           AS n_orders,
+  ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2)  AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+@register("join_left_order_counts", JOIN_LEFT_ORACLE)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+"""
+
+
+@register("join_semi_big_spenders", JOIN_SEMI_ORACLE)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS) — customers with at least one big order."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@register("join_anti_customers_without_orders", JOIN_ANTI_ORACLE)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — the J1 conflict-detection primitive
+    behind insert-if-absent upsert (ref: ON CONFLICT DO NOTHING,
+    dags/monthly_price_paid_data.py:153)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+JOIN_CI_ORACLE = """
+SELECT a.n_nationkey AS nationkey, a.n_name AS name, b.n_regionkey AS regionkey
+FROM nation a
+JOIN (SELECT UPPER(n_name) AS un, n_regionkey FROM nation) b
+  ON LOWER(a.n_name) = LOWER(b.un)
+"""
+
+
+@register("join_case_insensitive", JOIN_CI_ORACLE)
+def join_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — expression equi-join on lower(key), still hash-joinable.
+    Reference: WHERE lower(outcode)=lower(%s) (dags/rightmove_outcodes.py:63)."""
+    n = read_table(spark, sf_dir, "nation")
+    b = n.select(F.upper("n_name").alias("un"), "n_regionkey")
+    a = n.select("n_nationkey", "n_name")
+    return a.join(F.broadcast(b), F.lower(a.n_name) == F.lower(b.un)).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations / distinct / set ops / sort
+# --------------------------------------------------------------------------
+
+AGG_GLOBAL_ORACLE = """
+SELECT
+  COUNT(*)                                   AS n_rows,
+  COUNT(DISTINCT l_partkey)                  AS n_parts,
+  ROUND(SUM(l_quantity), 2)                  AS sum_qty,
+  ROUND(AVG(l_extendedprice), 4)             AS avg_price,
+  ROUND(MIN(l_extendedprice), 2)             AS min_price,
+  ROUND(MAX(l_extendedprice), 2)             AS max_price
+FROM lineitem
+"""
+
+
+@register("agg_global_stats", AGG_GLOBAL_ORACLE)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate incl. exact count-distinct (expand+2-phase agg)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+AGG_PRIORITY_ORACLE = """
+SELECT
+  o_orderpriority                 AS priority,
+  o_orderstatus                   AS status,
+  COUNT(*)                        AS n_orders,
+  ROUND(SUM(o_totalprice), 2)     AS total
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("agg_orders_by_priority", AGG_PRIORITY_ORACLE)
+def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  l_returnflag               AS returnflag,
+  l_linestatus               AS linestatus,
+  COUNT(*)                   AS n_rows,
+  ROUND(SUM(l_quantity), 2)  AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass (Expand)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  o_orderstatus              AS status,
+  o_orderpriority            AS priority,
+  COUNT(*)                   AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+SORT_TOPK_ORACLE = """
+SELECT o_orderkey AS orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+@register("sort_topk_orders", SORT_TOPK_ORACLE)
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, no full sort at any scale."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+SET_UNION_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+SET_INTERSECT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+SET_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+
+def _set_op_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    left = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    right = o.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left, right
+
+
+@register("set_union", SET_UNION_ORACLE)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _set_op_sides(spark, sf_dir)
+    return left.union(right).distinct()
+
+
+@register("set_intersect", SET_INTERSECT_ORACLE)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _set_op_sides(spark, sf_dir)
+    return left.intersect(right)
+
+
+@register("set_except", SET_EXCEPT_ORACLE)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _set_op_sides(spark, sf_dir)
+    return left.exceptAll(right).distinct()
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+WINDOW_TOPN_ORACLE = """
+SELECT custkey, orderkey, totalprice, rn
+FROM (
+  SELECT
+    o_custkey   AS custkey,
+    o_orderkey  AS orderkey,
+    ROUND(o_totalprice, 2) AS totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+@register("window_topn_per_customer", WINDOW_TOPN_ORACLE)
+def window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-N per group — one shuffle on the partition key; at
+    100 TB this is the pattern for per-key dedup/top-k (no global sort)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+WINDOW_LAG_ORACLE = """
+SELECT
+  o_custkey  AS custkey,
+  o_orderkey AS orderkey,
+  CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS orderdate_num,
+  date_diff('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+
+@register("window_lag_order_gaps", WINDOW_LAG_ORACLE)
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days between consecutive orders per customer."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("bigint").alias("orderdate_num"),
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT
+  o_custkey  AS custkey,
+  o_orderkey AS orderkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_spend,
+  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    AS spend_rank
+FROM orders
+"""
+
+
+@register("window_running_sum", WINDOW_RUNNING_ORACLE)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bounded running sum + rank in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    w_order = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w_order), 2).alias("running_spend"),
+        F.rank().over(w_rank).alias("spend_rank"),
+    )

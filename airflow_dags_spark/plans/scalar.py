@@ -1,0 +1,371 @@
+"""Scalar/row operator queries — P4–P18, A1–A4, L1–L2 (SURVEY.md §2.3, §2.5).
+
+Each reference cleaning/extraction operator, exercised on the driver tables'
+string/JSON/date columns so every one has a DuckDB oracle. All are narrow
+(no shuffle) except the window-based dedup variants — exactly how they
+behave at 100 TB: a single codegen'd scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.functions.cleaning import (
+    conditional_concat_url,
+    null_or_stale,
+    prefix_filter,
+    regex_capture,
+    safe_bigint,
+    safe_date_yyyymmdd,
+    safe_numeric,
+)
+from airflow_dags_spark.functions.json_extract import balanced_json_udf, json_path
+from airflow_dags_spark.functions.sampling import deterministic_sample
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+
+P4_ORACLE = """
+SELECT event_id, REGEXP_REPLACE(props, '[{}]', '', 'g') AS stripped
+FROM events
+"""
+
+
+@register("p4_regexp_strip", P4_ORACLE)
+def p4_regexp_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — char-class strip (ref: brace removal from transaction ids,
+    dags/monthly_price_paid_data.py:121)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.regexp_replace("props", r"[{}]", "").alias("stripped")
+    )
+
+
+P5_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS orderdate_num
+FROM orders
+"""
+
+
+@register("p5_safe_date_yyyymmdd", P5_ORACLE)
+def p5_safe_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — coercing date → yyyymmdd bigint (dags/monthly_price_paid_data.py:122)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        safe_date_yyyymmdd(F.col("o_orderdate")).alias("orderdate_num"),
+    )
+
+
+P6_ORACLE = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value
+FROM events
+"""
+
+
+@register("p6_try_cast_numeric", P6_ORACLE)
+def p6_try_cast_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — errors='coerce' numeric cast (dags/monthly_price_paid_data.py:123)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", safe_numeric(json_path("props", "$.k")).alias("k_value")
+    )
+
+
+P7_ORACLE = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+  AND l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+"""
+
+
+@register("p7_not_null_filter", P7_ORACLE)
+def p7_not_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — dropna(subset=...) as pushed-down conjunction
+    (dags/monthly_price_paid_data.py:126)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.na.drop(
+        subset=["l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"]
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+    )
+
+
+P8_ORACLE = """
+SELECT p_partkey AS partkey, p_name AS name
+FROM part
+WHERE p_name LIKE 'small%'
+"""
+
+
+@register("p8_prefix_filter", P8_ORACLE)
+def p8_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — startswith predicate, null-safe (dags/monthly_price_paid_data.py:129).
+    Pushed to the parquet scan as StringStartsWith."""
+    p = read_table(spark, sf_dir, "part")
+    return p.where(prefix_filter("p_name", "small")).select(
+        F.col("p_partkey").alias("partkey"), F.col("p_name").alias("name")
+    )
+
+
+P9_ORACLE = """
+SELECT o_orderkey AS orderkey
+FROM orders
+WHERE o_orderdate IS NULL OR o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+"""
+
+
+@register("p9_null_or_stale", P9_ORACLE)
+def p9_null_or_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — stale-work selection predicate (dags/pull_new_sales_list.py:97)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.where(
+        null_or_stale(F.col("o_orderdate"), "1997-06-01 00:00:00")
+    ).select(F.col("o_orderkey").alias("orderkey"))
+
+
+P11_ORACLE = """
+SELECT c_custkey AS custkey,
+       TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num
+FROM customer
+"""
+
+
+@register("p11_regexp_extract", P11_ORACLE)
+def p11_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — capture-group extraction (dags/pull_new_sales_list.py:132-134)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        safe_bigint(regex_capture("c_name", r"Customer#(\d+)", 1)).alias("name_num"),
+    )
+
+
+# The driver events.props are flat JSON ({"k": N}) so a non-greedy regex is a
+# valid oracle for the balanced-brace extractor on THIS data; nested/unbalanced
+# cases are covered by unit tests (tests/test_json_extract.py).
+P12_ORACLE = """
+SELECT event_id,
+       regexp_extract('<script>window.jsonModel = ' || props || ';</script>',
+                      '\\{[^{}]*\\}', 0) AS model_json
+FROM events
+"""
+
+
+@register("p12_balanced_brace_extract", P12_ORACLE)
+def p12_balanced_brace_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — the one custom scalar function: balanced-brace JSON extraction
+    from script text (dags/pull_new_sales_list.py:43-63), Arrow-batched."""
+    ev = read_table(spark, sf_dir, "events")
+    script = F.concat(
+        F.lit("<script>window.jsonModel = "), F.col("props"), F.lit(";</script>")
+    )
+    return ev.select("event_id", balanced_json_udf(script).alias("model_json"))
+
+
+P13_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str
+FROM events
+"""
+
+
+@register("p13_json_path", P13_ORACLE)
+def p13_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — JSON path access (dags/pull_new_sales_list.py:152-155)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select("event_id", json_path("props", "$.k").alias("k_str"))
+
+
+P14_ORACLE = """
+SELECT doc_id,
+       CASE WHEN source LIKE 'http%' THEN source
+            ELSE 'https://example.org/' || source END AS url
+FROM documents
+"""
+
+
+@register("p14_conditional_concat", P14_ORACLE)
+def p14_conditional_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — relative→absolute URL normalization (dags/pull_new_sales_list.py:131)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        conditional_concat_url("source", "https://example.org/").alias("url"),
+    )
+
+
+P16_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       CAST(strftime(o_orderdate - INTERVAL 1 DAY, '%Y%m%d') AS INT) AS yesterday_num
+FROM orders
+"""
+
+
+@register("p16_date_arith", P16_ORACLE)
+def p16_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — date arithmetic + yyyymmdd formatting (dags/pull_new_sales_list.py:92,226)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format(F.date_sub("o_orderdate", 1), "yyyyMMdd")
+        .cast("int")
+        .alias("yesterday_num"),
+    )
+
+
+P17_ORACLE = """
+SELECT doc_id, 20260813 AS created_date, 20260813 AS updated_date
+FROM documents
+"""
+
+
+@register("p17_audit_columns", P17_ORACLE)
+def p17_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 — constant audit-column injection (dags/pull_new_sales_list.py:244-249).
+    Pinned date instead of current_date so the oracle is reproducible."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit(20260813).alias("created_date"),
+        F.lit(20260813).alias("updated_date"),
+    )
+
+
+P18_ORACLE = """
+SELECT c.c_custkey AS custkey,
+       CASE WHEN COUNT(o.o_orderkey) > 0 THEN COUNT(o.o_orderkey) ELSE -1 END
+         AS n_orders_or_sentinel
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("p18_sentinel_mark", P18_ORACLE)
+def p18_sentinel_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 — no-match sentinel (-1) so unresolved keys aren't retried
+    (dags/rightmove_outcodes.py:13,117-120)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    counted = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+    return counted.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(-1)).alias(
+            "n_orders_or_sentinel"
+        ),
+    )
+
+
+A1_ORACLE = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
+@register("a1_dedup_first_wins", A1_ORACLE)
+def a1_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — deterministic first-wins dedup by key (ref: in-memory seen-set,
+    dags/pull_new_sales_list.py:183-193). dropDuplicates has a
+    nondeterministic survivor; the engine's canonical form is
+    row_number()=1 over an explicit order."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+A2_ORACLE = """
+SELECT user_id, event_id AS first_purchase_id,
+       CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS first_purchase_ts
+FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type = 'purchase'
+) t
+WHERE rn = 1
+"""
+
+
+@register("a2_first_match_per_group", A2_ORACLE)
+def a2_first_match_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — first qualifying element per group (ref: first OUTCODE match,
+    dags/rightmove_outcodes.py:103)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_ts"),
+        )
+    )
+
+
+A3_ORACLE = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+
+@register("a3_count", A3_ORACLE)
+def a3_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — cardinality (ref: len(df) logging, dags/monthly_price_paid_data.py:130)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+L1_ORACLE = """
+SELECT custkey FROM (
+  SELECT c_custkey AS custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+  FROM customer
+  ORDER BY h
+  LIMIT 20
+) t
+"""
+
+
+@register("l1_deterministic_sample", L1_ORACLE)
+def l1_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — deterministic work-batch sampling replacing ORDER BY RANDOM()
+    (dags/pull_new_sales_list.py:93-102; SURVEY §4.3#4). Executes as
+    per-partition top-k, no global sort."""
+    c = read_table(spark, sf_dir, "customer")
+    return deterministic_sample(c, "c_custkey", 20).select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+
+L2_ORACLE = """
+SELECT o_orderkey AS orderkey FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+@register("l2_limit_cap", L2_ORACLE)
+def l2_limit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — hard iteration cap (ref: 200-page guard, dags/pull_new_sales_list.py:203-206)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").limit(100).select(
+        F.col("o_orderkey").alias("orderkey")
+    )

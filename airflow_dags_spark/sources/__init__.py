@@ -1,0 +1,6 @@
+"""Scans / sources (SURVEY.md §2.1)."""
+
+from airflow_dags_spark.sources.tables import load_tables, read_table
+from airflow_dags_spark.sources.csv import read_headerless_csv
+
+__all__ = ["load_tables", "read_table", "read_headerless_csv"]
