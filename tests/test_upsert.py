@@ -1,0 +1,168 @@
+"""Self-verifying round-trips for the engine-owned MERGE library
+(write → read-back → assert; idempotent re-run ⇒ identical table).
+Semantics under test mirror the reference (SURVEY.md §2.2 K1–K6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.upsert import ParquetTable
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def rows_of(table: ParquetTable) -> set[tuple]:
+    return {tuple(r) for r in table.read().collect()}
+
+
+def make_df(spark, rows, cols=("k", "v", "note")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_create_if_not_exists_idempotent(spark, tmp_table):
+    t = ParquetTable(spark, tmp_table, "k")
+    df = make_df(spark, [(1, 10, "a")])
+    assert t.create_if_not_exists(df) is True
+    # second create is a no-op even with different data (K1 semantics)
+    assert t.create_if_not_exists(make_df(spark, [(9, 99, "z")])) is False
+    assert rows_of(t) == {(1, 10, "a")}
+
+
+def test_insert_if_absent_do_nothing_on_conflict(spark, tmp_table):
+    """K3: ON CONFLICT DO NOTHING (dags/monthly_price_paid_data.py:147-155)."""
+    t = ParquetTable(spark, tmp_table, "k")
+    t.insert_if_absent(make_df(spark, [(1, 10, "a"), (2, 20, "b")]), order_by=["k"])
+    # re-delivery with CHANGED payload must not touch existing keys (T3 idempotency)
+    t.insert_if_absent(make_df(spark, [(2, 999, "changed"), (3, 30, "c")]), order_by=["k"])
+    assert rows_of(t) == {(1, 10, "a"), (2, 20, "b"), (3, 30, "c")}
+
+
+def test_insert_if_absent_rerun_identical(spark, tmp_table):
+    t = ParquetTable(spark, tmp_table, "k")
+    batch = make_df(spark, [(1, 10, "a"), (2, 20, "b")])
+    t.insert_if_absent(batch, order_by=["k"])
+    before = rows_of(t)
+    t.insert_if_absent(batch, order_by=["k"])  # idempotent re-run
+    assert rows_of(t) == before
+
+
+def test_insert_if_absent_dedups_source_first_wins(spark, tmp_table):
+    """Duplicate keys in one batch: first by order_by wins (A1 semantics)."""
+    t = ParquetTable(spark, tmp_table, "k")
+    batch = make_df(
+        spark, [(1, 20, "second"), (1, 10, "first"), (2, 20, "b")], ("k", "ord", "note")
+    )
+    t.insert_if_absent(batch, order_by=["ord"])
+    assert rows_of(t) == {(1, 10, "first"), (2, 20, "b")}
+
+
+def test_insert_if_absent_rejects_null_keys(spark, tmp_table):
+    t = ParquetTable(spark, tmp_table, "k")
+    t.insert_if_absent(
+        make_df(spark, [(None, 0, "bad"), (1, 10, "a")]), order_by=["v"]
+    )
+    assert rows_of(t) == {(1, 10, "a")}
+
+
+def test_merge_upsert_updates_only_update_cols(spark, tmp_table):
+    """K4: ON CONFLICT DO UPDATE SET updated_date=... — other columns keep
+    target values (dags/pull_new_sales_list.py:252-261)."""
+    t = ParquetTable(spark, tmp_table, "property_id")
+    t.merge_upsert(
+        make_df(
+            spark,
+            [("p1", False, 20250101, 20250101), ("p2", True, 20250101, 20250101)],
+            ("property_id", "is_processed", "created_date", "updated_date"),
+        ),
+        order_by=["property_id"],
+    )
+    t.merge_upsert(
+        make_df(
+            spark,
+            [("p2", False, 20260813, 20260813), ("p3", False, 20260813, 20260813)],
+            ("property_id", "is_processed", "created_date", "updated_date"),
+        ),
+        order_by=["property_id"],
+        update_cols=["updated_date"],
+    )
+    assert rows_of(t) == {
+        ("p1", False, 20250101, 20250101),
+        # matched: only updated_date changed; is_processed/created_date kept
+        ("p2", True, 20250101, 20260813),
+        # unmatched: full insert
+        ("p3", False, 20260813, 20260813),
+    }
+
+
+def test_merge_upsert_case_insensitive_key(spark, tmp_table):
+    """K5: WHERE lower(outcode)=lower(%s) (dags/rightmove_outcodes.py:58-69)."""
+    t = ParquetTable(spark, tmp_table, "outcode", case_insensitive=True)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("ox1", None, "old"), ("OX2", None, "old2")],
+            "outcode string, area_id bigint, display_name string",
+        ),
+        order_by=["outcode"],
+    )
+    t.merge_upsert(
+        make_df(spark, [("OX1", 1942, "Oxford OX1")],
+                ("outcode", "area_id", "display_name")),
+        order_by=["outcode"],
+        update_cols=["area_id", "display_name"],
+    )
+    got = rows_of(t)
+    # target key casing preserved, payload updated through ci-match
+    assert ("ox1", 1942, "Oxford OX1") in got
+    assert ("OX2", None, "old2") in got
+    assert len(got) == 2
+
+
+def test_merge_upsert_rerun_idempotent(spark, tmp_table):
+    t = ParquetTable(spark, tmp_table, "k")
+    batch = make_df(spark, [(1, 10, "a"), (2, 20, "b")])
+    t.merge_upsert(batch, order_by=["k"])
+    before = rows_of(t)
+    t.merge_upsert(batch, order_by=["k"])
+    assert rows_of(t) == before
+
+
+def test_advance_watermark_including_empty_result_keys(spark, tmp_table):
+    """K6: watermark advances even for keys that produced zero rows so they
+    aren't retried daily (dags/pull_new_sales_list.py:236-239)."""
+    t = ParquetTable(spark, tmp_table, "area_id")
+    t.merge_upsert(
+        make_df(spark, [(1, None), (2, None), (3, 20250101)],
+                ("area_id", "last_updated_sale")),
+        order_by=["area_id"],
+    )
+    processed = spark.createDataFrame([(1,), (2,)], ["area_id"])
+    t.advance_watermark(processed, "last_updated_sale", 20260813)
+    assert rows_of(t) == {(1, 20260813), (2, 20260813), (3, 20250101)}
+
+
+def test_append_then_read(spark, tmp_table):
+    t = ParquetTable(spark, tmp_table, "k")
+    t.create_if_not_exists(make_df(spark, [(1, 10, "a")]))
+    t.append(make_df(spark, [(2, 20, "b")]))
+    assert rows_of(t) == {(1, 10, "a"), (2, 20, "b")}
+
+
+def test_partitioned_table_roundtrip(spark, tmp_table):
+    """Partition layout stands in for the reference's secondary index (K7):
+    predicate on the partition column prunes instead of scanning."""
+    t = ParquetTable(spark, tmp_table, "k", partition_by=["bucket"])
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+    )
+    t.merge_upsert(df, order_by=["k"])
+    pruned = t.read().where(F.col("bucket") == "2")
+    assert pruned.count() == 25
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
