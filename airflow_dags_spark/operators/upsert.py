@@ -181,7 +181,11 @@ class ParquetTable:
             # insert rows take the source's.
             out_cols.append(F.coalesce(tgt_a[k], src_a[k]).alias(k))
         for c in non_key:
-            if c in updatable:
+            if c not in clean.columns:
+                # partial-source merge (e.g. watermark-only updates): columns
+                # the source doesn't carry keep target values; null on insert.
+                out_cols.append(tgt_a[c].alias(c))
+            elif c in updatable:
                 out_cols.append(F.coalesce(src_a[c], tgt_a[c]).alias(c))
             else:
                 out_cols.append(F.coalesce(tgt_a[c], src_a[c]).alias(c))
