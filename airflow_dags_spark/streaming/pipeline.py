@@ -1,0 +1,242 @@
+"""Structured Streaming surface (SURVEY.md §2.7 T1-T6, §7 Phase 5).
+
+The reference is batch + cron but hand-encodes streaming semantics:
+
+- T1 per-key watermark column consulted/advanced around each run
+  (dags/pull_new_sales_list.py:97,236-239,267-270)
+- T2 micro-batching (100k-row CSV chunks, 10k insert batches)
+- T3 idempotent re-delivery via ``ON CONFLICT DO NOTHING``
+  (dags/monthly_price_paid_data.py:153)
+- T5 cron tumbling windows (daily/weekly/monthly)
+
+Engine mapping: a file-landing-zone stream where each newly arrived file is
+a micro-batch (T2); event-time watermarks bound state (T1); streaming
+``dropDuplicates`` inside the watermark gives T3 without a target-table
+probe; ``foreachBatch`` + the engine MERGE library turns any stream into an
+idempotent keyed upsert; ``Trigger.AvailableNow`` reproduces the cron "drain
+everything, then stop" run (T5).
+
+Scale: state size is the whole game at 100 TB/day. Every stateful op here
+REQUIRES a watermark so the state store evicts; dedup keys only (not full
+rows); window state is bounded by (watermark horizon / slide) × key
+cardinality. Shuffle partitions (= state store partitions) are fixed per
+query via ``spark.sql.shuffle.partitions`` at session level — AQE does not
+re-plan streaming stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from airflow_dags_spark.operators.upsert import ParquetTable
+
+# The driver events table shape (FIXTURES.md §A) as a streaming fixture
+# schema; timestamps arrive as ISO strings in landing files and are cast at
+# the scan so event time is a true TimestampType.
+EVENTS_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    *,
+    schema: T.StructType = EVENTS_LANDING_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2-as-stream: incremental scan of a landing directory; each new file
+    is a micro-batch (replaces the reference's 100k-row buffer loop,
+    dags/initial_price_paid_data.py:103-117)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(landing_dir)
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 day") -> DataFrame:
+    """T1 — event-time watermark: the engine analog of the reference's
+    ``last_updated_sale <= yesterday`` staleness horizon (1-day default,
+    dags/pull_new_sales_list.py:92,97)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "1 day"
+) -> DataFrame:
+    """T3 — re-delivered rows inside the watermark horizon are dropped,
+    the streaming analog of ``ON CONFLICT DO NOTHING``
+    (dags/monthly_price_paid_data.py:153). State holds keys only."""
+    return with_watermark(df, ts_col, delay).dropDuplicates(keys)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    *,
+    ts_col: str = "ts",
+    delay: str = "1 day",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """T5/T6 — watermarked tumbling-window aggregation (the streaming form of
+    plans/windowed.py's batch ``window()`` query, same output shape)."""
+    grouped = with_watermark(df, ts_col, delay).groupBy(
+        F.window(F.col(ts_col), window_len).alias("w"),
+        *(group_cols or ["event_type"]),
+    )
+    return grouped.agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(group_cols or ["event_type"]),
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    *,
+    ts_col: str = "ts",
+    delay: str = "1 day",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """T6 — session windows (gap-based), absent from the reference, mandated
+    by the north star; state bounded by watermark eviction."""
+    return (
+        with_watermark(df, ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def merge_sink(
+    df: DataFrame,
+    table: ParquetTable,
+    *,
+    order_by: list[str],
+    checkpoint_dir: str,
+    update_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """T2+T3 — ``foreachBatch`` → engine MERGE: every micro-batch is an
+    idempotent keyed upsert, the streaming generalization of the reference's
+    per-batch commit loop (dags/monthly_price_paid_data.py:140-160).
+
+    ``Trigger.AvailableNow`` drains the backlog then stops — the exact
+    semantics of one cron DAG run (T5); pass ``available_now=False`` for a
+    continuous micro-batch query.
+    """
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        table.merge_upsert(batch, order_by=order_by, update_cols=update_cols)
+
+    writer = df.writeStream.foreachBatch(upsert_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain a (windowed) stream to parquet with AvailableNow — one cron-run
+    equivalent. Append mode emits only watermark-finalized windows."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stateful_watermark_tracker(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "1 day",
+) -> DataFrame:
+    """T1 as a CUSTOM stateful operator: per-key high-water mark maintained
+    in the state store — the streaming generalization of the reference's
+    ``last_updated_sale`` column (dags/pull_new_sales_list.py:267-270).
+
+    Implemented with ``applyInPandasWithState`` (Arrow-batched); state per
+    key is a single (max_ts, n_seen) pair, so state size is O(keys), evicted
+    by the event-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), True),
+            T.StructField("high_water_ts", T.TimestampType(), True),
+            T.StructField("n_seen", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("max_ts_us", T.LongType(), True),
+            T.StructField("n_seen", T.LongType(), True),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        max_us, n = state.get() if state.exists else (None, 0)
+        for pdf in pdfs:
+            ts_us = (pdf[ts_col].astype("int64") // 1000).max()
+            max_us = ts_us if max_us is None else max(max_us, int(ts_us))
+            n += len(pdf)
+        state.update((int(max_us), int(n)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "high_water_ts": [pd.Timestamp(max_us * 1000)],
+                "n_seen": [n],
+            }
+        )
+
+    return (
+        with_watermark(df, ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
