@@ -8,6 +8,12 @@
 - ``lsh_ann_topk`` — BucketedRandomProjectionLSH on L2-normalized vectors
   (cosine ordering ≡ euclidean on the unit sphere): the scale path, probing
   only nearby hash buckets instead of the full corpus.
+- ``ivf_ann_topk`` — IVF (inverted-file) variant: seeded KMeans coarse
+  quantizer partitions the corpus into cells; queries probe only the
+  ``nprobe`` nearest cells. At 100 TB the cell assignment is ONE narrow pass
+  and each query touches |corpus|·nprobe/n_cells vectors.
+- ``embedding_near_dup`` — near-duplicate PAIRS by cosine ≥ threshold; exact
+  within a candidate scope (all-pairs only inside buckets/bounded subsets).
 """
 
 from __future__ import annotations
@@ -66,6 +72,105 @@ def brute_force_topk(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope_filter=None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs (a < b) with cosine ≥ threshold.
+
+    Exact all-pairs is O(n²) — legal only inside a bounded candidate scope
+    (``scope_filter``) or a bucket. The 100 TB recipe: bucket with
+    ``ivf_ann_topk``'s quantizer or LSH, then run THIS exact check inside
+    each bucket (mirrors dedup.minhash_candidate_pairs → ngram_jaccard).
+    """
+    scoped = embeddings if scope_filter is None else embeddings.where(scope_filter)
+    a = scoped.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = scoped.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(as_double("va"), as_double("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int,
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: seeded KMeans over unit vectors builds the coarse
+    quantizer; every corpus vector joins its nearest cell, every query probes
+    its ``nprobe`` nearest cells, exact cosine ranks within probed cells.
+
+    Recall/cost dial = nprobe/n_cells (fraction of corpus scanned). The
+    centroid table is tiny → broadcast; the only shuffle is the final
+    per-query top-k. Seeded-KMeans internals → rows-only correctness check;
+    recall is pytest-verified against brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = embeddings.select(
+        key_col, vec_col, array_to_vector(as_double(vec_col)).alias("__vec")
+    )
+    normed = Normalizer(inputCol="__vec", outputCol="__unit", p=2.0).transform(base)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__unit", predictionCol="__cell")
+    model = km.fit(normed)
+
+    # tiny centroid table: (cell_id, centroid array)
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+
+    assigned = model.transform(normed).select(
+        F.col(key_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.col("__cell").alias("cell"),
+    )
+
+    q = normed if query_filter is None else normed.where(query_filter)
+    queries = q.select(
+        F.col(key_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        vector_to_array(F.col("__unit")).alias("__qunit"),
+    )
+    # probe list: nprobe nearest centroids per query (broadcast nested loop
+    # over the tiny centroid table, then a window top-nprobe)
+    probe_sim = cosine(F.col("__qunit"), F.col("centroid"))
+    wp = Window.partitionBy("qid").orderBy(F.desc("__psim"), F.asc("cell"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select("qid", "qv", "cell", probe_sim.alias("__psim"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+    # exact search inside probed cells only
+    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .select("qid", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "sim")
     )
 
 

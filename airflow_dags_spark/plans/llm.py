@@ -26,7 +26,20 @@ from airflow_dags_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
-from airflow_dags_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from airflow_dags_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_payload,
+    extract_features,
+    fake_decoder,
+    resize_decoded,
+    sample_frames,
+)
+from airflow_dags_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
 
@@ -155,6 +168,42 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via BucketedRandomProjectionLSH (scale path)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, 10, query_filter=F.col("vec_id") < 5)
+
+
+@register("sim_ann_ivf_topk", None)  # seeded KMeans quantizer → rows-only
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF coarse quantization (nprobe/n_cells cost dial)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, 10, query_filter=F.col("vec_id") < 5, n_cells=8, nprobe=3
+    )
+
+
+EMBEDDING_NEAR_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+  ROUND(
+    CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+         THEN list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         ELSE 0.0 END, 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+           THEN ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           ELSE 0.0 END >= 0.15
+"""
+
+
+@register("dedup_embedding_cosine", EMBEDDING_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, inside a bounded candidate
+    scope — the per-bucket verify step of the 100 TB bucketed pipeline)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        emb, 0.15, scope_filter=F.col("vec_id") < 100
+    )
 
 
 TEXT_STATS_ORACLE = f"""
@@ -298,3 +347,38 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("bigint").alias("n_bytes"),
         F.md5(payload).alias("payload_hash"),
     )
+
+
+def _as_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text bytes as the opaque payload column (the real thing IS
+    opaque bytes; only the decoder differs — it's injected)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+@register("multimodal_decode_resize", None)  # mapInPandas plumbing → rows-only
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode (stub) → nearest-neighbor resize 8×8 → 4×4: the full image
+    pipeline shape with a deterministic fake decoder (no codecs in
+    container); pytest asserts shapes/values, driver checks rows+schema."""
+    mm = _as_multimodal(spark, sf_dir)
+    return resize_decoded(decode_payload(mm, fake_decoder), 4, 4)
+
+
+@register("multimodal_features", None)  # mapInPandas plumbing → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload → md5-derived feature vector (array<float>), metadata attached
+    JVM-side before the Python stage so pruning happens pre-decode."""
+    mm = attach_payload_metadata(_as_multimodal(spark, sf_dir))
+    return extract_features(mm.where(F.col("n_bytes") > 0), dim=16)
+
+
+@register("multimodal_frame_sample", None)  # 1→N fan-out → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video-style frame sampling: 1 payload → ≤4 evenly-spaced frames."""
+    mm = _as_multimodal(spark, sf_dir)
+    return sample_frames(mm, 4)

@@ -1,0 +1,211 @@
+"""Verification for the rows-only (non-oracle-able) operators: approximate
+methods are checked against their exact counterparts (recall), stubbed
+multimodal stages against deterministic expectations. This is the pytest
+side of the 'seeded-ML variants register rows-only' contract in plans/llm.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from airflow_dags_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_payload,
+    extract_features,
+    fake_decoder,
+    resize_decoded,
+    sample_frames,
+)
+from airflow_dags_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from airflow_dags_spark.sources.tables import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+def topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append(r["cid"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    exact = topk_map(brute_force_topk(emb, 10, query_filter=F.col("vec_id") < 5))
+    approx = topk_map(
+        ivf_ann_topk(emb, 10, query_filter=F.col("vec_id") < 5, n_cells=8, nprobe=4)
+    )
+    recalls = [
+        len(set(exact[q]) & set(approx.get(q, []))) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.5  # nprobe/n_cells = 1/2 of corpus
+
+
+def test_ivf_probing_all_cells_is_exact(emb):
+    """nprobe = n_cells degenerates to brute force — recall must be 1.0."""
+    exact = topk_map(brute_force_topk(emb, 5, query_filter=F.col("vec_id") < 3))
+    full = topk_map(
+        ivf_ann_topk(emb, 5, query_filter=F.col("vec_id") < 3, n_cells=4, nprobe=4)
+    )
+    assert full == exact
+
+
+def test_lsh_ann_recall_vs_brute_force(emb):
+    exact = topk_map(brute_force_topk(emb, 10, query_filter=F.col("vec_id") < 5))
+    approx = topk_map(lsh_ann_topk(emb, 10, query_filter=F.col("vec_id") < 5))
+    recalls = [
+        len(set(exact[q]) & set(approx.get(q, []))) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_embedding_near_dup_symmetric_bound(emb):
+    pairs = embedding_near_dup(emb, 0.15, scope_filter=F.col("vec_id") < 50)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["key_a"] < r["key_b"]
+        assert r["sim"] >= 0.15
+    # every vector is a near-dup of itself at threshold 1.0 → self-pairs are
+    # excluded by a<b, so threshold 1.01 yields nothing
+    assert embedding_near_dup(emb, 1.01, scope_filter=F.col("vec_id") < 50).count() == 0
+
+
+def test_minhash_lsh_pairs_find_known_duplicates(spark):
+    """Exact duplicates share every shingle → Jaccard 1.0; LSH at 0.5 must
+    surface them, and the exact ngram_jaccard verify must score them 1.0."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "an entirely different document about spark query engines"),
+        (4, "an entirely different document about spark query engines today"),
+        (5, "unrelated short text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["key_a"], r["key_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.3).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] == pytest.approx(1.0)
+
+    cands = minhash_candidate_pairs(d, "text", "doc_id")
+    cand_pairs = {(r["key_a"], r["key_b"]) for r in cands.collect()}
+    assert (1, 2) in cand_pairs
+    joined = cands.join(d.selectExpr("doc_id key_a", "text text_a"), "key_a").join(
+        d.selectExpr("doc_id key_b", "text text_b"), "key_b"
+    )
+    verified = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard(joined, "text_a", "text_b").collect()
+    }
+    assert verified[(1, 2)] == pytest.approx(1.0)
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Near-identical docs → small Hamming distance; unrelated → large."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+        (3, "completely unrelated text about distributed columnar execution"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(d, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+    assert ham(fp[1], fp[2]) <= 12
+
+
+# --- multimodal plumbing ------------------------------------------------------
+
+
+@pytest.fixture()
+def mm(spark):
+    rows = [
+        (1, "image", bytearray(b"payload-one"), "image/fake", None),
+        (2, "image", bytearray(b"payload-two-longer"), "image/fake", None),
+        (3, "image", None, None, None),  # null payload must flow through
+    ]
+    return spark.createDataFrame(
+        rows, "item_id bigint, modality string, payload binary, mime string, n_bytes bigint"
+    )
+
+
+def test_decode_requires_injected_decoder(mm):
+    with pytest.raises(NotImplementedError):
+        decode_payload(mm)  # no codecs in container — stub contract
+
+
+def test_decode_and_resize_shapes(mm, spark):
+    decoded = decode_payload(mm, fake_decoder)
+    rows = {r["item_id"]: r for r in decoded.collect()}
+    assert (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (8, 8, 3)
+    assert len(rows[1]["decoded"]) == 8 * 8 * 3
+    assert rows[3]["decoded"] is None
+    # decode is deterministic: same payload → same bytes
+    again = {r["item_id"]: r for r in decode_payload(mm, fake_decoder).collect()}
+    assert bytes(again[1]["decoded"]) == bytes(rows[1]["decoded"])
+
+    small = {r["item_id"]: r for r in resize_decoded(decoded, 4, 4).collect()}
+    assert len(small[1]["decoded"]) == 4 * 4 * 3
+    # nearest-neighbor: resized pixel (0,0) == original pixel (0,0)
+    orig = np.frombuffer(bytes(rows[1]["decoded"]), dtype=np.uint8).reshape(8, 8, 3)
+    res = np.frombuffer(bytes(small[1]["decoded"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert (res[0, 0] == orig[0, 0]).all()
+
+
+def test_extract_features_deterministic_and_typed(mm):
+    feats = {r["item_id"]: r["feature"] for r in extract_features(mm, dim=16).collect()}
+    assert feats[3] is None
+    assert len(feats[1]) == 16
+    assert all(0.0 <= x <= 1.0 for x in feats[1])
+    expected_seed = hashlib.md5(b"payload-one").digest()
+    raw = (expected_seed * 5)[:64]
+    vec = np.frombuffer(raw, dtype=np.uint8).astype(np.float32).reshape(16, 4)
+    assert feats[1][0] == pytest.approx(float(vec.mean(axis=1)[0] / 255.0))
+
+
+def test_sample_frames_fanout(mm):
+    frames = sample_frames(mm, 4).collect()
+    by_item = {}
+    for r in frames:
+        by_item.setdefault(r["item_id"], []).append(r)
+    assert len(by_item[1]) == 4  # 11 bytes → 4 windows of step 2
+    assert sorted(r["frame_index"] for r in by_item[2]) == [0, 1, 2, 3]
+    assert 3 not in by_item  # null payload emits no frames
+    whole = b"".join(bytes(r["frame"]) for r in sorted(by_item[2], key=lambda r: r["frame_index"]))
+    assert b"payload-two-longer".startswith(whole[:4])
+
+
+def test_attach_payload_metadata_jvm_side(mm):
+    got = {r["item_id"]: r for r in attach_payload_metadata(mm).collect()}
+    assert got[1]["n_bytes"] == len(b"payload-one")
+    assert got[1]["payload_hash"] == hashlib.md5(b"payload-one").hexdigest()
+    assert got[3]["n_bytes"] is None
