@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_dags_spark.functions.vectors import as_double, cosine
@@ -101,6 +101,42 @@ def embedding_near_dup(
     )
 
 
+def _fit_coarse_quantizer(
+    embeddings: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    fit_sample: int,
+    max_iter: int,
+    seed: int,
+) -> "np.ndarray":
+    """Train IVF centroids on a bounded driver-side sample — standard IVF
+    practice (FAISS trains its coarse quantizer on a sample in memory):
+    centroid quality saturates long before full-corpus scans pay off, and at
+    100 TB a distributed k-means per index build is a non-starter. The sample
+    is small by construction (fit_sample × dim doubles), the fit is seeded
+    numpy Lloyd iterations on unit vectors → fully deterministic."""
+    import numpy as np
+
+    sample = [
+        r[0] for r in embeddings.select(as_double(vec_col)).limit(fit_sample).collect()
+        if r[0] is not None
+    ]
+    x = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(x @ centers.T, axis=1)  # cosine on unit vectors
+        for j in range(len(centers)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                centers[j] = c / n if n > 0 else centers[j]
+    return centers
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     k: int,
@@ -111,62 +147,67 @@ def ivf_ann_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    fit_sample: int = 20000,
+    max_iter: int = 10,
 ) -> DataFrame:
-    """IVF-style ANN: seeded KMeans over unit vectors builds the coarse
-    quantizer; every corpus vector joins its nearest cell, every query probes
-    its ``nprobe`` nearest cells, exact cosine ranks within probed cells.
+    """IVF-style ANN: a sample-trained coarse quantizer (spherical k-means)
+    partitions the corpus into cells; queries probe only the ``nprobe``
+    nearest cells, exact cosine ranks within probed cells.
 
     Recall/cost dial = nprobe/n_cells (fraction of corpus scanned). The
-    centroid table is tiny → broadcast; the only shuffle is the final
-    per-query top-k. Seeded-KMeans internals → rows-only correctness check;
-    recall is pytest-verified against brute force.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    base = embeddings.select(
-        key_col, vec_col, array_to_vector(as_double(vec_col)).alias("__vec")
+    centroids become LITERAL array expressions, so cell assignment is a pure
+    JVM projection over the corpus — no shuffle, no ML pipeline, whole-stage
+    codegen — and the probe fan-out joins on the tiny broadcast probe list.
+    The only shuffle in the whole plan is the final per-query top-k window.
+    Sampled-fit internals → rows-only correctness; recall is pytest-verified
+    against brute force (nprobe = n_cells degenerates to exact)."""
+    centers = _fit_coarse_quantizer(
+        embeddings, vec_col, n_cells, fit_sample, max_iter, seed
     )
-    normed = Normalizer(inputCol="__vec", outputCol="__unit", p=2.0).transform(base)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__unit", predictionCol="__cell")
-    model = km.fit(normed)
-
-    # tiny centroid table: (cell_id, centroid array)
-    spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cell int, centroid array<double>",
+    # centroids as a literal array<array<double>> expression
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
     )
 
-    assigned = model.transform(normed).select(
+    def argmax_cell(vec: Column) -> Column:
+        # cosine(v, c) ranked over the literal centroid list, JVM-side;
+        # centroids are unit vectors so dot/|v| ordering == cosine ordering
+        sims = F.transform(cent_lit, lambda c: F.round(cosine(vec, c), 9))
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    corpus = embeddings.select(
         F.col(key_col).alias("cid"),
         F.col(vec_col).alias("cv"),
-        F.col("__cell").alias("cell"),
+        argmax_cell(as_double(vec_col)).alias("cell"),
     )
 
-    q = normed if query_filter is None else normed.where(query_filter)
-    queries = q.select(
+    q = embeddings if query_filter is None else embeddings.where(query_filter)
+    # probe list: top-nprobe cells per query via sorted (sim, cell) structs —
+    # all array expressions over the literal centroids, then a small explode
+    probe_structs = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    F.transform(cent_lit, lambda c: F.round(cosine(as_double(vec_col), c), 9)),
+                    F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                    lambda s, i: F.struct(s.alias("sim"), (-i).alias("negcell")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = q.select(
         F.col(key_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        vector_to_array(F.col("__unit")).alias("__qunit"),
-    )
-    # probe list: nprobe nearest centroids per query (broadcast nested loop
-    # over the tiny centroid table, then a window top-nprobe)
-    probe_sim = cosine(F.col("__qunit"), F.col("centroid"))
-    wp = Window.partitionBy("qid").orderBy(F.desc("__psim"), F.asc("cell"))
-    probes = (
-        queries.join(F.broadcast(centroids))
-        .select("qid", "qv", "cell", probe_sim.alias("__psim"))
-        .withColumn("__pr", F.row_number().over(wp))
-        .where(F.col("__pr") <= nprobe)
-        .select("qid", "qv", "cell")
-    )
+        F.explode(probe_structs).alias("p"),
+    ).select("qid", "qv", (-F.col("p.negcell")).cast("int").alias("cell"))
+
     # exact search inside probed cells only
     sim = F.round(cosine(as_double("qv"), as_double("cv")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
-        assigned.join(F.broadcast(probes), "cell")
+        corpus.join(F.broadcast(probes), "cell")
         .select("qid", "cid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)

@@ -30,7 +30,10 @@ HEADLINE = [
     "agg_global_stats",
     "dedup_exact",
     "dedup_minhash_bands",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ann_ivf_topk",
+    "multimodal_features",
     "text_quality_stats",
     "window_tumbling_hourly",
     "window_session_30m",
@@ -41,7 +44,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry.load_all()
-    spark = get_spark(app_name="spark-graft-bench")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # shuffle partitions = cores: at local scale 200 partitions is pure task
+    # overhead (measured ~20% slower); AQE re-coalesces under skew anyway.
+    spark = get_spark(
+        app_name="spark-graft-bench",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 64,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
