@@ -1,0 +1,93 @@
+"""spark-submit entry point for the job layer.
+
+One file the orchestrator ships to the cluster:
+
+    spark-submit .../airflow_dags_spark/jobs/cli.py monthly-update <csv> <table>
+    spark-submit .../cli.py initial-load <csv> <table>
+    spark-submit .../cli.py enrich-outcodes <areas_table>
+    spark-submit .../cli.py pull-sales <areas_table> <sales_table>
+    spark-submit .../cli.py json-to-csv <in> <out>
+
+The HTTP jobs use the stdlib-based fetchers from jobs/live_http.py; tests
+bypass this module and inject fixture fetchers directly (SURVEY.md §7
+Phase 4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timedelta, timezone
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="airflow_dags_spark-jobs")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("initial-load")
+    p.add_argument("csv_path")
+    p.add_argument("table_path")
+
+    p = sub.add_parser("monthly-update")
+    p.add_argument("csv_path")
+    p.add_argument("table_path")
+
+    p = sub.add_parser("enrich-outcodes")
+    p.add_argument("areas_path")
+    p.add_argument("--batch-size", type=int, default=50)
+
+    p = sub.add_parser("pull-sales")
+    p.add_argument("areas_path")
+    p.add_argument("sales_path")
+    p.add_argument("--batch-areas", type=int, default=5)
+
+    p = sub.add_parser("json-to-csv")
+    p.add_argument("input_path")
+    p.add_argument("output_path")
+
+    args = parser.parse_args(argv)
+
+    from airflow_dags_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ads-{args.cmd}")
+    now = datetime.now(timezone.utc)
+    today_int = int(now.strftime("%Y%m%d"))
+    yesterday_int = int((now - timedelta(days=1)).strftime("%Y%m%d"))
+
+    if args.cmd == "initial-load":
+        from airflow_dags_spark.jobs.price_paid import initial_load
+
+        initial_load(spark, args.csv_path, args.table_path)
+    elif args.cmd == "monthly-update":
+        from airflow_dags_spark.jobs.price_paid import monthly_update
+
+        monthly_update(spark, args.csv_path, args.table_path)
+    elif args.cmd == "enrich-outcodes":
+        from airflow_dags_spark.jobs.live_http import typeahead_fetch
+        from airflow_dags_spark.jobs.outcodes import enrich_outcodes
+
+        enrich_outcodes(
+            spark, args.areas_path, typeahead_fetch, batch_size=args.batch_size
+        )
+    elif args.cmd == "pull-sales":
+        from airflow_dags_spark.jobs.live_http import search_page_fetch
+        from airflow_dags_spark.jobs.sales import pull_new_sales
+
+        pull_new_sales(
+            spark,
+            args.areas_path,
+            args.sales_path,
+            search_page_fetch,
+            today_int=today_int,
+            yesterday_int=yesterday_int,
+            batch_areas=args.batch_areas,
+        )
+    elif args.cmd == "json-to-csv":
+        from airflow_dags_spark.jobs.json_to_csv import json_to_csv
+
+        json_to_csv(spark, args.input_path, args.output_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -182,6 +182,45 @@ def p13_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", json_path("props", "$.k").alias("k_str"))
 
 
+P10_ORACLE = """
+SELECT event_id, event_type
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+"""
+
+
+@register("p10_nested_json_equality", P10_ORACLE)
+def p10_nested_json_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — equality predicate on a nested JSON field (the reference filters
+    typeahead matches on m['type'] == 'OUTCODE', dags/rightmove_outcodes.py:103);
+    single from_json parse, predicate on the struct field."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "__p", F.from_json("props", "struct<k:bigint>")
+    )
+    return parsed.where(F.col("__p.k") % 10 == 0).select("event_id", "event_type")
+
+
+P15_ORACLE = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       TRY_CAST(event_type AS BIGINT) AS not_a_number
+FROM events
+"""
+
+
+@register("p15_int_cast_fallback", P15_ORACLE)
+def p15_int_cast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — int parse with null fallback (dags/rightmove_outcodes.py:108-113):
+    numeric JSON string parses, non-numeric event_type nulls."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        safe_bigint(json_path("props", "$.k")).alias("k_int"),
+        safe_bigint("event_type").alias("not_a_number"),
+    )
+
+
 P14_ORACLE = """
 SELECT doc_id,
        CASE WHEN source LIKE 'http%' THEN source

@@ -1,0 +1,79 @@
+"""CLI entry-point smoke (offline subcommands) and the composed streaming
+ingest path: headerless CSV landing stream → clean pipeline → foreachBatch
+MERGE — the streaming form of the monthly price-paid job (S2+P*+K3/T2/T3)."""
+
+from __future__ import annotations
+
+from airflow_dags_spark.functions.cleaning import clean_price_paid
+from airflow_dags_spark.jobs.cli import main as cli_main
+from airflow_dags_spark.operators.upsert import ParquetTable
+from airflow_dags_spark.schemas import PRICE_PAID_RAW_SCHEMA
+from airflow_dags_spark.sources.csv import read_headerless_csv_stream
+from airflow_dags_spark.streaming.pipeline import merge_sink
+
+from tests.test_jobs import DUP_TX1_CHANGED, GOOD, GOOD2, NEW_TX7, write_csv
+
+
+def test_cli_initial_load_and_monthly_update(spark, tmp_path, monkeypatch):
+    """Drive the same code path spark-submit would (get_spark reuses the
+    active test session via getOrCreate; stop() is a no-op for reuse)."""
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    bulk = write_csv(tmp_path, "bulk.csv", [GOOD, GOOD2])
+    monthly = write_csv(tmp_path, "monthly.csv", [DUP_TX1_CHANGED, NEW_TX7])
+    table = str(tmp_path / "price_paid")
+    cli_main(["initial-load", bulk, table])
+    assert spark.read.parquet(table).count() == 2
+    cli_main(["monthly-update", monthly, table])
+    rows = {
+        r["transaction_unique_identifier"]: r["price"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert rows == {"TX1": 250000.0, "TX2": 99000.0, "TX7": 310000.0}
+
+
+def test_cli_json_to_csv(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"a": 1, "b": {"c": 2}}\n')
+    out = str(tmp_path / "out")
+    cli_main(["json-to-csv", str(src), out])
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 1
+    assert set(back.columns) == {"a", "b.c"}
+
+
+def test_streaming_price_paid_ingest(spark, tmp_path):
+    """Landing-zone CSV stream → clean_price_paid → merge_sink: two file
+    drops, second contains a re-delivery that must stay a no-op on the
+    changed payload (the reference's monthly semantics, continuously)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_csv(landing, "drop1.csv", [GOOD, GOOD2])
+    table = ParquetTable(
+        spark, str(tmp_path / "price_paid"), "transaction_unique_identifier"
+    )
+
+    def run(ckpt):
+        stream = read_headerless_csv_stream(
+            spark, str(landing), PRICE_PAID_RAW_SCHEMA, max_files_per_trigger=1
+        )
+        q = merge_sink(
+            clean_price_paid(stream),
+            table,
+            order_by=["transaction_unique_identifier"],
+            checkpoint_dir=str(tmp_path / ckpt),
+            # K3 semantics in streaming form: never touch matched rows
+            update_cols=[],
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    assert table.read().count() == 2
+    # second drop: TX1 re-delivered with changed price + new TX7
+    write_csv(landing, "drop2.csv", [DUP_TX1_CHANGED, NEW_TX7])
+    run("ckpt")  # same checkpoint: only the new file is processed
+    rows = {
+        r["transaction_unique_identifier"]: r["price"]
+        for r in table.read().collect()
+    }
+    assert rows == {"TX1": 250000.0, "TX2": 99000.0, "TX7": 310000.0}
