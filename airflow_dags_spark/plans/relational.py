@@ -516,3 +516,70 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w_order), 2).alias("running_spend"),
         F.rank().over(w_rank).alias("spend_rank"),
     )
+
+
+SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_salted_skew", SALTED_AGG_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py) hash-matching the
+    plain GROUP BY oracle — proof the skew rewrite is result-identical.
+    l_returnflag has 3 hot values over the whole table: exactly the
+    one-key-per-reducer shape salting exists for."""
+    from airflow_dags_spark.functions.skew import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty_raw": ("l_quantity", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "max_price_raw": ("l_extendedprice", "max"),
+        },
+        n_salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty_raw", 2).alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("max_price_raw", 2).alias("max_price"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o.o_orderkey, c.c_mktsegment,
+       ROUND(o.o_totalprice, 2) AS price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+@register("join_salted_skew", SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (functions/skew.py) hash-matching the plain join
+    oracle: big side salted, small side replicated over the salt domain."""
+    from airflow_dags_spark.functions.skew import salted_join
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return salted_join(o, c, ["o_custkey"], n_salt=8).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("price"),
+    )

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the genuinely custom pieces: the
+balanced-brace extractor (pure function → many examples) and the MERGE
+library's algebraic laws (Spark round-trips → few examples, wide coverage)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airflow_dags_spark.functions.json_extract import extract_balanced_json
+from airflow_dags_spark.operators.upsert import ParquetTable
+
+# --- balanced-brace extractor: pure function, heavy example budget ----------
+
+json_scalars = st.one_of(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.booleans(),
+    st.none(),
+    st.text(max_size=40),  # includes braces, quotes, backslashes, unicode
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+json_objects = st.dictionaries(st.text(max_size=10), json_values, max_size=5)
+
+
+@given(
+    obj=json_objects,
+    prefix=st.text(max_size=60),
+    suffix=st.text(max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_balanced_extract_roundtrips_arbitrary_json(obj, prefix, suffix):
+    """Whatever JSON object is embedded after the marker — nested braces,
+    braces inside strings, escapes — the extractor returns exactly it."""
+    payload = json.dumps(obj)
+    text = f"{prefix}<script>window.jsonModel = {payload};</script>{suffix}"
+    got = extract_balanced_json(text)
+    assert got is not None
+    assert json.loads(got) == obj
+
+
+@given(noise=st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_balanced_extract_no_marker_is_null(noise):
+    assert extract_balanced_json(noise.replace("window.jsonModel", "")) is None
+
+
+@given(depth=st.integers(min_value=1, max_value=50))
+@settings(max_examples=50, deadline=None)
+def test_balanced_extract_unbalanced_is_null(depth):
+    text = "window.jsonModel = " + "{" * depth + '"k": 1'
+    assert extract_balanced_json(text) is None
+
+
+# --- MERGE library laws: Spark-backed, small example budget ------------------
+
+batches = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key (small domain → conflicts)
+        st.integers(min_value=-100, max_value=100),  # value
+        st.integers(min_value=0, max_value=9),  # order_by column
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(b1=batches, b2=batches)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_laws(spark, tmp_path_factory, b1, b2):
+    """Laws the reference's ON CONFLICT semantics imply, on arbitrary batches:
+    - idempotency: applying a batch twice == once (both K3 and K4)
+    - K3 insert-if-absent never changes existing keys
+    - K4 merge leaves exactly one row per distinct key
+    """
+    base = tmp_path_factory.mktemp("merge_laws")
+    df1 = spark.createDataFrame(b1, "k int, v int, ord int")
+    df2 = spark.createDataFrame(b2, "k int, v int, ord int")
+
+    # K3 idempotency + no-touch
+    t3 = ParquetTable(spark, str(base / "t3"), "k")
+    t3.insert_if_absent(df1, order_by=["ord", "v"])
+    first = {(r["k"], r["v"]) for r in t3.read().collect()}
+    t3.insert_if_absent(df1, order_by=["ord", "v"])
+    assert {(r["k"], r["v"]) for r in t3.read().collect()} == first
+    t3.insert_if_absent(df2, order_by=["ord", "v"])
+    after = {r["k"]: r["v"] for r in t3.read().collect()}
+    # existing keys kept their first values
+    for k, v in first:
+        assert after[k] == v
+
+    # K4: one row per key, idempotent
+    t4 = ParquetTable(spark, str(base / "t4"), "k")
+    t4.merge_upsert(df1, order_by=["ord", "v"])
+    t4.merge_upsert(df2, order_by=["ord", "v"])
+    rows = t4.read().collect()
+    keys = [r["k"] for r in rows]
+    assert len(keys) == len(set(keys)) == len({k for k, _, _ in b1} | {k for k, _, _ in b2})
+    snapshot = {(r["k"], r["v"]) for r in rows}
+    t4.merge_upsert(df2, order_by=["ord", "v"])
+    assert {(r["k"], r["v"]) for r in t4.read().collect()} == snapshot
