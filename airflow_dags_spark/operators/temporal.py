@@ -1,0 +1,129 @@
+"""Temporal joins Spark lacks as builtins (build brief: custom operators via
+composition of DataFrame ops where semantics allow).
+
+- ``asof_join``  — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as the union-window rewrite:
+  tag sides, union, one window per key ordered by (ts, side) with
+  ``last(value, ignorenulls=True)`` — a SINGLE shuffle on the key, no
+  range-condition nested loop. This is the scalable classic; a naive
+  theta-join (``r.ts <= l.ts`` + max) is O(n·m) per key.
+- ``range_join`` — pairs with ``left.ts ∈ [right.start, right.end]``,
+  bucketized: both sides explode to coarse time buckets, equi-join on
+  (key, bucket) — Catalyst gets an EQUI join (hash/sort-merge-able) —
+  then the exact range predicate filters within buckets. Bucket width trades
+  replication (right side spans ⌈interval/width⌉ buckets) against
+  selectivity; without it Spark falls back to BroadcastNestedLoopJoin.
+
+Both are deterministic and DuckDB-oracle-checkable (ASOF JOIN / range
+predicates exist there natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    *,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: each left row gains the most recent ``value_cols``
+    from right where ``right.ts <= left.ts`` (per key); null if none.
+
+    Union-window plan: one shuffle (hashpartition by key), one sort within
+    partitions — the same cost as a sort-merge join, but expressing a
+    predicate sort-merge can't do directly.
+    """
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        key, ts, *value_cols
+    ).withColumn("__side", F.lit(0))
+    # align schemas for union: left carries nulls for right's values and
+    # keeps its own payload columns
+    for c in value_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_aligned = r_tag.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(None).alias("__placeholder"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col("__side"),
+    ).drop("__placeholder")
+    left_cols = [c for c in left.columns]
+    l_aligned = l_tag.select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(f"__r_{c}") for c in value_cols],
+        F.col("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols if c not in (key, ts)],
+    )
+    r_full = r_aligned
+    for c in left_cols:
+        if c not in (key, ts):
+            r_full = r_full.withColumn(
+                f"__l_{c}", F.lit(None).cast(left.schema[c].dataType)
+            )
+    unioned = l_aligned.unionByName(r_full)
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1): <= semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("__side") == 1).select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols if c not in (key, ts)],
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    *,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Equi-bucketized interval join: rows of ``left`` matched to every
+    ``right`` interval containing their timestamp, per key.
+
+    Both sides map to coarse epoch-second buckets (plain integer division —
+    codegen-friendly, no window-expression restrictions); the join condition
+    becomes (key, bucket) equality + the exact range predicate — a shuffled
+    equi-join instead of a nested loop. Right intervals explode over every
+    bucket they span, so correctness is bucket-width-free: width only trades
+    right-side replication against in-bucket selectivity.
+    """
+
+    def to_bucket(c: Column) -> Column:
+        return (F.unix_timestamp(c) / bucket_seconds).cast("bigint")
+
+    l_b = left.withColumn("__bucket", to_bucket(F.col(ts)))
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(to_bucket(F.col(start)), to_bucket(F.col(end)), F.lit(1))
+        ),
+    )
+    joined = l_b.join(r_b, [key, "__bucket"]).where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.drop("__bucket")

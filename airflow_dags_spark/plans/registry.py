@@ -53,4 +53,5 @@ def load_all() -> None:
         writeback,
         llm,
         windowed,
+        temporal,
     )
