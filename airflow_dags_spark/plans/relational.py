@@ -583,3 +583,58 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round("o_totalprice", 2).alias("price"),
     )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(median(o_totalprice), 4)             AS med,
+       ROUND(stddev_samp(o_totalprice), 4)        AS sd
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_percentiles", PERCENTILES_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + stddev per group. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share linear-interpolation
+    semantics (verified bit-identical at round(4)). At 100 TB the exact form
+    holds a per-group value buffer — switch to ``percentile_approx``
+    (t-digest, mergeable, bounded memory) when groups grow past memory;
+    rows-only check in that mode."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("median(o_totalprice)"), 4).alias("med"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): one pass emits the
+    per-status, per-priority, and grand-total aggregates — Spark expands to
+    a single Expand + hash-agg, one shuffle for all three groupings."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
