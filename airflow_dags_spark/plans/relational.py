@@ -638,3 +638,67 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+SUBQUERY_ORACLE = """
+SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT AVG(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("subquery_above_customer_avg", SUBQUERY_ORACLE)
+def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average.
+    Catalyst decorrelates it into an aggregate + self-join — one shuffle on
+    o_custkey, never a per-row subquery execution (SURVEY.md §4.1: subquery
+    decorrelation comes free once a SQL surface exists)."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sub")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+        FROM __orders_sub o
+        WHERE o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) FROM __orders_sub o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+WINDOW_FULL_ORACLE = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  DENSE_RANK()   OVER w                              AS drank,
+  NTILE(4)       OVER w                              AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6)                    AS prank,
+  ROUND(FIRST_VALUE(o_totalprice) OVER w, 2)         AS top_price,
+  ROUND(LEAD(o_totalprice, 1, 0.0) OVER w, 2)        AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("window_rank_family", WINDOW_FULL_ORACLE)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions (dense_rank, ntile,
+    percent_rank, first_value, lead) in ONE window spec — one shuffle+sort
+    serves all five (Spark collapses same-spec windows into one Window op)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("top_price"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+    )

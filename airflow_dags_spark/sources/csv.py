@@ -42,6 +42,32 @@ def read_headerless_csv(
     return reader.csv(path)
 
 
+def read_headerless_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S3 + error isolation: PERMISSIVE parse where unparseable rows land
+    whole in ``corrupt_col`` instead of failing the job — the declarative
+    replacement for the reference's per-batch rollback-and-continue
+    (dags/monthly_price_paid_data.py:158-160): good rows load, bad rows are
+    queryable for quarantine (filter ``corrupt_col IS NOT NULL`` → dead
+    letter path), and nothing aborts.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
 def read_headerless_csv_stream(
     spark: SparkSession,
     landing_dir: str,

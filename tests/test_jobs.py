@@ -243,3 +243,27 @@ def test_json_to_csv_flattens_nested(spark, tmp_path):
     row = back.where(F.col("id") == "1").collect()[0]
     assert row["`pagination.next`" if "`pagination.next`" in back.columns else "pagination.next"] == "24"
     assert row["tags"] == '["a","b"]'
+
+
+def test_quarantined_csv_isolates_corrupt_rows(spark, tmp_path):
+    """Typed CSV parse: bad rows land whole in _corrupt_record, good rows
+    load — the declarative form of the reference's per-batch
+    rollback-and-continue (dags/monthly_price_paid_data.py:158-160)."""
+    from pyspark.sql import types as T
+
+    from airflow_dags_spark.sources.csv import read_headerless_csv_quarantined
+
+    p = tmp_path / "typed.csv"
+    p.write_text('1,100\n2,not-a-number\n3,300\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("amount", T.IntegerType()),
+        ]
+    )
+    df = read_headerless_csv_quarantined(spark, str(p), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["2,not-a-number"]
+    df.unpersist()
