@@ -159,14 +159,31 @@ class ParquetTable:
         update_cols: list[str] | None = None,
     ) -> None:
         """K4/K5 — ``ON CONFLICT DO UPDATE``: full-outer join + per-column
-        coalesce, atomic swap. ``update_cols=None`` updates every non-key
-        column; the reference's K4 updates only ``updated_date``
-        (dags/pull_new_sales_list.py:255-257)."""
+        coalesce. ``update_cols=None`` updates every non-key column; the
+        reference's K4 updates only ``updated_date``
+        (dags/pull_new_sales_list.py:252-261).
+
+        Unpartitioned targets: atomic directory swap (full rewrite — the
+        plain-parquet tax). Partitioned targets where the source carries the
+        partition columns: only partitions PRESENT IN THE BATCH are merged
+        and dynamically overwritten — O(touched partitions), not O(table);
+        at 100 TB this is the difference between a merge and a migration.
+        Requires partition values immutable under update (standard
+        lakehouse contract; key⊅partition changes are an anti-pattern).
+        """
         clean = self._dedup_source(src, order_by)
         if not self.exists():
             self._atomic_overwrite(clean)
             return
-        tgt = self.read()
+        if self.partition_by and all(p in clean.columns for p in self.partition_by):
+            self._merge_touched_partitions(clean, update_cols)
+            return
+        self._atomic_overwrite(self._merged_frame(self.read(), clean, update_cols))
+
+    def _merged_frame(
+        self, tgt: DataFrame, clean: DataFrame, update_cols: list[str] | None
+    ) -> DataFrame:
+        """The MERGE result set: full-outer join + per-column coalesce."""
         non_key = [c for c in tgt.columns if c not in self.keys]
         updatable = set(update_cols) if update_cols is not None else set(non_key)
         src_a = clean.alias("s")
@@ -189,7 +206,45 @@ class ParquetTable:
                 out_cols.append(F.coalesce(src_a[c], tgt_a[c]).alias(c))
             else:
                 out_cols.append(F.coalesce(tgt_a[c], src_a[c]).alias(c))
-        self._atomic_overwrite(joined.select(*out_cols))
+        return joined.select(*out_cols)
+
+    def _merge_touched_partitions(
+        self, clean: DataFrame, update_cols: list[str] | None
+    ) -> None:
+        """Partition-pruned merge: read ONLY partitions the batch touches
+        (semi-join on partition values → partition pruning at the scan),
+        merge, stage the result, then dynamically overwrite just those
+        partitions. Untouched partition directories are never read or
+        rewritten."""
+        jvm, fs = self._fs()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        # the touched-partition set is bounded by construction (the batch's
+        # distinct partition values); materialize it so the target filter is
+        # an independent plan (avoids self-join lineage ambiguity with
+        # `clean`) and the scan gets literal partition pruning
+        touched_rows = clean.select(*self.partition_by).distinct().collect()
+        touched = self.spark.createDataFrame(
+            touched_rows,
+            clean.select(*self.partition_by).schema,
+        )
+        tgt = self.read().join(
+            F.broadcast(touched), self.partition_by, "left_semi"
+        )
+        merged = self._merged_frame(tgt, clean, update_cols)
+        # stage first: the merged plan reads the very partitions the dynamic
+        # overwrite replaces, and Spark (correctly) refuses read-write cycles
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(stage)
+        try:
+            (
+                self.spark.read.parquet(stage)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(self.path)
+            )
+        finally:
+            fs.delete(hpath(stage), True)
 
     def advance_watermark(
         self, processed_keys: DataFrame, watermark_col: str, value

@@ -166,3 +166,58 @@ def test_partitioned_table_roundtrip(spark, tmp_table):
     assert pruned.count() == 25
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_table):
+    """Dynamic-partition merge: a batch touching one partition must leave
+    the other partitions' files physically untouched (O(batch), not
+    O(table)) and produce the same result a full merge would."""
+    import glob
+    import os
+
+    t = ParquetTable(spark, tmp_table, "k", partition_by=["bucket"])
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "c")],
+            "k int, v int, bucket string",
+        ),
+        order_by=["k"],
+    )
+    untouched_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{tmp_table}/bucket=b/*.parquet")
+        + glob.glob(f"{tmp_table}/bucket=c/*.parquet")
+    }
+    assert untouched_files
+    # batch: update k=1, insert k=5 — both in partition 'a' only
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 99, "a"), (5, 50, "a")], "k int, v int, bucket string"
+        ),
+        order_by=["k"],
+    )
+    assert rows_of(t) == {
+        (1, 99, "a"), (2, 20, "a"), (5, 50, "a"), (3, 30, "b"), (4, 40, "c"),
+    }
+    for p, mtime in untouched_files.items():
+        assert os.path.exists(p), f"untouched partition file removed: {p}"
+        assert os.path.getmtime(p) == mtime, f"untouched partition rewritten: {p}"
+
+
+def test_partitioned_merge_partial_source_columns(spark, tmp_table):
+    """Watermark-style partial-source merge still works on the partitioned
+    path when the source carries the partition column."""
+    t = ParquetTable(spark, tmp_table, "k", partition_by=["bucket"])
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, "x", "a"), (2, 20, "y", "b")],
+            "k int, v int, note string, bucket string",
+        ),
+        order_by=["k"],
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(1, 77, "a")], "k int, v int, bucket string"),
+        order_by=["k"],
+        update_cols=["v"],
+    )
+    assert rows_of(t) == {(1, 77, "x", "a"), (2, 20, "y", "b")}
