@@ -382,3 +382,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """video-style frame sampling: 1 payload → ≤4 evenly-spaced frames."""
     mm = _as_multimodal(spark, sf_dir)
     return sample_frames(mm, 4)
+
+
+GROUPED_ZSCORE_ORACLE = """
+SELECT doc_id, source,
+  ROUND(
+    CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY source) > 0
+         THEN (n_chars - avg(n_chars) OVER (PARTITION BY source))
+              / stddev_samp(n_chars) OVER (PARTITION BY source)
+    END, 4) AS z_len
+FROM documents
+"""
+
+
+@register("text_grouped_zscore", GROUPED_ZSCORE_ORACLE)
+def text_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score of document length via applyInPandas (grouped-map
+    Arrow UDF) — the north-star custom-UDAF surface (SURVEY.md §2.8),
+    hash-matched against the pure-SQL window form. Each group arrives as ONE
+    pandas frame: state needed per group is O(group); for groups beyond
+    executor memory the window-function form (the oracle) IS the scale path
+    — this operator exists for logic SQL can't express, verified here on
+    logic it can."""
+    import pandas as pd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - mu) / sd if pd.notna(sd) and sd > 0 else pd.NA
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"],
+             "z_len": pd.Series(z, dtype="float64").round(4)}
+        )
+
+    return d.groupBy("source").applyInPandas(
+        zscore, "doc_id bigint, source string, z_len double"
+    )

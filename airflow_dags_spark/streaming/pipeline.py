@@ -181,6 +181,44 @@ def run_to_table(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    delay: str = "1 day",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: left rows matched to right rows with the
+    same key where ``right_ts ∈ [left_ts - within, left_ts]``.
+
+    Both sides carry watermarks + the time-range condition bounds state:
+    each side buffers only rows inside (watermark + within) — without the
+    range predicate a stream-stream join must buffer EVERYTHING forever.
+    The attribution-join shape (click ⋈ recent purchase) of the reference's
+    enrichment pattern, continuous."""
+    r = right.select(
+        F.col(key).alias(f"{right_prefix}{key}"),
+        F.col(right_ts).alias(f"{right_prefix}ts"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    l_w = left.withWatermark(left_ts, delay)
+    r_w = r.withWatermark(f"{right_prefix}ts", delay)
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (F.col(f"{right_prefix}ts") >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"{right_prefix}ts") <= F.col(left_ts))
+    )
+    return l_w.join(r_w, cond, "inner").drop(f"{right_prefix}{key}")
+
+
 def stateful_watermark_tracker(
     df: DataFrame,
     *,

@@ -175,3 +175,45 @@ def test_stateful_watermark_tracker(spark, tmp_path):
            spark.read.parquet(out).collect()}
     assert got[7] == ("2026-01-01 11:00:00", 2)
     assert got[8] == ("2026-01-01 09:00:00", 1)
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream join with time-range bound: clicks attributed to
+    purchases at most 1h earlier, per user; outside-window and other-user
+    purchases must not match."""
+    from airflow_dags_spark.streaming.pipeline import interval_join_streams
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir(); purchases_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                event(10, "2026-01-01 12:00:00", user_id=7),
+                event(11, "2026-01-01 12:00:00", user_id=8),
+            ]
+        )
+    )
+    (purchases_dir / "p.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                event(90, "2026-01-01 11:30:00", user_id=7, value=5.0),   # in window
+                event(91, "2026-01-01 10:30:00", user_id=7, value=6.0),   # too old
+                event(92, "2026-01-01 12:30:00", user_id=7, value=7.0),   # after click
+                event(93, "2026-01-01 11:45:00", user_id=9, value=8.0),   # other user
+            ]
+        )
+    )
+    joined = interval_join_streams(
+        read_event_stream(spark, str(clicks_dir)),
+        read_event_stream(spark, str(purchases_dir)),
+        "user_id",
+        within="1 hour",
+    )
+    out = drain(joined, tmp_path, "attributed")
+    rows = spark.read.parquet(out).collect()
+    assert [(r["event_id"], r["r_event_id"], r["r_value"]) for r in rows] == [
+        (10, 90, 5.0)
+    ]
