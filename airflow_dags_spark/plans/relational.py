@@ -702,3 +702,64 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first_value("o_totalprice").over(w), 2).alias("top_price"),
         F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
     )
+
+
+PROFILE_ORACLE = """
+SELECT 'o_totalprice' AS col,
+       CAST(COUNT(*) AS BIGINT)                         AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT)              AS n_non_null,
+       ROUND(1.0 - CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6) AS null_frac,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)     AS n_distinct,
+       ROUND(MIN(o_totalprice), 2)                      AS min_v,
+       ROUND(MAX(o_totalprice), 2)                      AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_custkey) AS BIGINT),
+       ROUND(1.0 - CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       ROUND(MIN(o_custkey), 2),
+       ROUND(MAX(o_custkey), 2)
+FROM orders
+"""
+
+
+@register("profile_columns", PROFILE_ORACLE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/non-null/null-fraction/
+    distinct/min/max in ONE scan (all aggregates computed together, then
+    unpivoted) — the quality-report pass a training-data pipeline runs
+    before ingest. At 100 TB swap COUNT DISTINCT for approx_count_distinct
+    (HLL, mergeable) — the exact form here is what DuckDB can oracle."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey"]
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c).cast("double"), 2).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*agg_exprs)
+    parts = []
+    for c in cols:
+        parts.append(
+            wide.select(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.round(1.0 - F.col(f"{c}__nn") / F.col(f"{c}__n"), 6).alias(
+                    "null_frac"
+                ),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

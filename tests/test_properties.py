@@ -107,3 +107,54 @@ def test_merge_laws(spark, tmp_path_factory, b1, b2):
     snapshot = {(r["k"], r["v"]) for r in rows}
     t4.merge_upsert(df2, order_by=["ord", "v"])
     assert {(r["k"], r["v"]) for r in t4.read().collect()} == snapshot
+
+
+# --- as-of join vs naive reference -------------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=1000), # ts (seconds offset)
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lrows=asof_rows, rrows=asof_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_naive(spark, lrows, rrows):
+    """The union-window as-of rewrite must agree with the obvious per-row
+    definition (latest right row with ts <= left ts, per key) on arbitrary
+    inputs, including duplicate left timestamps and empty sides."""
+    from datetime import datetime, timedelta
+
+    from airflow_dags_spark.operators.temporal import asof_join
+
+    base = datetime(2026, 1, 1)
+    # dedupe right rows on (key, ts): the survivor is undefined otherwise
+    # (document contract; DuckDB ASOF has the same caveat)
+    rmap = {}
+    for k, t, v in rrows:
+        rmap[(k, t)] = v
+    left = spark.createDataFrame(
+        [(k, base + timedelta(seconds=t), v) for k, t, v in lrows] or [],
+        "k bigint, ts timestamp, lv bigint",
+    ) if lrows else spark.createDataFrame([], "k bigint, ts timestamp, lv bigint")
+    right = spark.createDataFrame(
+        [(k, base + timedelta(seconds=t), v) for (k, t), v in rmap.items()] or [],
+        "k bigint, ts timestamp, rv bigint",
+    ) if rmap else spark.createDataFrame([], "k bigint, ts timestamp, rv bigint")
+
+    got = sorted(
+        (r["k"], r["ts"].isoformat(), r["lv"], r["rv_asof"])
+        for r in asof_join(left, right, key="k", ts="ts", value_cols=["rv"]).collect()
+    )
+
+    expected = []
+    for k, t, v in lrows:
+        cands = [(rt, rv) for (rk, rt), rv in rmap.items() if rk == k and rt <= t]
+        rv = max(cands)[1] if cands else None
+        expected.append((k, (base + timedelta(seconds=t)).isoformat(), v, rv))
+    assert got == sorted(expected)
