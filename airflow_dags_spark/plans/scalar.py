@@ -408,3 +408,92 @@ def l2_limit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.orderBy("o_orderkey").limit(100).select(
         F.col("o_orderkey").alias("orderkey")
     )
+
+
+STRING_FUNCS_ORACLE = """
+SELECT c_custkey,
+       UPPER(c_name)                          AS up,
+       LOWER(c_mktsegment)                    AS lo,
+       SUBSTRING(c_name, 1, 8)                AS sub8,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       REPLACE(c_name, '#', '-')              AS repl,
+       REVERSE(c_mktsegment)                  AS rev,
+       LENGTH(c_name)                         AS len,
+       CONCAT(c_mktsegment, ':', c_name)      AS joined
+FROM customer
+"""
+
+
+@register("scalar_string_functions", STRING_FUNCS_ORACLE)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String builtin sweep (§2.6) — all JVM-side, one codegen projection."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.length("c_name").alias("len"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT)        AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT)       AS mo,
+       CAST(EXTRACT(day FROM o_orderdate) AS INT)         AS dy,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT)     AS qtr,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', DATE '2024-01-01',
+                      CAST(o_orderdate AS DATE)) AS INT)  AS days_since
+FROM orders
+"""
+
+
+@register("scalar_date_functions", DATE_FUNCS_ORACLE)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date builtin sweep (§2.6): trunc/extract/last_day/datediff."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+    )
+
+
+SQL_INTERFACE_ORACLE = """
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c.c_acctbal), 4) AS avg_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("sql_interface", SQL_INTERFACE_ORACLE)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: tables registered as temp views, query given as
+    ANSI SQL text, identical semantics to the DataFrame surface — users of
+    the engine can stay in SQL end-to-end (sources.tables.register_views)."""
+    from airflow_dags_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

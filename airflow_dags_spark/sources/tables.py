@@ -51,3 +51,12 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
     fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     return bool(fs.exists(hadoop_path))
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register tables as temp views so the SQL surface (spark.sql) works
+    end-to-end — the engine analog of the reference's named Postgres tables."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
