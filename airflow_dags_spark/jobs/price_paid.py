@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from airflow_dags_spark.functions.cleaning import clean_price_paid
 from airflow_dags_spark.operators.upsert import ParquetTable
 from airflow_dags_spark.schemas import PRICE_PAID_RAW_SCHEMA
@@ -28,14 +30,34 @@ from airflow_dags_spark.sources.csv import read_headerless_csv
 
 KEY = "transaction_unique_identifier"
 
+# Physical layout standing in for `CREATE INDEX idx_postcode`
+# (dags/monthly_price_paid_data.py:93, SURVEY.md §2.2 K7): partition on the
+# outward-code prefix so `postcode LIKE 'OX%'`-class predicates become
+# partition PRUNING (directories skipped), and parquet min/max stats cover
+# finer lookups inside a partition. ~120 distinct UK area prefixes → healthy
+# partition count at any scale.
+AREA_COL = "postcode_area"
+
+
+def with_postcode_area(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        AREA_COL, F.regexp_extract(F.upper("postcode"), r"^([A-Z]{1,2})", 1)
+    )
+
 
 def _read_clean(spark: SparkSession, csv_path: str) -> DataFrame:
     raw = read_headerless_csv(spark, csv_path, PRICE_PAID_RAW_SCHEMA)
-    return clean_price_paid(raw)
+    return with_postcode_area(clean_price_paid(raw))
+
+
+def _table(spark: SparkSession, table_path: str, partitioned: bool) -> ParquetTable:
+    return ParquetTable(
+        spark, table_path, KEY, partition_by=[AREA_COL] if partitioned else None
+    )
 
 
 def initial_load(
-    spark: SparkSession, csv_path: str, table_path: str
+    spark: SparkSession, csv_path: str, table_path: str, *, partitioned: bool = True
 ) -> ParquetTable:
     """One-shot bulk load (dags/initial_price_paid_data.py:97-178).
 
@@ -44,7 +66,7 @@ def initial_load(
     whose plain INSERT duplicates on rerun — an acknowledged semantic
     upgrade, not a deviation: the initial DAG is manual-trigger-once.
     """
-    table = ParquetTable(spark, table_path, KEY)
+    table = _table(spark, table_path, partitioned)
     cleaned = _read_clean(spark, csv_path)
     # first-wins on the natural key even within the bulk file (A1)
     table._atomic_overwrite(table._dedup_source(cleaned, order_by=[KEY]))
@@ -52,14 +74,14 @@ def initial_load(
 
 
 def monthly_update(
-    spark: SparkSession, csv_path: str, table_path: str
+    spark: SparkSession, csv_path: str, table_path: str, *, partitioned: bool = True
 ) -> ParquetTable:
     """Monthly incremental upsert (dags/monthly_price_paid_data.py:104-171).
 
     Re-delivered rows are no-ops (T3 idempotency via K3); the staging-file
     lifecycle (K9) is gone — Spark reads the landing path directly.
     """
-    table = ParquetTable(spark, table_path, KEY)
+    table = _table(spark, table_path, partitioned)
     cleaned = _read_clean(spark, csv_path)
     table.insert_if_absent(cleaned, order_by=[KEY])
     return table

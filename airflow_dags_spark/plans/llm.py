@@ -420,3 +420,35 @@ def text_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         zscore, "doc_id bigint, source string, z_len double"
     )
+
+
+ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                          AS dim,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)           AS max_v,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4)           AS min_v,
+       ROUND(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS sum_v,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4)                  AS first_v,
+       ROUND(CAST(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])) AS DOUBLE), 4)
+                                                               AS head_sum
+FROM embeddings
+"""
+
+
+@register("array_functions", ARRAY_FUNCS_ORACLE)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-builtin sweep over the embedding column (§2.9 multimodal/vector
+    schema): size/min/max/sum/index/slice — all JVM array expressions, the
+    primitives the vector and multimodal operators compose."""
+    e = read_table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    list_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_v"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_v"),
+        F.round(list_sum(as_dbl), 4).alias("sum_v"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_v"),
+        F.round(list_sum(F.slice(as_dbl, 1, 8)), 4).alias("head_sum"),
+    )

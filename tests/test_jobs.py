@@ -267,3 +267,16 @@ def test_quarantined_csv_isolates_corrupt_rows(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     assert [r["_corrupt_record"] for r in bad.collect()] == ["2,not-a-number"]
     df.unpersist()
+
+
+def test_price_paid_partition_layout_prunes(spark, tmp_path):
+    """K7 as layout policy: the table partitions on postcode_area, so the
+    reference's indexed predicate (postcode LIKE 'OX%') becomes partition
+    pruning — the scan lists only the OX directory."""
+    csv = write_csv(tmp_path, "bulk.csv", [GOOD, GOOD2])
+    table = initial_load(spark, csv, str(tmp_path / "pp"))
+    assert (tmp_path / "pp" / "postcode_area=OX").exists()
+    pruned = table.read().where(F.col("postcode_area") == "OX")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "postcode_area" in plan
+    assert pruned.count() == 2
