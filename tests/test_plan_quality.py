@@ -111,3 +111,25 @@ def test_hot_paths_have_no_python_udfs(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of rewrite must cost one hashpartition exchange family on the
+    key (union → window), never a nested-loop range join."""
+    plan = plan_of(spark, "temporal_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """Bucketization must turn the interval predicate into a hash-joinable
+    equi-join; without it Spark picks BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "temporal_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
