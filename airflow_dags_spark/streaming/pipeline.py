@@ -87,14 +87,23 @@ def tumbling_counts(
     df: DataFrame,
     window_len: str = "1 hour",
     *,
+    slide: str | None = None,
     ts_col: str = "ts",
     delay: str = "1 day",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """T5/T6 — watermarked tumbling-window aggregation (the streaming form of
-    plans/windowed.py's batch ``window()`` query, same output shape)."""
+    """T5/T6 — watermarked tumbling (or, with ``slide``, sliding/hopping)
+    window aggregation — the streaming form of plans/windowed.py's batch
+    ``window()`` queries, same output shape. Sliding windows multiply state
+    by window/slide overlapping windows per event; the watermark still
+    bounds total state."""
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
     grouped = with_watermark(df, ts_col, delay).groupBy(
-        F.window(F.col(ts_col), window_len).alias("w"),
+        win.alias("w"),
         *(group_cols or ["event_type"]),
     )
     return grouped.agg(

@@ -217,3 +217,24 @@ def test_interval_join_streams(spark, tmp_path):
     assert [(r["event_id"], r["r_event_id"], r["r_value"]) for r in rows] == [
         (10, 90, 5.0)
     ]
+
+
+def test_sliding_counts_stream(spark, tmp_path):
+    """Sliding 2h/1h windows: one event lands in TWO overlapping windows."""
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:30:00", event_type="click", value=2.0),
+            event(2, "2026-01-05 00:00:00", event_type="tick"),  # watermark pusher
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    out = drain(
+        tumbling_counts(stream, "2 hours", slide="1 hour"), tmp_path, "sliding"
+    )
+    starts = sorted(
+        str(r["window_start"])
+        for r in spark.read.parquet(out).where(F.col("event_type") == "click").collect()
+    )
+    assert starts == ["2026-01-01 09:00:00", "2026-01-01 10:00:00"]
