@@ -123,3 +123,89 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+SESSIONIZE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_no
+FROM gaps
+"""
+
+
+@register("sessionize_lag_cumsum", SESSIONIZE_ORACLE)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via lag + cumulative sum — assigns an ordinal
+    session number per user with a 30-minute inactivity gap. The window
+    composition (lag → flag → running sum) shares ONE partition+sort; the
+    session_window() grouping variants (window_session_30m, streaming
+    session_counts) aggregate per session, this one LABELS every event."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).cast("bigint").alias("session_no"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                   AS n_users,
+  CAST(COUNT(t_view) AS BIGINT)                              AS viewed,
+  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)  AS then_clicked,
+  CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT)                AS then_purchased
+FROM firsts
+"""
+
+
+@register("funnel_ordered_steps", FUNNEL_ORACLE)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): conditional-MIN pivot per
+    user then ordered-step counts — one shuffle on user_id, one global agg;
+    the standard product-analytics query shape."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("bigint").alias("then_clicked"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("then_purchased"),
+    )
