@@ -147,8 +147,9 @@ def p11_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver events.props are flat JSON ({"k": N}) so a non-greedy regex is a
-# valid oracle for the balanced-brace extractor on THIS data; nested/unbalanced
-# cases are covered by unit tests (tests/test_json_extract.py).
+# valid oracle for the balanced-brace extractor on THIS data; nested/
+# unbalanced/escaped cases are covered by hypothesis round-trips
+# (tests/test_properties.py).
 P12_ORACLE = """
 SELECT event_id,
        regexp_extract('<script>window.jsonModel = ' || props || ';</script>',
