@@ -452,3 +452,20 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_v"),
         F.round(list_sum(F.slice(as_dbl, 1, 8)), 4).alias("head_sum"),
     )
+
+
+@register("text_sentence_split_udtf", None)  # Python UDTF → rows-only
+def text_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N sentence chunking via a Spark 4 Python UDTF in a lateral join —
+    the chunk step of a chunk→embed→dedup pipeline. Exactness is pytest-
+    checked against the pure-python reference (tests/test_udtf.py)."""
+    from airflow_dags_spark.functions.udtf import register_sentence_splitter
+
+    register_sentence_splitter(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_no, s.sentence, s.n_chars
+        FROM __docs_udtf d, LATERAL sentence_splitter(d.text) s
+        """
+    )

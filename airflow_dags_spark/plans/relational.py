@@ -790,3 +790,33 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_price_on_qty"
         ),
     )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_status_by_priority", PIVOT_ORACLE)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT pivot values — at scale the implicit
+    form runs an extra distinct-collect job to discover values; pinning them
+    keeps the plan to one aggregation pass."""
+    o = read_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("F").cast("bigint").alias("st_f"),
+        F.col("O").cast("bigint").alias("st_o"),
+        F.col("P").cast("bigint").alias("st_p"),
+    )
