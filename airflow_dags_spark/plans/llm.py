@@ -469,3 +469,23 @@ def text_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL sentence_splitter(d.text) s
         """
     )
+
+
+@register("multimodal_embed_ann", None)  # stub features + seeded IVF → rows-only
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed modality pipeline: opaque payload → (stub) feature
+    extraction → IVF ANN top-5 over the extracted vectors — decode/embed/
+    search end-to-end through one plan, proving the multimodal feature
+    column feeds the similarity operators without conversion glue."""
+    mm = attach_payload_metadata(_as_multimodal(spark, sf_dir))
+    feats = extract_features(mm.where(F.col("n_bytes") > 0), dim=16)
+    return ivf_ann_topk(
+        feats,
+        5,
+        key_col="item_id",
+        vec_col="feature",
+        query_filter=F.col("item_id") < 3,
+        n_cells=4,
+        nprobe=2,
+        fit_sample=2000,
+    )
