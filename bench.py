@@ -22,6 +22,7 @@ from airflow_dags_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "window_topn_per_customer",
