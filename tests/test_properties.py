@@ -158,3 +158,43 @@ def test_asof_join_matches_naive(spark, lrows, rrows):
         rv = max(cands)[1] if cands else None
         expected.append((k, (base + timedelta(seconds=t)).isoformat(), v, rv))
     assert got == sorted(expected)
+
+
+@given(points=asof_rows, rrows=asof_rows)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_range_join_matches_naive(spark, points, rrows):
+    """Bucketized range join == naive containment filter on arbitrary
+    inputs, for a bucket width smaller than most intervals (31s)."""
+    from datetime import datetime, timedelta
+
+    from airflow_dags_spark.operators.temporal import range_join
+
+    base = datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + timedelta(seconds=t), v) for k, t, v in points] or [],
+        "k bigint, ts timestamp, lv bigint",
+    ) if points else spark.createDataFrame([], "k bigint, ts timestamp, lv bigint")
+    intervals = [
+        (k, base + timedelta(seconds=t), base + timedelta(seconds=t + 120), v)
+        for k, t, v in rrows
+    ]
+    right = spark.createDataFrame(
+        intervals or [],
+        "k bigint, start_ts timestamp, end_ts timestamp, rv bigint",
+    ) if intervals else spark.createDataFrame(
+        [], "k bigint, start_ts timestamp, end_ts timestamp, rv bigint"
+    )
+    got = sorted(
+        (r["k"], r["ts"].isoformat(), r["lv"], r["rv"])
+        for r in range_join(
+            left, right, key="k", ts="ts", start="start_ts", end="end_ts",
+            bucket_seconds=31,
+        ).collect()
+    )
+    expected = sorted(
+        (k, (base + timedelta(seconds=t)).isoformat(), v, rv)
+        for k, t, v in points
+        for rk, s, e, rv in intervals
+        if rk == k and s <= base + timedelta(seconds=t) <= e
+    )
+    assert got == expected

@@ -238,3 +238,22 @@ def test_sliding_counts_stream(spark, tmp_path):
         for r in spark.read.parquet(out).where(F.col("event_type") == "click").collect()
     )
     assert starts == ["2026-01-01 09:00:00", "2026-01-01 10:00:00"]
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: the event stream enriched from a static (tiny,
+    broadcastable) dimension — the reference's area-enrichment pattern as a
+    continuous pipeline. Static side needs no watermark."""
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [event(1, "2026-01-01 10:00:00", user_id=7), event(2, "2026-01-01 10:01:00", user_id=8)],
+    )
+    users = spark.createDataFrame(
+        [(7, "GB"), (9, "DE")], "user_id bigint, country string"
+    )
+    stream = read_event_stream(spark, landing)
+    enriched = stream.join(F.broadcast(users), "user_id", "left")
+    out = drain(enriched.select("event_id", "user_id", "country"), tmp_path, "enriched")
+    rows = {r["event_id"]: r["country"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "GB", 2: None}
