@@ -15,8 +15,11 @@ from airflow_dags_spark.functions.json_extract import (
     balanced_json_udf,
 )
 from airflow_dags_spark.functions.sampling import deterministic_sample
+from airflow_dags_spark.functions.skew import salted_agg, salted_join
 
 __all__ = [
+    "salted_agg",
+    "salted_join",
     "strip_braces",
     "safe_date_yyyymmdd",
     "safe_numeric",

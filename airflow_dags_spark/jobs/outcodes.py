@@ -84,6 +84,13 @@ def enrich_outcodes(
     """Full job: returns the update batch it merged (for logging/tests)."""
     areas = ParquetTable(spark, areas_path, "outcode", case_insensitive=True)
     batch = select_unresolved(areas.read(), batch_size)
+    # A4 — nothing unresolved: skip the HTTP stage and the merge entirely
+    # (dags/rightmove_outcodes.py:87-91)
+    if batch.isEmpty():
+        return batch.withColumns(
+            {"area_id": F.lit(None).cast("bigint"),
+             "display_name": F.lit(None).cast("string")}
+        )
     lookups = keyed_lookup(batch, "outcode", fetch, rate_limit_s=rate_limit_s)
     updates = resolve_outcodes(lookups)
     areas.merge_upsert(

@@ -83,5 +83,9 @@ def monthly_update(
     """
     table = _table(spark, table_path, partitioned)
     cleaned = _read_clean(spark, csv_path)
+    # A4 emptiness short-circuit (dags/monthly_price_paid_data.py:132-134):
+    # a zero-row monthly delta skips the whole upsert join entirely
+    if cleaned.isEmpty():
+        return table
     table.insert_if_absent(cleaned, order_by=[KEY])
     return table

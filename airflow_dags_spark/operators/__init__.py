@@ -1,10 +1,65 @@
-"""Multi-row operators: upsert/merge library, dedup family, similarity search."""
+"""Multi-row operators: upsert/merge library, dedup family, similarity
+search, temporal joins, multimodal pipelines, bucketed layout."""
 
+from airflow_dags_spark.operators.bucketing import (
+    colocated_join,
+    read_bucketed,
+    write_bucketed,
+)
+from airflow_dags_spark.operators.dedup import (
+    exact_dedup,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from airflow_dags_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_payload,
+    extract_features,
+    resize_decoded,
+    sample_frames,
+)
+from airflow_dags_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_topk,
+    embedding_near_dup,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from airflow_dags_spark.operators.temporal import asof_join, range_join
 from airflow_dags_spark.operators.upsert import (
     ParquetTable,
+    advance_watermark,
     insert_if_absent,
     merge_upsert,
-    advance_watermark,
 )
 
-__all__ = ["ParquetTable", "insert_if_absent", "merge_upsert", "advance_watermark"]
+__all__ = [
+    "colocated_join",
+    "read_bucketed",
+    "write_bucketed",
+    "exact_dedup",
+    "minhash_bands",
+    "minhash_candidate_pairs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "attach_payload_metadata",
+    "decode_payload",
+    "extract_features",
+    "resize_decoded",
+    "sample_frames",
+    "brute_force_topk",
+    "cosine_topk",
+    "embedding_near_dup",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "asof_join",
+    "range_join",
+    "ParquetTable",
+    "advance_watermark",
+    "insert_if_absent",
+    "merge_upsert",
+]

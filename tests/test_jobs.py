@@ -280,3 +280,31 @@ def test_price_paid_partition_layout_prunes(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "postcode_area" in plan
     assert pruned.count() == 2
+
+
+def test_monthly_update_empty_delta_short_circuits(spark, tmp_path):
+    """A4: a delta whose rows all fail the clean filters leaves the table
+    untouched (no merge join, no rewrite)."""
+    path = str(tmp_path / "price_paid")
+    initial_load(spark, write_csv(tmp_path, "bulk.csv", [GOOD]), path)
+    before = set(map(tuple, spark.read.parquet(path).collect()))
+    monthly_update(
+        spark, write_csv(tmp_path, "empty.csv", [NON_OX, NULL_POSTCODE]), path
+    )
+    assert set(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_enrich_outcodes_nothing_unresolved(spark, tmp_path):
+    """A4: fully-resolved dimension → no lookups, no merge, empty result."""
+    path = str(tmp_path / "areas")
+    seed_areas(spark, path, [("OX1", 1, "done", 20250101)])
+    calls = []
+
+    def fetch(o):
+        calls.append(o)
+        return "{}"
+
+    updates = enrich_outcodes(spark, path, fetch, rate_limit_s=0)
+    assert updates.count() == 0
+    assert calls == []
+    assert spark.read.parquet(path).collect()[0]["area_id"] == 1
