@@ -856,3 +856,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register("agg_approx_stats", None)  # HLL/t-digest internals → rows-only
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale twins of agg_global_stats/agg_percentiles: HLL
+    approx_count_distinct and t-digest percentile_approx — mergeable,
+    bounded-memory sketches (the exact forms hold per-group buffers).
+    Engine-internal sketch states aren't oracle-able; pytest bounds the
+    relative error against the exact queries instead."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    )
