@@ -54,4 +54,5 @@ def load_all() -> None:
         llm,
         windowed,
         temporal,
+        tpch,
     )
