@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_dags_spark.plans import registry
@@ -54,11 +56,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + parquet footers + Python UDF workers once so per-query
+    # numbers measure the queries, not session startup (local[32] spawns 32
+    # Python workers on the first Arrow-batched UDF — ~1.5 s one-time cost)
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(100_000).repartition(int(cpus) if cpus.isdigit() else 32).select(
+        _warm(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
