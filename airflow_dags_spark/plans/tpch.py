@@ -21,9 +21,9 @@ session.ENGINE_CONFS at driver-test scale; at true 100 TB part/customer
 joins shuffle on their keys and AQE keeps them skew-safe). Fact-fact
 (orders⋈lineitem, lineitem⋈lineitem) joins shuffle on l_orderkey — the
 lakehouse layout buckets both by orderkey (operators/bucketing.py) to make
-them exchange-free. Semi/anti joins co-partition with their probe side, so
-the q21 triple self-join is ONE shuffle of lineitem, reused across all
-three join legs by Spark's ReuseExchange rule.
+them exchange-free. Semi/anti joins co-partition with their probe side: the
+q21 triple self-join hashes all three legs on l_orderkey, so a bucketed
+layout runs it without any fact shuffle at all.
 """
 
 from __future__ import annotations
@@ -766,10 +766,10 @@ LIMIT 20
 @register("q21_waiting_supplier", Q21_ORACLE)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple self-join on l_orderkey: EXISTS → left-semi, NOT EXISTS →
-    left-anti, both with residual inequality conditions. All three legs
-    shuffle on the same key, so ReuseExchange shares one lineitem exchange;
-    with an orderkey-bucketed layout the whole query is shuffle-free except
-    the final tiny per-supplier count."""
+    left-anti, both with residual inequality conditions. The legs read
+    different column sets so each keeps its own (pruned) scan, but all three
+    joins hash on the same key — with an orderkey-bucketed layout the whole
+    query is shuffle-free except the final tiny per-supplier count."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")

@@ -113,6 +113,68 @@ def test_hot_paths_have_no_python_udfs(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+# ---- TPC-H-shaped suite gates (plans/tpch.py) ----------------------------
+
+
+def test_q4_exists_is_semi_join_with_pushed_quarter_filter(spark):
+    plan = plan_of(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    # the order-date quarter filter reaches the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q21_self_joins_are_hash_joins_on_orderkey(spark):
+    """EXISTS + NOT EXISTS legs must be hash semi/anti joins on l_orderkey
+    with the inequality conditions as residuals — never nested-loop/cartesian
+    (at cluster scale all three legs co-partition on the same key, so a
+    bucketed layout runs them exchange-free). Note the legs can NOT share one
+    exchange: column pruning + inferred null filters make each scan
+    legitimately different."""
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    """Catalyst must extract scan-local OR-bounds from the cross-table
+    disjunction — neither side may be an unfiltered full scan."""
+    plan = plan_of(spark, "q19_disjunctive_rev")
+    part_scan = plan.split("part.parquet")[0].rsplit("Scan parquet", 1)[-1]
+    assert "p_brand" in plan  # brand disjunction survives somewhere
+    # lineitem scan carries at least an Or(...) pushed filter on quantity
+    assert "Or(" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_part_cnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q15_scalar_subquery_broadcasts_one_row(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    # the MAX aggregate joins in via broadcast, never a shuffle of the
+    # grouped side against a 1-row frame
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q13_outer_join_keeps_condition_in_join(spark):
+    """The priority predicate must stay a join condition — as a post-filter
+    it would silently drop zero-order customers."""
+    plan = plan_of(spark, "q13_order_distribution")
+    assert "LeftOuter" in plan
+    # orders-side pushdown of the <> filter is fine and expected
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan
+
+
 def test_asof_join_single_shuffle(spark):
     """The as-of rewrite must cost one hashpartition exchange family on the
     key (union → window), never a nested-loop range join."""
