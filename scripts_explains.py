@@ -23,6 +23,11 @@ NAMES = [
     "k3_insert_if_absent",
     "temporal_asof_join",
     "temporal_range_join",
+    "q4_priority_exists",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q19_disjunctive_rev",
+    "q21_waiting_supplier",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
