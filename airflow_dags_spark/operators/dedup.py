@@ -169,6 +169,80 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup candidate pairs: connected components
+    by iterative min-label propagation. Returns (node_col, component) where
+    ``component`` = min node id reachable from the node (singletons map to
+    themselves) — a deterministic cluster id, so the result is exact and
+    oracle-checkable (DuckDB recursive CTE).
+
+    Each round does BOTH (a) neighbor propagation — every node adopts
+    min(own label, neighbors' labels) — and (b) pointer jumping — adopts its
+    label's label (``comp[comp]``, well-defined because labels are always
+    node ids). Propagation alone needs O(diameter) rounds, and near-dup
+    graphs can be CHAINS (doc i ≈ doc i+1 …: measured diameter ≈ 20 in 500
+    synthetic docs); pointer jumping halves chain distance per round →
+    O(log diameter) rounds total. Convergence is detected by the exact
+    total-label sum (strictly decreasing while any label changes), one tiny
+    aggregate per round instead of a change-count self-join.
+    ``localCheckpoint`` truncates the lineage each round — without it the
+    plan doubles per iteration. At 100 TB scale: labels/edges co-partition
+    on the join key across rounds (one ``repartition`` up front makes every
+    round's propagation join exchange-free).
+    """
+    sym = (
+        edges.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
+    ).localCheckpoint(eager=True)
+
+    def total(df: DataFrame) -> object:
+        # exact (decimal) sum — a bigint sum could overflow at extreme scale
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_total = total(labels)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        labels = (
+            labels.join(neigh, labels.node == F.col("node2"), "left")
+            .join(jump, labels.comp == F.col("jnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("nmin"), F.col("comp")),
+                    F.coalesce(F.col("jcomp"), F.col("comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = total(labels)
+        if new_total == prev_total:
+            break
+        prev_total = new_total
+    return labels.select(F.col("node").alias(node_col), F.col("comp").alias("component"))
+
+
 # SimHash ---------------------------------------------------------------------
 
 SIMHASH_BITS = 60  # fits a signed 64-bit long without overflow

@@ -20,8 +20,10 @@ from airflow_dags_spark.functions.text import (
     token_count,
 )
 from airflow_dags_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_bands,
+    minhash_candidate_pairs,
     minhash_lsh_pairs,
     ngram_jaccard,
     simhash,
@@ -94,6 +96,47 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-token shingles) — the oracle-checkable core of near-dup LSH."""
     d = read_table(spark, sf_dir, "documents")
     return minhash_bands(d, "text", "doc_id", n_shingle=3)
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE bands AS ({MINHASH_BANDS_ORACLE}),
+stacked AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+  UNION ALL SELECT doc_id, 3, band_3 FROM bands
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM stacked a JOIN stacked b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION ALL SELECT key_b, key_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r
+)
+SELECT node AS doc_id, MIN(r) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: minhash band candidate pairs → connected
+    components (iterative min-label propagation). component_id = min doc_id
+    in the cluster — deterministic, so the iterative Spark algorithm is
+    exactly checkable against DuckDB's recursive-CTE transitive closure."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, "text", "doc_id", n_shingle=3)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
 
 
 NGRAM_JACCARD_ORACLE = f"""
