@@ -198,3 +198,72 @@ def test_range_join_matches_naive(spark, points, rrows):
         if rk == k and s <= base + timedelta(seconds=t) <= e
     )
     assert got == expected
+
+
+# --- connected components vs naive union-find --------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),
+        st.integers(min_value=0, max_value=19),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=edge_lists, n_nodes=st.integers(min_value=1, max_value=20))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """Min-label propagation + pointer jumping must agree with a sequential
+    union-find on arbitrary graphs: self-loops, parallel edges, isolated
+    nodes, and edges referencing nodes outside the node set."""
+    from airflow_dags_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "node bigint")
+    edges_df = (
+        spark.createDataFrame(edges, "key_a bigint, key_b bigint")
+        if edges
+        else spark.createDataFrame([], "key_a bigint, key_b bigint")
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    members = {}
+    for i in range(n_nodes):
+        members.setdefault(find(i), []).append(i)
+    expected = {
+        (i, min(group)) for group in members.values() for i in group
+    }
+    assert got == expected
+
+
+def test_connected_components_chain_converges(spark):
+    """A single 60-node chain (worst-case diameter) must fully converge —
+    this is what pointer jumping buys; propagation alone would need 60
+    rounds > max_iter."""
+    from airflow_dags_spark.operators.dedup import connected_components
+
+    n = 60
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "key_a bigint, key_b bigint"
+    )
+    rows = connected_components(nodes_df, edges_df, max_iter=10).collect()
+    assert {(r["node"], r["component"]) for r in rows} == {(i, 0) for i in range(n)}
