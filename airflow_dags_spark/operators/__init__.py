@@ -1,5 +1,6 @@
 """Multi-row operators: upsert/merge library, dedup family, similarity
-search, temporal joins, multimodal pipelines, bucketed layout."""
+search, temporal joins, multimodal pipelines, bucketed layout, table
+maintenance (CDC diff, compaction, z-order)."""
 
 from airflow_dags_spark.operators.bucketing import (
     colocated_join,
@@ -7,12 +8,18 @@ from airflow_dags_spark.operators.bucketing import (
     write_bucketed,
 )
 from airflow_dags_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_bands,
     minhash_candidate_pairs,
     minhash_lsh_pairs,
     ngram_jaccard,
     simhash,
+)
+from airflow_dags_spark.operators.maintenance import (
+    compact,
+    table_diff,
+    zorder_layout,
 )
 from airflow_dags_spark.operators.multimodal import (
     attach_payload_metadata,
@@ -40,12 +47,16 @@ __all__ = [
     "colocated_join",
     "read_bucketed",
     "write_bucketed",
+    "connected_components",
     "exact_dedup",
     "minhash_bands",
     "minhash_candidate_pairs",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "simhash",
+    "compact",
+    "table_diff",
+    "zorder_layout",
     "attach_payload_metadata",
     "decode_payload",
     "extract_features",

@@ -1,0 +1,282 @@
+"""Table-maintenance operators: CDC snapshot diff, small-file compaction,
+multi-column Z-order clustering.
+
+The reference has no maintenance layer — Postgres plays this role for it
+(heap autovacuum; the one manual physical-design act is the secondary index
+``CREATE INDEX idx_postcode`` at ``dags/monthly_price_paid_data.py:93``).
+A file-based lakehouse at 100 TB needs the equivalents as explicit
+operators:
+
+- ``table_diff``  — change-data-capture between two table snapshots (the
+  set-difference that an incremental pipeline consumes instead of
+  re-reading the full table every run).
+- ``compact``     — small-file compaction. Every incremental
+  ``insert_if_absent``/``append`` epoch adds a file per task; after months
+  of 10k-row batches (ref batch size, ``monthly_price_paid_data.py:140``)
+  a scan pays per-file open cost and the driver pays per-file listing
+  memory. Rewrite to ~target-sized files, atomically.
+- ``zorder_layout`` — interleaved-bits multi-column clustering, the
+  replacement for the reference's secondary index when queries filter on
+  more than the partition column: each output file covers a small
+  hyper-rectangle of the clustered columns, so Parquet row-group min/max
+  stats prune files for predicates on ANY clustered column.
+
+All three are pure DataFrame/FS composition — no RDDs, no driver-side row
+loops; z-values are built from bit-arithmetic column expressions that stay
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+# CDC snapshot diff -----------------------------------------------------------
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table.
+
+    Returns one row per changed key with columns
+    ``(*keys, change_type, old_<c>, new_<c> ...)`` where ``change_type`` is
+    ``'insert'`` (key only in ``new``), ``'delete'`` (key only in ``old``)
+    or ``'update'`` (key in both, any compare column differs null-safely).
+    Unchanged keys are dropped. Rows with a NULL key never join and so
+    surface as a delete+insert pair — document, don't hide.
+
+    Scale: one shuffle (the full-outer join on the key); both sides are
+    pruned to ``keys + compare_cols`` before the join so the exchange
+    carries only compared bytes. Presence is tracked with indicator
+    columns, not key nullability, so nullable keys don't corrupt the
+    classification.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *compare_cols, F.lit(True).alias("__old_present")
+    ).alias("o")
+    n = new.select(
+        *keys, *compare_cols, F.lit(True).alias("__new_present")
+    ).alias("n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer")
+    any_change = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            for c in compare_cols
+        ],
+        F.lit(False),
+    )
+    change = (
+        F.when(F.col("o.__old_present").isNull(), F.lit("insert"))
+        .when(F.col("n.__new_present").isNull(), F.lit("delete"))
+        .when(any_change, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        c
+        for col in compare_cols
+        for c in (
+            F.col(f"o.{col}").alias(f"old_{col}"),
+            F.col(f"n.{col}").alias(f"new_{col}"),
+        )
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*out_keys, "change_type", *out_vals)
+    )
+
+
+# Small-file compaction -------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+
+
+def _data_files(jvm, fs, path: str) -> list:
+    """Recursively list data files (skips _SUCCESS/metadata)."""
+    out = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append(st)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Skips (no-op) when the table already has fewer files than
+    ``min_files_to_compact`` or every file is already at target size —
+    compaction must be safe to schedule unconditionally (idempotent, like
+    every reference write: SURVEY.md §5.1). The rewrite is stage-and-swap
+    (same discipline as ``ParquetTable._atomic_overwrite``): readers never
+    observe a partial table.
+
+    At 100 TB the global ``repartition(n)`` here is the *point*, not a
+    cost: it is one shuffle that replaces millions of per-file opens on
+    every subsequent scan. Returns ``{files_before, files_after,
+    bytes, skipped}``.
+    """
+    jvm, fs = _hadoop_fs(spark)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    files = _data_files(jvm, fs, path)
+    total = sum(f.getLen() for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if len(files) < max(min_files_to_compact, n_target + 1):
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "skipped": True,
+        }
+    df = spark.read.parquet(path).repartition(n_target)
+    stage = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(stage)
+    fs.rename(hpath(path), hpath(backup))
+    fs.rename(hpath(stage), hpath(path))
+    fs.delete(hpath(backup), True)
+    after = len(_data_files(jvm, fs, path))
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+        "skipped": False,
+    }
+
+
+# Z-order clustering ----------------------------------------------------------
+
+ZORDER_BITS = 16  # 2^16 buckets per dimension; z-value fits a long for ≤4 cols
+
+
+def _bucket_code(col: str, bits: int) -> F.Column:
+    """Uniform bucket id in [0, 2^bits) from the column's global min/max
+    (min/max are injected as a scalar-aggregate literal join upstream).
+    Uniform, not quantile, buckets: a driver-side approxQuantile pass would
+    handle skew better but uniform needs only one cheap agg and no driver
+    round-trip of boundaries; for heavily skewed layouts compose with
+    functions/skew.py first."""
+    lo, hi = F.col(f"__min_{col}"), F.col(f"__max_{col}")
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    frac = (F.col(col).cast("double") - lo) / span
+    n = 1 << bits
+    return F.least(
+        F.lit(n - 1), F.floor(frac * n).cast("long")
+    )
+
+
+def _interleave(codes: list[F.Column], bits: int) -> F.Column:
+    """Bit-interleave k bucket codes into one z-value: pure shift/and/or
+    column expressions — stays in whole-stage codegen, no UDF."""
+    k = len(codes)
+    parts = []
+    for b in range(bits):
+        for i, c in enumerate(codes):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Cluster ``df`` on the Z-order (Morton) curve of ``cols`` and shape it
+    into ``n_files`` range partitions, sorted within each — write the result
+    with ``.write.parquet`` and each file covers a compact hyper-rectangle,
+    so row-group min/max stats prune on any clustered column (the Spark
+    replacement for the reference's multi-purpose secondary index,
+    ``monthly_price_paid_data.py:93``).
+
+    Cost model: one scalar aggregate (global min/max per column, broadcast
+    back via crossJoin of a 1-row frame), one range-exchange on the
+    z-value. No row ever leaves the JVM.
+    """
+    assert 1 <= len(cols) <= 4, "z-value of >4 cols overflows a long"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    with_z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__z", _interleave([_bucket_code(c, bits) for c in cols], bits)
+        )
+        .drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    )
+    return (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def clustering_quality(
+    df_with_pid: DataFrame, cols: list[str]
+) -> float:
+    """Mean normalized bounding-box volume of the clustered columns per
+    partition (0 → perfectly local files, 1 → every file spans the whole
+    domain). Used by tests to prove z-ordering actually clusters."""
+    pid = df_with_pid.withColumn("__pid", F.spark_partition_id())
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"pmin_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"pmax_{c}"),
+        ]
+    per_part = pid.groupBy("__pid").agg(*aggs)
+    glob = df_with_pid.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"gmin_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"gmax_{c}"),
+            )
+        ]
+    ).first()
+    vol = None
+    for c in cols:
+        span = max(glob[f"gmax_{c}"] - glob[f"gmin_{c}"], 1e-12)
+        frac = (F.col(f"pmax_{c}") - F.col(f"pmin_{c}")) / F.lit(span)
+        vol = frac if vol is None else vol * frac
+    return per_part.agg(F.avg(vol).alias("q")).first()["q"]

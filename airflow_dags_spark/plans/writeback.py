@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_dags_spark.operators.maintenance import table_diff
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
 
@@ -156,4 +157,35 @@ def k6_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.date_format("o_orderdate", "yyyyMMdd").cast("bigint")).alias(
             "last_processed"
         )
+    )
+
+
+CDC_ORACLE = f"""
+WITH tgt AS ({_TGT_SQL}), src AS ({_SRC_SQL})
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       t.price AS old_price, s.price AS new_price,
+       t.o_orderstatus AS old_o_orderstatus,
+       s.o_orderstatus AS new_o_orderstatus
+FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR t.price IS DISTINCT FROM s.price
+   OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+"""
+
+
+@register("cdc_table_diff", CDC_ORACLE)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/maintenance.py:table_diff): the change
+    set an incremental consumer reads instead of rescanning the table —
+    insert/update/delete classification with old/new values, unchanged keys
+    dropped. The source shifts every price, so overlap keys (%6=0) are all
+    updates; %3-only keys are deletes, %2-only inserts."""
+    return table_diff(
+        _target(spark, sf_dir),
+        _source(spark, sf_dir),
+        ["o_orderkey"],
+        compare_cols=["price", "o_orderstatus"],
     )

@@ -1,0 +1,127 @@
+"""Maintenance operators: CDC table diff, small-file compaction, z-order
+clustering. All self-verifying round-trips (the diff additionally has a
+DuckDB oracle via the cdc_table_diff driver query)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.maintenance import (
+    clustering_quality,
+    compact,
+    table_diff,
+    zorder_layout,
+)
+
+
+# --- table_diff --------------------------------------------------------------
+
+
+def test_table_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)],
+        "k int, name string, price double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (5, "e", 50.0), (4, "d", None)],
+        "k int, name string, price double",
+    )
+    got = {
+        (r["k"], r["change_type"], r["old_price"], r["new_price"])
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    # k=3 and k=4 unchanged (4 has NULL==NULL null-safely) → dropped
+    assert got == {
+        (1, "delete", 10.0, None),
+        (2, "update", 20.0, 25.0),
+        (5, "insert", None, 50.0),
+    }
+
+
+def test_table_diff_null_value_transitions(spark):
+    old = spark.createDataFrame([(1, None), (2, 5.0)], "k int, v double")
+    new = spark.createDataFrame([(1, 1.0), (2, None)], "k int, v double")
+    got = {
+        (r["k"], r["change_type"], r["old_v"], r["new_v"])
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {(1, "update", None, 1.0), (2, "update", 5.0, None)}
+
+
+def test_table_diff_identical_snapshots_empty(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    assert table_diff(df, df, ["id"]).isEmpty()
+
+
+# --- compact -----------------------------------------------------------------
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 40 tiny files
+    spark.range(4000).withColumn("v", F.col("id") % 7).repartition(
+        40
+    ).write.parquet(path)
+    before = spark.read.parquet(path)
+    checksum = before.agg(
+        F.count("*").alias("n"), F.sum(F.col("id") * F.col("v")).alias("s")
+    ).first()
+
+    stats = compact(spark, path, target_file_bytes=1 << 30)
+    assert not stats["skipped"]
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(path)
+    got = after.agg(
+        F.count("*").alias("n"), F.sum(F.col("id") * F.col("v")).alias("s")
+    ).first()
+    assert (got["n"], got["s"]) == (checksum["n"], checksum["s"])
+
+    # second run is a no-op (idempotent to schedule unconditionally)
+    stats2 = compact(spark, path, target_file_bytes=1 << 30)
+    assert stats2["skipped"]
+    assert stats2["files_after"] == stats["files_after"]
+
+
+# --- zorder_layout -----------------------------------------------------------
+
+
+def test_zorder_clusters_both_columns(spark):
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(0, 10_000), rng.randrange(0, 10_000))
+        for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    z = zorder_layout(df, ["x", "y"], n_files=16)
+    # row preservation
+    assert z.count() == df.count()
+    assert z.columns == ["x", "y"]
+
+    q_z = clustering_quality(z, ["x", "y"])
+    q_raw = clustering_quality(df.repartition(16), ["x", "y"])
+    # random layout: every partition spans ~the whole 2-D domain (q ≈ 1).
+    # 16 z-range files over a 2-D square should each cover a small tile.
+    assert q_raw > 0.8
+    assert q_z < 0.25, f"z-order quality {q_z} vs random {q_raw}"
+
+
+def test_zorder_single_column_is_range_sort(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("x"), (F.col("id") % 3).alias("y")
+    )
+    z = zorder_layout(df, ["x"], n_files=8)
+    q = clustering_quality(z, ["x"])
+    assert q < 0.2
+
+
+def test_zorder_constant_column_no_crash(spark):
+    df = spark.range(100).select(
+        F.lit(5).alias("x"), F.col("id").alias("y")
+    )
+    z = zorder_layout(df, ["x", "y"], n_files=4)
+    assert z.count() == 100
