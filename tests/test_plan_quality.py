@@ -195,3 +195,29 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_cdc_diff_single_shuffle_pruned_inputs(spark):
+    plan = plan_of(spark, "cdc_table_diff")
+    # one full-outer sort-merge join; no extra exchanges beyond its two sides
+    assert "FullOuter" in plan
+    assert plan.count("Exchange") <= 3  # 2 join sides + possible output part
+    # inputs are pruned to key + compared columns before the exchange
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_comment" not in read_schema
+    assert "o_clerk" not in read_schema
+
+
+def test_zorder_is_codegen_range_exchange_no_udf(spark):
+    from airflow_dags_spark.operators.maintenance import zorder_layout
+    from airflow_dags_spark.sources.tables import read_table
+
+    df = read_table(spark, SF_DIR, "orders")
+    z = zorder_layout(df, ["o_custkey", "o_totalprice"], n_files=8)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    # the z-value is computed by pure column expressions inside codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # min/max bounds arrive via a broadcast of the 1-row aggregate,
+    # never a per-row recompute
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
