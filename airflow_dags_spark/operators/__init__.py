@@ -17,7 +17,10 @@ from airflow_dags_spark.operators.dedup import (
     simhash,
 )
 from airflow_dags_spark.operators.maintenance import (
+    agg_delta,
+    agg_state,
     compact,
+    merge_agg_state,
     table_diff,
     zorder_layout,
 )
@@ -54,7 +57,10 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "simhash",
+    "agg_delta",
+    "agg_state",
     "compact",
+    "merge_agg_state",
     "table_diff",
     "zorder_layout",
     "attach_payload_metadata",

@@ -189,3 +189,46 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         compare_cols=["price", "o_orderstatus"],
     )
+
+
+IVM_ORACLE = f"""
+WITH src AS ({_SRC_SQL})
+SELECT o_orderkey % 10 AS bucket,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM src GROUP BY o_orderkey % 10
+"""
+
+
+@register("ivm_incremental_agg", IVM_ORACLE)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/maintenance.py): bootstrap
+    aggregate state from the OLD snapshot, fold in the CDC delta from
+    table_diff, and the result must equal a direct recompute over the NEW
+    snapshot — which is exactly what the oracle computes. The maintenance
+    shuffle is sized by |groups|, not |base table|."""
+    from airflow_dags_spark.operators.maintenance import (
+        agg_delta,
+        agg_state,
+        merge_agg_state,
+    )
+
+    old, new = _target(spark, sf_dir), _source(spark, sf_dir)
+    bucket = F.col("o_orderkey") % 10
+    state = agg_state(old, {"bucket": bucket}, F.col("price"))
+    changes = table_diff(
+        old, new, ["o_orderkey"], compare_cols=["price", "o_orderstatus"]
+    )
+    delta = agg_delta(
+        changes,
+        {"bucket": bucket},
+        {"bucket": bucket},
+        F.col("old_price"),
+        F.col("new_price"),
+    )
+    final = merge_agg_state(state, delta, ["bucket"])
+    return final.select(
+        "bucket",
+        F.round(F.col("sum_v"), 2).cast("double").alias("sum_price"),
+        F.col("cnt"),
+    )

@@ -125,3 +125,76 @@ def test_zorder_constant_column_no_crash(spark):
     )
     z = zorder_layout(df, ["x", "y"], n_files=4)
     assert z.count() == 100
+
+
+# --- incremental view maintenance -------------------------------------------
+
+
+def _ivm_roundtrip(spark, old_rows, new_rows):
+    """Maintain sum/cnt grouped by g incrementally; must equal recompute."""
+    from airflow_dags_spark.operators.maintenance import (
+        agg_delta,
+        agg_state,
+        merge_agg_state,
+    )
+
+    schema = "k int, g int, v double"
+    old = spark.createDataFrame(old_rows or [], schema)
+    new = spark.createDataFrame(new_rows or [], schema)
+    state = agg_state(old, {"g": F.col("g")}, F.col("v"))
+    changes = table_diff(old, new, ["k"], compare_cols=["g", "v"])
+    delta = agg_delta(
+        changes,
+        {"g": F.col("old_g")},
+        {"g": F.col("new_g")},
+        F.col("old_v"),
+        F.col("new_v"),
+    )
+    def canon(df):
+        return {
+            (
+                r["g"],
+                None if r["sum_v"] is None else float(r["sum_v"]),
+                r["nn"],
+                r["cnt"],
+            )
+            for r in df.collect()
+        }
+
+    got = canon(merge_agg_state(state, delta, ["g"]))
+    expected = canon(agg_state(new, {"g": F.col("g")}, F.col("v")))
+    assert got == expected, f"{got} != {expected}"
+
+
+def test_ivm_matches_recompute_basic(spark):
+    _ivm_roundtrip(
+        spark,
+        old_rows=[(1, 0, 10.0), (2, 0, 20.0), (3, 1, 30.0)],
+        new_rows=[(1, 0, 15.0), (3, 1, 30.0), (4, 1, 40.0)],
+    )
+
+
+def test_ivm_group_migration(spark):
+    # row 1 moves from group 0 to group 1: retract(old)+assert(new)
+    _ivm_roundtrip(
+        spark,
+        old_rows=[(1, 0, 10.0), (2, 0, 20.0)],
+        new_rows=[(1, 1, 10.0), (2, 0, 20.0)],
+    )
+
+
+def test_ivm_group_vanishes(spark):
+    # all of group 1 deleted → group must disappear from state
+    _ivm_roundtrip(
+        spark,
+        old_rows=[(1, 0, 10.0), (3, 1, 30.0), (4, 1, 5.0)],
+        new_rows=[(1, 0, 10.0)],
+    )
+
+
+def test_ivm_null_values_counted_not_summed(spark):
+    _ivm_roundtrip(
+        spark,
+        old_rows=[(1, 0, None), (2, 0, 20.0)],
+        new_rows=[(1, 0, 7.0), (2, 0, None), (5, 2, None)],
+    )
