@@ -28,6 +28,8 @@ NAMES = [
     "q18_large_volume_customers",
     "q19_disjunctive_rev",
     "q21_waiting_supplier",
+    "cdc_table_diff",
+    "ivm_incremental_agg",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
