@@ -9,7 +9,7 @@ whitespace) so DuckDB oracles reproduce it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -144,4 +144,49 @@ def bpe_token_count(col: Column | str) -> Column:
     single punctuation), the standard proxy for LLM token budgeting."""
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_PATTERN), 0)).cast(
         "bigint"
+    )
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str, key_col: str, min_tf: int = 2
+) -> DataFrame:
+    """Per-document TF-IDF term weights over whitespace tokens:
+    ``(key, term, tf, df_docs, tfidf)`` with
+    ``tfidf = tf * ln((N+1)/(df_docs+1))`` rounded to 6 decimals.
+
+    Keyword extraction for a training-data corpus — entirely built-in ops:
+    explode → two hash aggregations (doc-term tf, term document-frequency)
+    → broadcast of the 1-row corpus size. ``min_tf`` prunes the long tail
+    of singleton terms BEFORE the df aggregation, which is what bounds the
+    term-level shuffle at corpus scale — consequently ``df_docs`` counts
+    documents where the term appears ≥ ``min_tf`` times (documented
+    deviation from the textbook df; set ``min_tf=1`` for the textbook
+    form). No top-k cutoff: emitting all
+    surviving terms keeps the result order-insensitive (exactly
+    oracle-hashable) — rank downstream if needed.
+    """
+    toks = df.select(
+        F.col(key_col), F.explode(tokens(text_col)).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.where(F.col("tf") >= min_tf)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n = df.agg(F.countDistinct(key_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            key_col,
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0))
+                    / (F.col("df_docs") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )

@@ -17,6 +17,7 @@ from airflow_dags_spark.functions.text import (
     fingerprint,
     lang_id_heuristic,
     quality_columns,
+    tfidf_terms,
     token_count,
 )
 from airflow_dags_spark.operators.dedup import (
@@ -532,3 +533,34 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         fit_sample=2000,
     )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) > 0
+  GROUP BY doc_id, term
+  HAVING COUNT(*) >= 2
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+       ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df_docs + 1.0)), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+@register("text_tfidf_terms", TFIDF_ORACLE)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword weights (functions/text.py:tfidf_terms):
+    explode → tf agg (min_tf=2 prunes singleton terms before the term
+    shuffle) → document-frequency agg → broadcast corpus size. All
+    surviving terms emitted (no top-k) so the result is order-insensitive
+    and exactly oracle-hashable."""
+    d = read_table(spark, sf_dir, "documents")
+    return tfidf_terms(d, "text", "doc_id", min_tf=2)

@@ -498,3 +498,26 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+) t WHERE rn <= 5
+"""
+
+
+@register("l1_stratified_sample", STRATIFIED_ORACLE)
+def l1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample (functions/sampling.py): 5 docs per
+    language by md5 permutation — the per-stratum stable work batch / eval
+    slice. One hash-exchange on the stratum column, per-group window, never
+    a global sort."""
+    from airflow_dags_spark.functions.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", "doc_id", 5)
