@@ -190,3 +190,56 @@ def tfidf_terms(
             ).alias("tfidf"),
         )
     )
+
+
+# PII redaction patterns — conservative syntax that parses identically in
+# java.util.regex (Spark) and RE2 (DuckDB), so redaction is oracle-checkable.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email addresses and phone-number-shaped digit runs with
+    typed placeholders — the scrub pass a training corpus runs before
+    tokenization. Pure ``regexp_replace`` chain: JVM-side, codegen, no UDF."""
+    c = _c(col)
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-window
+    splitter feeding an embedding/training stage. Output
+    ``(key, chunk_idx, start_pos, chunk, n_tokens)``; the final chunk may
+    be shorter than ``chunk_size``.
+
+    One explode per document (fan-out ≈ n_tokens/stride), everything
+    built-in: ``sequence`` for window starts, ``slice`` + ``array_join``
+    for the window — no Python in the loop, so chunking 100 TB of text is
+    a pure codegen map stage with zero shuffles.
+    """
+    assert 0 <= overlap < chunk_size, "need 0 <= overlap < chunk_size"
+    stride = chunk_size - overlap
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(key_col), toks.alias("__toks")
+    ).withColumn(
+        "start_pos",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride))
+        ),
+    )
+    window = F.slice(F.col("__toks"), F.col("start_pos"), chunk_size)
+    return base.select(
+        key_col,
+        ((F.col("start_pos") - 1) / F.lit(stride)).cast("bigint").alias("chunk_idx"),
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.array_join(window, " ").alias("chunk"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+    )

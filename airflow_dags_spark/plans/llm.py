@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airflow_dags_spark.functions.text import (
     BPE_TOKEN_PATTERN,
     bpe_token_count,
+    chunk_text,
     fingerprint,
     lang_id_heuristic,
     quality_columns,
@@ -564,3 +565,56 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exactly oracle-hashable."""
     d = read_table(spark, sf_dir, "documents")
     return tfidf_terms(d, "text", "doc_id", min_tf=2)
+
+
+CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST((i - 1) / 48 AS BIGINT) AS chunk_idx,
+       CAST(i AS BIGINT) AS start_pos,
+       array_to_string(toks[i:i+63], ' ') AS chunk,
+       CAST(len(toks[i:i+63]) AS BIGINT) AS n_tokens
+FROM t, LATERAL (
+  SELECT unnest(generate_series(1, GREATEST(len(toks), 1), 48)) AS i
+)
+"""
+
+
+@register("text_chunk_overlap", CHUNK_ORACLE)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking, 64-token windows with 16-token overlap
+    (functions/text.py:chunk_text) — the context-window splitter before an
+    embedding stage. Pure codegen map stage (sequence + slice +
+    array_join), zero shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_text(d, "text", "doc_id", chunk_size=64, overlap=16)
+
+
+REDACT_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           'doc ' || doc_id || ' by user' || doc_id ||
+           '@mail.example.org or +44 1865 55' || doc_id || ' end',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+@register("text_redact_pii", REDACT_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.py:redact_pii): email + phone patterns →
+    typed placeholders, a pure JVM regexp_replace chain. The synthetic
+    contact string (built from doc_id) guarantees every row actually
+    exercises both patterns — the corpus itself contains no PII."""
+    from airflow_dags_spark.functions.text import redact_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" by user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +44 1865 55"),
+        F.col("doc_id").cast("string"), F.lit(" end"),
+    )
+    return d.select("doc_id", redact_pii(synth).alias("scrubbed"))

@@ -198,3 +198,52 @@ def test_ivm_null_values_counted_not_summed(spark):
         old_rows=[(1, 0, None), (2, 0, 20.0)],
         new_rows=[(1, 0, 7.0), (2, 0, None), (5, 2, None)],
     )
+
+
+# --- text chunking / redaction edges ----------------------------------------
+
+
+def test_chunk_text_short_and_empty_docs(spark):
+    from airflow_dags_spark.functions.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id int, text string",
+    )
+    rows = chunk_text(df, "text", "doc_id", chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc yields at least one chunk (empty text → one ['' ] token)
+    assert set(by_doc) == {1, 2, 3}
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk"] == ""
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "one two"
+    # stride 3 over 10 tokens → starts 1,4,7,10
+    starts = sorted(r["start_pos"] for r in by_doc[3])
+    assert starts == [1, 4, 7, 10]
+    # overlap=1: consecutive chunks share exactly one token
+    c0, c1 = (
+        by_doc[3][0]["chunk"].split(" "),
+        by_doc[3][1]["chunk"].split(" "),
+    )
+    assert c0[-1] == c1[0]
+    # final short chunk
+    last = max(by_doc[3], key=lambda r: r["start_pos"])
+    assert last["n_tokens"] == 1
+
+
+def test_redact_pii_patterns(spark):
+    from airflow_dags_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d%x+1@sub.domain.co.uk now"),
+            (2, "call +1 555-123-4567 today"),
+            (3, "no pii here at all"),
+        ],
+        "k int, s string",
+    )
+    got = {r["k"]: r["out"] for r in df.select("k", redact_pii("s").alias("out")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "no pii here at all"
