@@ -7,6 +7,8 @@ One file the orchestrator ships to the cluster:
     spark-submit .../cli.py enrich-outcodes <areas_table>
     spark-submit .../cli.py pull-sales <areas_table> <sales_table>
     spark-submit .../cli.py json-to-csv <in> <out>
+    spark-submit .../cli.py compact <table> [--target-file-mb 128]
+    spark-submit .../cli.py zorder <table> col1,col2 [--n-files 64]
 
 The HTTP jobs use the stdlib-based fetchers from jobs/live_http.py; tests
 bypass this module and inject fixture fetchers directly (SURVEY.md §7
@@ -44,6 +46,15 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("json-to-csv")
     p.add_argument("input_path")
     p.add_argument("output_path")
+
+    p = sub.add_parser("compact")
+    p.add_argument("table_path")
+    p.add_argument("--target-file-mb", type=int, default=128)
+
+    p = sub.add_parser("zorder")
+    p.add_argument("table_path")
+    p.add_argument("columns", help="comma-separated cluster columns")
+    p.add_argument("--n-files", type=int, default=64)
 
     args = parser.parse_args(argv)
 
@@ -86,6 +97,35 @@ def main(argv: list[str] | None = None) -> None:
         from airflow_dags_spark.jobs.json_to_csv import json_to_csv
 
         json_to_csv(spark, args.input_path, args.output_path)
+    elif args.cmd == "compact":
+        from airflow_dags_spark.operators.maintenance import compact
+
+        stats = compact(
+            spark,
+            args.table_path,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        print(stats)
+    elif args.cmd == "zorder":
+        from airflow_dags_spark.operators.maintenance import (
+            _hadoop_fs,
+            zorder_layout,
+        )
+
+        cols = args.columns.split(",")
+        df = spark.read.parquet(args.table_path)
+        clustered = zorder_layout(df, cols, n_files=args.n_files)
+        # same stage-and-swap discipline as compact()
+        import uuid as _uuid
+
+        jvm, fs = _hadoop_fs(spark)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        stage = f"{args.table_path}.zorder-{_uuid.uuid4().hex[:8]}"
+        backup = f"{args.table_path}.old-{_uuid.uuid4().hex[:8]}"
+        clustered.write.mode("overwrite").parquet(stage)
+        fs.rename(hpath(args.table_path), hpath(backup))
+        fs.rename(hpath(stage), hpath(args.table_path))
+        fs.delete(hpath(backup), True)
     spark.stop()
 
 

@@ -77,3 +77,22 @@ def test_streaming_price_paid_ingest(spark, tmp_path):
         for r in table.read().collect()
     }
     assert rows == {"TX1": 250000.0, "TX2": 99000.0, "TX7": 310000.0}
+
+
+def test_cli_compact_and_zorder(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    table = str(tmp_path / "t")
+    spark.range(2000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 1000).alias("y")
+    ).repartition(20).write.parquet(table)
+    before = spark.read.parquet(table).agg(F.sum("x"), F.sum("y")).first()
+
+    cli_main(["compact", table, "--target-file-mb", "1024"])
+    after = spark.read.parquet(table).agg(F.sum("x"), F.sum("y")).first()
+    assert tuple(after) == tuple(before)
+
+    cli_main(["zorder", table, "x,y", "--n-files", "4"])
+    z = spark.read.parquet(table)
+    assert tuple(z.agg(F.sum("x"), F.sum("y")).first()) == tuple(before)
