@@ -1,7 +1,13 @@
 """Multi-row operators: upsert/merge library, dedup family, similarity
 search, temporal joins, multimodal pipelines, bucketed layout, table
-maintenance (CDC diff, compaction, z-order)."""
+maintenance (CDC diff, compaction, z-order), training-shard export."""
 
+from airflow_dags_spark.operators.export import (
+    read_shard_subset,
+    shard_assignment,
+    shard_histogram,
+    write_training_shards,
+)
 from airflow_dags_spark.operators.bucketing import (
     colocated_join,
     read_bucketed,
@@ -79,4 +85,8 @@ __all__ = [
     "advance_watermark",
     "insert_if_absent",
     "merge_upsert",
+    "read_shard_subset",
+    "shard_assignment",
+    "shard_histogram",
+    "write_training_shards",
 ]

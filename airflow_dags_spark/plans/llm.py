@@ -618,3 +618,31 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"), F.lit(" end"),
     )
     return d.select("doc_id", redact_pii(synth).alias("scrubbed"))
+
+
+# Training-shard membership is a pure function of the key: the same
+# md5-derived 60-bit hash is computable in DuckDB, so shard balance and
+# membership are fully oracle-checked (operators/export.py).
+SHARD_HIST_ORACLE = """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_keys
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("export_shard_histogram", SHARD_HIST_ORACLE)
+def export_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/export.py:
+    shard_assignment, portable md5 variant) over documents, 16 shards:
+    per-shard row count + distinct keys. One hash-partition shuffle with
+    map-side partial aggregation; membership reproducible across engines
+    and re-runs (the property write_training_shards relies on)."""
+    from airflow_dags_spark.operators.export import shard_histogram
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return shard_histogram(d, ["doc_id"], 16)
+

@@ -58,7 +58,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python UDF workers once so per-query
     # numbers measure the queries, not session startup (local[32] spawns 32
-    # Python workers on the first Arrow-batched UDF — ~1.5 s one-time cost)
+    # Python workers on the first Arrow-batched UDF — ~1.5 s one-time cost;
+    # first touch of each parquet table pays footer reads + OS page-cache
+    # fill — measured 2-5x inflation on whichever query reads a table first)
+    from airflow_dags_spark.schemas import TESTDATA_TABLES
+    from airflow_dags_spark.sources.tables import read_table
+
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -1,0 +1,95 @@
+"""Training-shard export (operators/export.py): deterministic membership,
+completeness, balance, file layout, and pruned subset reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.export import (
+    read_shard_subset,
+    shard_assignment,
+    write_training_shards,
+)
+
+
+def _corpus(spark, n=5000):
+    return spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 37 % 1001).alias("payload"),
+    )
+
+
+def test_write_shards_complete_and_balanced(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _corpus(spark)
+    stats = write_training_shards(df, out, ["doc_id"], n_shards=8)
+    assert stats["n_shards"] == 8
+    assert stats["rows"] == 5000
+    # xxhash64 balance: no shard more than 2x the ideal 625
+    assert stats["max_shard_rows"] < 1250
+    assert stats["min_shard_rows"] > 300
+
+    back = spark.read.parquet(out)
+    assert back.select("doc_id").distinct().count() == 5000
+
+
+def test_shard_membership_deterministic(spark, tmp_path):
+    df = _corpus(spark, 1000)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_training_shards(df, a, ["doc_id"], n_shards=4)
+    write_training_shards(df.orderBy(F.rand(7)), b, ["doc_id"], n_shards=4)
+    for k in range(4):
+        sa = {r.doc_id for r in read_shard_subset(spark, a, [k]).collect()}
+        sb = {r.doc_id for r in read_shard_subset(spark, b, [k]).collect()}
+        assert sa == sb  # membership is key-determined, not order-determined
+
+
+def test_one_file_per_shard_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(_corpus(spark, 800), out, ["doc_id"], n_shards=4)
+    import glob
+
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+
+    subset = read_shard_subset(spark, out, [0, 2])
+    plan = subset._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the shard dir, not a post-scan filter over all data
+    assert "shard" in plan
+    total = subset.count()
+    assert 0 < total < 800
+
+
+def test_rows_per_file_bounds_file_size(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        _corpus(spark, 2000), out, ["doc_id"], n_shards=2, rows_per_file=400
+    )
+    import glob
+    import math
+
+    back = spark.read.parquet(out)
+    counts = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    for k in range(2):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == math.ceil(counts[k] / 400)
+        for f in files:  # no file exceeds the bound
+            assert spark.read.parquet(f).count() <= 400
+
+
+def test_portable_assignment_matches_duckdb(spark):
+    import duckdb
+
+    df = shard_assignment(_corpus(spark, 500), ["doc_id"], 16, portable=True)
+    ours = {(r.doc_id, r.shard) for r in df.select("doc_id", "shard").collect()}
+    theirs = set(
+        duckdb.connect()
+        .execute(
+            "SELECT 'doc-' || i, ('0x' || substr(md5('doc-' || i), 1, 15))::BIGINT % 16 "
+            "FROM generate_series(0, 499) t(i)"
+        )
+        .fetchall()
+    )
+    assert ours == theirs
