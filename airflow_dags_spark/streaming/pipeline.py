@@ -287,3 +287,75 @@ def stateful_watermark_tracker(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stateful_dedup_ttl(
+    df: DataFrame,
+    *,
+    key_col: str = "event_id",
+    ttl: str = "24 hours",
+) -> DataFrame:
+    """T3 as a CUSTOM stateful operator on the Spark 4 ``transformWithState``
+    API: emit each key the FIRST time it is seen, drop redeliveries, and
+    let the per-key state entry expire after ``ttl``.
+
+    The reference achieves at-most-once insertion with
+    ``ON CONFLICT DO NOTHING`` (dags/monthly_price_paid_data.py:153) — an
+    unbounded uniqueness index in Postgres. Here the dedup horizon is
+    explicit: state is O(keys seen within the TTL), evicted by the state
+    store itself (native ValueState TTL), so a 100 TB/day stream holds a
+    day of keys, not an ever-growing index. Contrast with
+    ``dedup_within_watermark`` (event-time horizon, builtin
+    ``dropDuplicates``): this variant demonstrates the custom-processor
+    path — per-key value state, processing-time TTL, counter of suppressed
+    redeliveries.
+
+    Runtime requirements (real clusters have both; tests skip without them):
+    RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``)
+    and the ``protobuf`` package for the state-server protocol.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(hour|minute|second|day)s?", ttl)
+    if not m:
+        raise ValueError(f"unparseable ttl: {ttl!r}")
+    unit_ms = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    ttl_ms = int(m.group(1)) * unit_ms[m.group(2)]
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), True),
+            T.StructField("first_seen_batch_rows", T.LongType(), True),
+        ]
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "first_seen_ms long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = sum(len(pdf) for pdf in rows)
+            if not self._seen.exists():
+                self._seen.update((timer_values.getCurrentProcessingTimeInMs(),))
+                yield pd.DataFrame({key_col: [key[0]], "first_seen_batch_rows": [n]})
+
+        def close(self) -> None:
+            return None
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )

@@ -221,3 +221,30 @@ def test_zorder_is_codegen_range_exchange_no_udf(spark):
     # min/max bounds arrive via a broadcast of the 1-row aggregate,
     # never a per-row recompute
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_shard_histogram_single_shuffle_partial_agg(spark):
+    plan = plan_of(spark, "export_shard_histogram")
+    # md5 shard hash is pure JVM expressions — no Python in the scan stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # count-distinct expands to the standard two-round aggregate; both
+    # exchanges move only (shard, key) partial-agg rows, never raw docs
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan and "merge_count" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # histogram never reads the payload
+
+
+def test_training_shard_write_plan_is_hash_exchange_no_sort_network(spark, tmp_path):
+    from airflow_dags_spark.operators.export import shard_assignment
+    from airflow_dags_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    df = shard_assignment(
+        read_table(spark, SF_DIR, "documents"), ["doc_id"], 8
+    ).repartition(8, F.col("shard"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # membership costs one hash exchange; the within-shard sort is
+    # sortWithinPartitions (local) — no global range exchange
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from airflow_dags_spark.operators.upsert import ParquetTable
@@ -257,3 +259,95 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     out = drain(enriched.select("event_id", "user_id", "country"), tmp_path, "enriched")
     rows = {r["event_id"]: r["country"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "GB", 2: None}
+
+
+def test_stateful_dedup_ttl_first_seen_only(spark, tmp_path):
+    """transformWithState custom processor: a key emits once across
+    micro-batches; redeliveries are suppressed while its state lives."""
+    pytest.importorskip(
+        "google.protobuf"
+    )  # transformWithState state protocol; absent in this container
+    from airflow_dags_spark.streaming.pipeline import stateful_dedup_ttl
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out, ckpt = str(tmp_path / "seen"), str(tmp_path / "ckpt_ttl")
+
+    def drain():
+        stream = read_event_stream(spark, str(tmp_path / "landing"))
+        q = (
+            stateful_dedup_ttl(stream, key_col="event_id", ttl="1 day")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:00:00"),
+            event(1, "2026-01-01 10:00:01"),  # same-batch redelivery
+            event(2, "2026-01-01 10:00:02"),
+        ],
+    )
+    drain()
+    got = {r.event_id: r.first_seen_batch_rows for r in spark.read.parquet(out).collect()}
+    assert got == {1: 2, 2: 1}  # key 1 emitted once, with both rows counted
+
+    land(
+        tmp_path,
+        "b2.json",
+        [
+            event(1, "2026-01-01 11:00:00"),  # cross-batch redelivery: drop
+            event(3, "2026-01-01 11:00:01"),  # new key: emit
+        ],
+    )
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # 1 NOT re-emitted
+
+
+def test_stateful_dedup_ttl_expiry_reemits(spark, tmp_path):
+    """After the per-key state TTL lapses, the same key is first-seen again:
+    the dedup horizon is bounded, state does not grow forever."""
+    pytest.importorskip(
+        "google.protobuf"
+    )  # transformWithState state protocol; absent in this container
+    import time
+
+    from airflow_dags_spark.streaming.pipeline import stateful_dedup_ttl
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out, ckpt = str(tmp_path / "seen"), str(tmp_path / "ckpt_ttl2")
+
+    def drain():
+        stream = read_event_stream(spark, str(tmp_path / "landing"))
+        q = (
+            stateful_dedup_ttl(stream, key_col="event_id", ttl="1 second")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(tmp_path, "b1.json", [event(9, "2026-01-01 10:00:00")])
+    drain()
+    time.sleep(3)  # let the 1 s ValueState TTL lapse
+    land(tmp_path, "b2.json", [event(9, "2026-01-01 11:00:00")])
+    drain()
+    assert [r.event_id for r in spark.read.parquet(out).collect()] == [9, 9]
