@@ -646,3 +646,56 @@ def export_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shard_histogram(d, ["doc_id"], 16)
 
+
+
+# The composed curation pipeline: each stage is an operator proven above —
+# this query proves they FUSE into one plan (filters in the scan stage, one
+# agg shuffle, shard hash on the reduced survivor set).
+CURATE_ORACLE = f"""
+WITH filtered AS (
+  SELECT doc_id, md5({_NORM}) AS content_hash
+  FROM documents
+  WHERE (list_contains(string_split({_NORM}, ' '), 'the')
+      OR list_contains(string_split({_NORM}, ' '), 'and')
+      OR list_contains(string_split({_NORM}, ' '), 'of'))
+    AND len(string_split({_NORM}, ' ')) >= 24
+),
+survivors AS (
+  SELECT content_hash, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM filtered GROUP BY content_hash
+)
+SELECT content_hash, doc_id, n_copies,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+FROM survivors
+"""
+
+
+@register("curate_corpus", CURATE_ORACLE)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE composed plan: language gate
+    (functions/text.py:lang_id_heuristic) + minimum-length quality gate
+    (quality_columns) -> exact dedup with min-key survivor
+    (operators/dedup.py semantics) -> deterministic training-shard
+    assignment (operators/export.py:portable_shard). The pipeline a user
+    of the engine runs before write_training_shards; at 100 TB the gates
+    run in the scan's codegen stage, the dedup is the only data shuffle
+    (carrying one row per distinct hash), and the shard hash prices only
+    survivors."""
+    from airflow_dags_spark.functions.text import normalized
+    from airflow_dags_spark.operators.export import portable_shard
+
+    d = read_table(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    survivors = (
+        d.where(lang_id_heuristic("text") == "en")
+        .where(q["n_tokens"] >= 24)
+        .select("doc_id", F.md5(normalized("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return survivors.select(
+        "content_hash",
+        "doc_id",
+        "n_copies",
+        portable_shard(F.col("doc_id").cast("string"), 16).alias("shard"),
+    )

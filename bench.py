@@ -40,6 +40,7 @@ HEADLINE = [
     "text_quality_stats",
     "window_tumbling_hourly",
     "window_session_30m",
+    "curate_corpus",
 ]
 
 

@@ -30,6 +30,8 @@ NAMES = [
     "q21_waiting_supplier",
     "cdc_table_diff",
     "ivm_incremental_agg",
+    "export_shard_histogram",
+    "curate_corpus",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

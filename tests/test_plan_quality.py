@@ -248,3 +248,22 @@ def test_training_shard_write_plan_is_hash_exchange_no_sort_network(spark, tmp_p
     # sortWithinPartitions (local) — no global range exchange
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_curate_corpus_one_shuffle_gates_in_scan_stage(spark):
+    plan = plan_of(spark, "curate_corpus")
+    # whole pipeline (lang gate + quality gate + dedup + shard) = ONE data
+    # shuffle, carrying one partial-agg row per distinct content hash
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+    # both gates run as a Filter directly over the scan, before the agg
+    scan_stage = plan.split("Exchange")[1]  # text below the exchange
+    assert "Filter" in scan_stage and "array_contains" in scan_stage
+    # shard hash computed on survivors only (after the agg, above exchange)
+    post_agg = plan.split("Exchange")[0]
+    assert "pmod" in post_agg
+    # scan reads only the two referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+    # no Python anywhere — the full pipeline is JVM codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
