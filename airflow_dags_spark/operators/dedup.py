@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
 
 from airflow_dags_spark.functions.text import (
     fingerprint,
@@ -194,20 +195,26 @@ def connected_components(
     total-label sum (strictly decreasing while any label changes), one tiny
     aggregate per round instead of a change-count self-join.
     ``localCheckpoint`` truncates the lineage each round — without it the
-    plan doubles per iteration. At 100 TB scale: labels/edges co-partition
+    plan doubles per iteration. Checkpoint blocks go to DISK_ONLY: the
+    engine runs inside sessions it doesn't own (the correctness driver's
+    plain 1 GiB-heap local session runs ~100 queries back to back), and
+    heap-resident checkpoint blocks from every round of every iterative
+    query accumulate until the JVM OOMs; disk blocks cost milliseconds here
+    and nothing at cluster scale. At 100 TB scale: labels/edges co-partition
     on the join key across rounds (one ``repartition`` up front makes every
     round's propagation join exchange-free).
     """
+    _disk = StorageLevel.DISK_ONLY
     sym = (
         edges.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(
             edges.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_disk)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_disk)
 
     def total(df: DataFrame) -> object:
         # exact (decimal) sum — a bigint sum could overflow at extreme scale
@@ -234,7 +241,7 @@ def connected_components(
                     F.coalesce(F.col("jcomp"), F.col("comp")),
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_disk)
         )
         new_total = total(labels)
         if new_total == prev_total:

@@ -150,9 +150,12 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_counts) aggregate per session, this one LABELS every event."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Timestamp difference yields a day-time interval — valid for both
+    # TIMESTAMP and TIMESTAMP_NTZ inputs (a direct cast to long is rejected
+    # for NTZ), and avoids any session-timezone dependence.
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(

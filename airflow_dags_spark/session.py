@@ -53,6 +53,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass
+    # Size the shuffle to the session's actual parallelism when the caller
+    # left Spark's static 200 default in place. 200 reducers on a local[8]
+    # driver session is 25× task overhead for zero parallelism gain (and
+    # 25× the block-manager bookkeeping across a 100-query run); on a real
+    # cluster defaultParallelism = total executor cores, the right AQE
+    # initial partition count for coalescing to shrink from.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark
 
 
