@@ -521,3 +521,36 @@ def l1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(d, "lang", "doc_id", 5)
+
+
+VARIANT_SHRED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+@register("json_variant_agg", VARIANT_SHRED_ORACLE)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: ``parse_json``
+    once, then typed ``variant_get`` paths. The 100 TB answer to repeated
+    ``get_json_object`` calls (which re-parse the JSON string per access):
+    VARIANT is a shredded binary encoding, so path access is a field read,
+    and a lakehouse can store the parsed column once. Same filter→agg shape
+    as p10/p13 (dags/pull_new_sales_list.py:152-155's json.loads + .get),
+    but scale-native."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )

@@ -84,6 +84,13 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Static conf (JVM-launch only; ignored by tune_session on shared
+    # sessions): in local mode the driver JVM hosts every executor thread,
+    # so Spark's 1g default heap starves 32 concurrent tasks' sort/write
+    # buffers long before the box's memory is used.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for key, value in ENGINE_CONFS.items():
         builder = builder.config(key, value)
     if shuffle_partitions is not None:

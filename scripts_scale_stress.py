@@ -68,8 +68,11 @@ HEADLINE = [
 
 def build_stress_dir(spark, factor: int) -> str:
     out_dir = os.path.join(STRESS_ROOT, f"x{factor}")
-    if os.path.exists(out_dir):
+    done_marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(done_marker):
         return out_dir
+    if os.path.exists(out_dir):  # partial build from an interrupted run
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name, keys in KEY_OFFSETS.items():
         df = read_table(spark, BASE_SF_DIR, name)
@@ -97,6 +100,8 @@ def build_stress_dir(spark, factor: int) -> str:
         reps.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
+    with open(done_marker, "w") as fh:
+        fh.write("ok\n")
     return out_dir
 
 
