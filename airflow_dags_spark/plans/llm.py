@@ -699,3 +699,49 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         portable_shard(F.col("doc_id").cast("string"), 16).alias("shard"),
     )
+
+
+GEOMEAN_UDAF_ORACLE = """
+SELECT source,
+       ROUND(EXP(AVG(LN(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE n_chars > 0
+GROUP BY source
+"""
+
+
+@register("agg_geomean_udaf", GEOMEAN_UDAF_ORACLE)
+def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the UDAF surface of SURVEY.md §2.8): per-source
+    geometric mean of document length — the right average for a heavy-tailed
+    length distribution. The UDF receives each group's column as ONE pandas
+    Series (Arrow-batched) and returns a scalar; Spark still hash-partitions
+    by the grouping key first, so at 100 TB this is one shuffle keyed by
+    |groups|, with the Python cost linear in rows and parallel per group."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # functionType passed explicitly: this module's postponed annotations
+    # (PEP 563) turn type hints into strings, defeating signature inference.
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing a group-agg pandas UDF with built-in aggregates
+    # in one agg() — the count rides along as a second pandas UDAF.
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ndocs(v):
+        return len(v)
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(
+            F.round(geomean(F.col("n_chars").cast("double")), 6).alias(
+                "geomean_chars"
+            ),
+            ndocs(F.col("n_chars")).alias("n_docs"),
+        )
+    )
