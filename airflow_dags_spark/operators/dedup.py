@@ -170,6 +170,15 @@ def minhash_lsh_pairs(
     )
 
 
+def _delete_path(spark, path: str) -> None:
+    """Remove a path through the JVM Hadoop FS (works for file:/, s3a:/,
+    hdfs:/ alike — ``shutil`` would only handle local paths)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    fs.delete(hpath, True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -178,6 +187,7 @@ def connected_components(
     key_a: str = "key_a",
     key_b: str = "key_b",
     max_iter: int = 25,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from near-dup candidate pairs: connected components
     by iterative min-label propagation. Returns (node_col, component) where
@@ -188,40 +198,62 @@ def connected_components(
     Each round does BOTH (a) neighbor propagation — every node adopts
     min(own label, neighbors' labels) — and (b) pointer jumping — adopts its
     label's label (``comp[comp]``, well-defined because labels are always
-    node ids). Propagation alone needs O(diameter) rounds, and near-dup
-    graphs can be CHAINS (doc i ≈ doc i+1 …: measured diameter ≈ 20 in 500
-    synthetic docs); pointer jumping halves chain distance per round →
-    O(log diameter) rounds total. Convergence is detected by the exact
-    total-label sum (strictly decreasing while any label changes), one tiny
-    aggregate per round instead of a change-count self-join.
-    ``localCheckpoint`` truncates the lineage each round — without it the
-    plan doubles per iteration. Checkpoint blocks go to DISK_ONLY: the
-    engine runs inside sessions it doesn't own (the correctness driver's
-    plain 1 GiB-heap local session runs ~100 queries back to back), and
-    heap-resident checkpoint blocks from every round of every iterative
-    query accumulate until the JVM OOMs; disk blocks cost milliseconds here
-    and nothing at cluster scale. At 100 TB scale: labels/edges co-partition
-    on the join key across rounds (one ``repartition`` up front makes every
-    round's propagation join exchange-free).
+    node ids). Propagation alone needs O(diameter) rounds; pointer jumping
+    halves label-chain distance per round → O(log diameter) rounds total.
+    Convergence is detected by the exact total-label sum (strictly
+    decreasing while any label changes), one tiny aggregate per round
+    instead of a change-count self-join.
+
+    Per-round label state is double-buffered through PARQUET (``state_dir``,
+    default: the session checkpoint dir, else a driver-local temp dir —
+    cluster deployments must pass a shared path or call
+    ``sc.setCheckpointDir``, the same contract GraphFrames uses). A fresh
+    parquet read is the only reliable way to truncate ALL lineage: both
+    ``localCheckpoint`` and reliable ``checkpoint`` wrap the result in a
+    LogicalRDD that retains the ORIGIN plan for constraint/stats
+    propagation, and with three references to the previous round's labels
+    per iteration that hidden origin tree grows geometrically — measured
+    ~2.5× driver planning time per round from round ~17 (and the stats
+    visitor walking it OOMs small driver heaps). The parquet relation
+    carries no origin, so every round plans in constant time. At 100 TB
+    scale: labels/edges co-partition on the join key across rounds, and the
+    per-round state write is |nodes| rows — the standard Pregel-style
+    iteration cost.
     """
-    _disk = StorageLevel.DISK_ONLY
-    sym = (
+    spark = nodes.sparkSession
+    if state_dir is None:
+        state_dir = spark.sparkContext.getCheckpointDir()
+    if state_dir is None:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="spark_graft_cc_")
+    import uuid
+
+    base = state_dir.rstrip("/") + "/cc-" + uuid.uuid4().hex
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        path = f"{base}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    sym = _materialize(
         edges.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(
             edges.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst"))
-        )
-        .localCheckpoint(eager=True, storageLevel=_disk)
+        ),
+        "sym",
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
-    ).localCheckpoint(eager=True, storageLevel=_disk)
+    labels = _materialize(
+        nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp")),
+        "labels-0",
+    )
 
     def total(df: DataFrame) -> object:
         # exact (decimal) sum — a bigint sum could overflow at extreme scale
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     prev_total = total(labels)
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -230,7 +262,7 @@ def connected_components(
         jump = labels.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
-        labels = (
+        labels = _materialize(
             labels.join(neigh, labels.node == F.col("node2"), "left")
             .join(jump, labels.comp == F.col("jnode"), "left")
             .select(
@@ -240,14 +272,20 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("comp")),
                     F.coalesce(F.col("jcomp"), F.col("comp")),
                 ).alias("comp"),
-            )
-            .localCheckpoint(eager=True, storageLevel=_disk)
+            ),
+            f"labels-{(i + 1) % 2}",
         )
         new_total = total(labels)
         if new_total == prev_total:
             break
         prev_total = new_total
-    return labels.select(F.col("node").alias(node_col), F.col("comp").alias("component"))
+    # detach the result from the state dir before cleaning it up; a single
+    # checkpoint of a flat parquet read has a constant-size origin plan
+    result = labels.select(
+        F.col("node").alias(node_col), F.col("comp").alias("component")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    _delete_path(spark, base)
+    return result
 
 
 # SimHash ---------------------------------------------------------------------

@@ -101,20 +101,20 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE bands AS ({MINHASH_BANDS_ORACLE}),
-stacked AS (
+WITH RECURSIVE bands AS MATERIALIZED ({MINHASH_BANDS_ORACLE}),
+stacked AS MATERIALIZED (
   SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands
   UNION ALL SELECT doc_id, 1, band_1 FROM bands
   UNION ALL SELECT doc_id, 2, band_2 FROM bands
   UNION ALL SELECT doc_id, 3, band_3 FROM bands
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
   FROM stacked a JOIN stacked b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT key_a AS src, key_b AS dst FROM pairs
   UNION ALL SELECT key_b, key_a FROM pairs
 ),
