@@ -267,3 +267,29 @@ def test_curate_corpus_one_shuffle_gates_in_scan_stage(spark):
     assert "lang" not in read_schema and "source" not in read_schema
     # no Python anywhere — the full pipeline is JVM codegen
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide sweep: no ACCIDENTAL cartesian / nested-loop joins anywhere.
+# A non-equi join typo (wrong column, missing condition) silently degrades
+# to BroadcastNestedLoopJoin/CartesianProduct — harmless at sf0.001, fatal
+# at 100 TB. Every query NOT on the allowlist must plan equi-joins only.
+ALLOWED_NESTED_LOOP = {
+    # brute-force baselines, deliberately all-pairs over a BROADCAST side
+    # (the scale path is the IVF/LSH variant of each):
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    # single-row scalar-subquery broadcasts (global avg / global doc count)
+    # — a 1-row nested loop is the canonical plan, not a defect:
+    "q22_idle_customers",
+    "text_tfidf_terms",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_no_accidental_cartesian_or_nested_loop(spark, name):
+    if name in ALLOWED_NESTED_LOOP:
+        return
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
