@@ -284,7 +284,10 @@ def connected_components(
     result = labels.select(
         F.col("node").alias(node_col), F.col("comp").alias("component")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    _delete_path(spark, base)
+    try:
+        _delete_path(spark, base)
+    except Exception:
+        pass  # leaked state dir is recoverable; the result no longer needs it
     return result
 
 
