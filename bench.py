@@ -41,6 +41,8 @@ HEADLINE = [
     "window_tumbling_hourly",
     "window_session_30m",
     "curate_corpus",
+    "json_variant_agg",
+    "agg_geomean_udaf",
 ]
 
 
