@@ -118,10 +118,72 @@ def shard_histogram(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Greedy sequence packing: group documents into training sequences of
+    at most ``budget`` tokens (first-fit over documents sorted by key), the
+    step between a curated corpus and a fixed-context-length training run.
+
+    Distribution: documents hash-partition into ``n_shards`` deterministic
+    shards (same ``portable_shard`` as the export path), then packing runs
+    per shard inside ``applyInPandas`` — the greedy fold is inherently
+    sequential, so the parallel unit is the shard, exactly like the
+    downstream loader. Output: (shard, seq_id, key, n_tokens) with seq_id
+    dense per shard. Deterministic: shard is a pure key hash, the in-shard
+    fold visits docs in key order. A single document longer than ``budget``
+    becomes its own (overflowing) sequence — truncation is the tokenizer's
+    call, not the packer's.
+
+    At 100 TB: one hash shuffle, Arrow-batched Python whose state per group
+    is two counters; shard count = packing parallelism, chosen like loader
+    worker count (thousands at lake scale). Not SQL-expressible (stateful
+    fold) → rows-only driver check + invariants in tests/test_export.py.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "shard bigint, seq_id bigint, "
+        f"{key_col} bigint, n_tokens bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        seq_ids, seq_id, used = [], 0, 0
+        for t in pdf["__tokens"]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                seq_id += 1
+                used = 0
+            used += t
+            seq_ids.append(seq_id)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "seq_id": seq_ids,
+                key_col: pdf[key_col],
+                "n_tokens": pdf["__tokens"],
+            }
+        )
+
+    prepared = shard_assignment(
+        df.select(key_col, F.col(token_col).cast("bigint").alias("__tokens")),
+        [key_col],
+        n_shards,
+        portable=True,
+    )
+    return prepared.groupBy("shard").applyInPandas(pack, out_schema)
+
+
 __all__ = [
     "portable_shard",
     "shard_assignment",
     "write_training_shards",
     "read_shard_subset",
     "shard_histogram",
+    "pack_sequences",
 ]

@@ -745,3 +745,19 @@ def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ndocs(F.col("n_chars")).alias("n_docs"),
         )
     )
+
+
+@register("export_pack_sequences", None)  # stateful fold → rows-only
+def export_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training export (operators/export.py:
+    pack_sequences): greedy first-fit of documents into 2048-token
+    sequences, parallel per deterministic shard. Invariants (each doc
+    exactly once; no sequence over budget unless a single doc overflows;
+    deterministic assignment) are pytest-enforced in tests/test_export.py."""
+    from airflow_dags_spark.functions.text import token_count
+    from airflow_dags_spark.operators.export import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=2048, n_shards=8)

@@ -93,3 +93,55 @@ def test_portable_assignment_matches_duckdb(spark):
         .fetchall()
     )
     assert ours == theirs
+
+
+def test_pack_sequences_invariants(spark):
+    from airflow_dags_spark.functions.text import token_count
+    from airflow_dags_spark.operators.export import pack_sequences
+    from airflow_dags_spark.sources.tables import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    budget = 256
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=budget, n_shards=4)
+    rows = packed.collect()
+
+    # every document packed exactly once
+    src = {r.doc_id: r.n_tokens for r in d.collect()}
+    assert sorted(r.doc_id for r in rows) == sorted(src)
+    assert all(r.n_tokens == src[r.doc_id] for r in rows)
+
+    # no sequence exceeds the budget unless it is a single overflowing doc
+    seqs: dict[tuple, list] = {}
+    for r in rows:
+        seqs.setdefault((r.shard, r.seq_id), []).append(r.n_tokens)
+    for toks in seqs.values():
+        assert sum(toks) <= budget or len(toks) == 1
+
+    # greedy first-fit in doc_id order is tight: two consecutive sequences
+    # in a shard can never be merged (else the fold would have merged them)
+    by_shard: dict[int, dict[int, int]] = {}
+    for (shard, seq_id), toks in seqs.items():
+        by_shard.setdefault(shard, {})[seq_id] = sum(toks)
+    for totals in by_shard.values():
+        ordered = [totals[s] for s in sorted(totals)]
+        assert all(
+            a + ordered[i + 1] > budget or a > budget
+            for i, a in enumerate(ordered[:-1])
+        )
+
+
+def test_pack_sequences_deterministic(spark):
+    from airflow_dags_spark.functions.text import token_count
+    from airflow_dags_spark.operators.export import pack_sequences
+    from airflow_dags_spark.sources.tables import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    a = pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=4)
+    b = pack_sequences(
+        d.repartition(13), "doc_id", "n_tokens", budget=512, n_shards=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
