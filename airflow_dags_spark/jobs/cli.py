@@ -9,6 +9,7 @@ One file the orchestrator ships to the cluster:
     spark-submit .../cli.py json-to-csv <in> <out>
     spark-submit .../cli.py compact <table> [--target-file-mb 128]
     spark-submit .../cli.py zorder <table> col1,col2 [--n-files 64]
+    spark-submit .../cli.py pack-sequences <docs> <out> [--budget 2048]
 
 The HTTP jobs use the stdlib-based fetchers from jobs/live_http.py; tests
 bypass this module and inject fixture fetchers directly (SURVEY.md §7
@@ -55,6 +56,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("table_path")
     p.add_argument("columns", help="comma-separated cluster columns")
     p.add_argument("--n-files", type=int, default=64)
+
+    p = sub.add_parser("pack-sequences")
+    p.add_argument("docs_path", help="parquet with key + text columns")
+    p.add_argument("output_path")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--n-shards", type=int, default=16)
 
     args = parser.parse_args(argv)
 
@@ -126,6 +135,24 @@ def main(argv: list[str] | None = None) -> None:
         fs.rename(hpath(args.table_path), hpath(backup))
         fs.rename(hpath(stage), hpath(args.table_path))
         fs.delete(hpath(backup), True)
+    elif args.cmd == "pack-sequences":
+        from airflow_dags_spark.functions.text import token_count
+        from airflow_dags_spark.operators.export import pack_sequences
+
+        docs = spark.read.parquet(args.docs_path).select(
+            args.key_col, token_count(args.text_col).alias("n_tokens")
+        )
+        packed = pack_sequences(
+            docs,
+            args.key_col,
+            "n_tokens",
+            budget=args.budget,
+            n_shards=args.n_shards,
+        )
+        # one file per shard: the loader maps shard -> worker statically
+        packed.repartition(args.n_shards, "shard").write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(args.output_path)
     spark.stop()
 
 

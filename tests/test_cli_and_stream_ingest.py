@@ -96,3 +96,29 @@ def test_cli_compact_and_zorder(spark, tmp_path, monkeypatch):
     cli_main(["zorder", table, "x,y", "--n-files", "4"])
     z = spark.read.parquet(table)
     assert tuple(z.agg(F.sum("x"), F.sum("y")).first()) == tuple(before)
+
+
+def test_cli_pack_sequences(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    docs = str(tmp_path / "docs")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .write.parquet(docs)
+    )
+    out = str(tmp_path / "packed")
+    cli_main(["pack-sequences", docs, out, "--budget", "256", "--n-shards", "4"])
+    back = spark.read.parquet(out)
+    n_docs = spark.read.parquet(docs).count()
+    assert back.count() == n_docs  # every doc packed exactly once
+    assert set(back.columns) == {"seq_id", "doc_id", "n_tokens", "shard"}
+    # budget respected per (shard, seq) unless a single doc overflows
+    from pyspark.sql import functions as F
+
+    viol = (
+        back.groupBy("shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .where((F.col("t") > 256) & (F.col("n") > 1))
+        .count()
+    )
+    assert viol == 0
