@@ -32,6 +32,9 @@ NAMES = [
     "ivm_incremental_agg",
     "export_shard_histogram",
     "curate_corpus",
+    "json_variant_agg",
+    "agg_geomean_udaf",
+    "export_pack_sequences",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
