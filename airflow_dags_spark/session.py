@@ -39,6 +39,10 @@ ENGINE_CONFS: dict[str, str] = {
     # native type for; read as epoch-nanos bigint and convert at the scan
     # (sources.tables.read_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # zstd for every parquet the engine writes: ~25-40% smaller than snappy
+    # on text-heavy corpora at similar scan speed — at 100 TB that is pure
+    # storage + scan-I/O savings; decode stays JVM-native and vectorized.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
