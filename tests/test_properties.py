@@ -267,3 +267,47 @@ def test_connected_components_chain_converges(spark):
     )
     rows = connected_components(nodes_df, edges_df, max_iter=10).collect()
     assert {(r["node"], r["component"]) for r in rows} == {(i, 0) for i in range(n)}
+
+
+def _reference_pack(tokens_by_key: list[tuple[int, int]], budget: int):
+    """Pure-python greedy first-fit in key order: (key, n) -> seq index."""
+    out, seq, used = {}, 0, 0
+    for key, n in sorted(tokens_by_key):
+        if used > 0 and used + n > budget:
+            seq += 1
+            used = 0
+        used += n
+        out[key] = seq
+    return out
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=64, max_value=512),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_sequences_matches_reference_fold(spark, tokens, budget):
+    """pack_sequences ≡ the sequential greedy fold, per shard: every
+    (shard, key) lands in exactly the sequence the reference fold assigns
+    when run over that shard's keys in order."""
+    from airflow_dags_spark.operators.export import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    got = pack_sequences(df, "doc_id", "n_tokens", budget=budget, n_shards=3)
+    rows = got.collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.n_tokens))
+    assert sum(len(v) for v in by_shard.values()) == len(tokens)
+    for shard, pairs in by_shard.items():
+        expect = _reference_pack(pairs, budget)
+        got_map = {r.doc_id: r.seq_id for r in rows if r.shard == shard}
+        assert got_map == expect, f"shard {shard}"
