@@ -470,11 +470,11 @@ def text_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_FUNCS_ORACLE = """
 SELECT vec_id,
        len(embedding)                                          AS dim,
-       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)           AS max_v,
-       ROUND(CAST(list_min(embedding) AS DOUBLE), 4)           AS min_v,
-       ROUND(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS sum_v,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4)                  AS first_v,
-       ROUND(CAST(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])) AS DOUBLE), 4)
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0     AS max_v,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0     AS min_v,
+       ROUND(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) + 0.0 AS sum_v,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0            AS first_v,
+       ROUND(CAST(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])) AS DOUBLE), 4) + 0.0
                                                                AS head_sum
 FROM embeddings
 """
@@ -488,14 +488,21 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     list_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    # + 0.0 normalizes IEEE signed zero: ROUND of a tiny negative yields
+    # -0.0 in one engine and 0.0 in the other, which hash-compare as
+    # different formatted values ('-0' vs '0'); x + 0.0 is +0.0 in both.
+    def r4(col):
+        return (F.round(col, 4) + F.lit(0.0)).alias
+
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("max_v"),
-        F.round(F.array_min("embedding").cast("double"), 4).alias("min_v"),
-        F.round(list_sum(as_dbl), 4).alias("sum_v"),
-        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_v"),
-        F.round(list_sum(F.slice(as_dbl, 1, 8)), 4).alias("head_sum"),
+        r4(F.array_max("embedding").cast("double"))("max_v"),
+        r4(F.array_min("embedding").cast("double"))("min_v"),
+        r4(list_sum(as_dbl))("sum_v"),
+        r4(F.col("embedding").getItem(0).cast("double"))("first_v"),
+        r4(list_sum(F.slice(as_dbl, 1, 8)))("head_sum"),
     )
 
 
