@@ -38,7 +38,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine. Deterministic: rank on ROUNDED similarity with
     key tiebreak, so float last-ulp noise can't flip the cutoff."""
-    sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6)
+    sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6) + F.lit(0.0)
     w = Window.partitionBy(query_key).orderBy(F.desc("sim"), F.asc(corpus_key))
     return (
         queries.crossJoin(F.broadcast(corpus) if corpus is not queries else corpus)
@@ -66,7 +66,7 @@ def brute_force_topk(
     if query_filter is not None:
         q = q.where(query_filter)
     queries = q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv"))
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6)
+    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         corpus.join(F.broadcast(queries))
@@ -95,7 +95,7 @@ def embedding_near_dup(
     scoped = embeddings if scope_filter is None else embeddings.where(scope_filter)
     a = scoped.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = scoped.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine(as_double("va"), as_double("vb")), 6)
+    sim = F.round(cosine(as_double("va"), as_double("vb")), 6) + F.lit(0.0)
     return (
         a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", sim.alias("sim"))
@@ -207,7 +207,7 @@ def ivf_ann_topk(
     )
 
     # exact search inside probed cells only
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6)
+    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         corpus.join(F.broadcast(probes), "cell")

@@ -190,7 +190,7 @@ WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddin
                 CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
                      THEN list_dot_product(qv, cv)
                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-                     ELSE 0.0 END, 6) AS sim
+                     ELSE 0.0 END, 6) + 0.0 AS sim
        FROM q, c
      )
 SELECT qid, cid, sim FROM (
@@ -232,7 +232,7 @@ SELECT a.vec_id AS key_a, b.vec_id AS key_b,
     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
          THEN list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-         ELSE 0.0 END, 6) AS sim
+         ELSE 0.0 END, 6) + 0.0 AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
            THEN ROUND(list_dot_product(a.v, b.v)
@@ -435,7 +435,7 @@ SELECT doc_id, source,
     CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY source) > 0
          THEN (n_chars - avg(n_chars) OVER (PARTITION BY source))
               / stddev_samp(n_chars) OVER (PARTITION BY source)
-    END, 4) AS z_len
+    END, 4) + 0.0 AS z_len
 FROM documents
 """
 
@@ -459,7 +459,7 @@ def text_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = (pdf["n_chars"] - mu) / sd if pd.notna(sd) and sd > 0 else pd.NA
         return pd.DataFrame(
             {"doc_id": pdf["doc_id"], "source": pdf["source"],
-             "z_len": pd.Series(z, dtype="float64").round(4)}
+             "z_len": pd.Series(z, dtype="float64").round(4) + 0.0}
         )
 
     return d.groupBy("source").applyInPandas(

@@ -767,9 +767,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORRELATION_ORACLE = """
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
        ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope_price_on_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -782,11 +782,11 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffle profile as a plain sum at any scale."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
             "covar_qty_price"
         ),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6) + F.lit(0.0)).alias(
             "slope_price_on_qty"
         ),
     )
