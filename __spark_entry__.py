@@ -26,6 +26,83 @@ registry.load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver verifies the first 50 entries of ``queries()`` per round
+# (CORRECTNESS_r01.json == first 50 registration-order names). Round 1
+# verified the classic relational/scalar set; this explicit priority list
+# front-loads the 47 highest-value yet-unverified oracle-backed queries
+# (writeback k3-k6, CDC/IVM, the LLM dedup/similarity/text/curation set,
+# event-time windows, temporal joins, heavy TPC-H) plus 3 already-green
+# sentinels as regression canaries. Everything else (7 deferred TPC-H,
+# rows-only ops, round-1-verified queries) follows in stable order.
+DRIVER_PRIORITY = [
+    # sentinels (driver-green in round 1)
+    "q1_pricing_summary",
+    "p4_regexp_strip",
+    "join_anti_customers_without_orders",
+    # writeback + incremental
+    "k3_insert_if_absent",
+    "k4_merge_upsert",
+    "k5_case_insensitive_update",
+    "k6_watermark_advance",
+    "cdc_table_diff",
+    "ivm_incremental_agg",
+    # dedup + similarity + curation
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "curate_corpus",
+    # text analysis
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+    "text_stats_by_source",
+    "text_grouped_zscore",
+    "text_tfidf_terms",
+    "text_chunk_overlap",
+    "text_redact_pii",
+    # multimodal + export
+    "multimodal_metadata",
+    "export_shard_histogram",
+    "agg_geomean_udaf",
+    # scalar/array/json sweeps + SQL surface + sampling
+    "scalar_date_functions",
+    "array_functions",
+    "json_variant_agg",
+    "sql_interface",
+    "l1_stratified_sample",
+    # event-time windows + sessionization + funnels
+    "window_tumbling_hourly",
+    "window_sliding_2h_1h",
+    "window_session_30m",
+    "sessionize_lag_cumsum",
+    "funnel_ordered_steps",
+    # temporal joins
+    "temporal_asof_join",
+    "temporal_range_join",
+    # heavy TPC-H (q12/q13/q15/q16/q17/q19/q20/q22 deferred to next round)
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+]
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with DRIVER_PRIORITY first, rest in registration order."""
+    prio = [n for n in DRIVER_PRIORITY if n in registry.QUERIES]
+    seen = set(prio)
+    return prio + [n for n in registry.QUERIES if n not in seen]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
@@ -43,10 +120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in registry.QUERIES.items()}
+    return {name: wrap(registry.QUERIES[name]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; non-SQL-expressible ops are omitted
     (driver records a rows-only check for those)."""
-    return dict(registry.ORACLES)
+    return {
+        name: registry.ORACLES[name]
+        for name in _ordered_names()
+        if name in registry.ORACLES
+    }

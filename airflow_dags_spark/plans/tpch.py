@@ -355,6 +355,58 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q11-shaped: important stock — per-part shipped value for one nation's
+# suppliers, keeping parts above a fraction of the nation total (no partsupp
+# table → value is SUM(l_extendedprice * l_quantity) over lineitem instead of
+# ps_supplycost * ps_availqty; reference semantics: scalar-subquery HAVING)
+# --------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH v AS (
+  SELECT l.l_partkey AS partkey,
+         ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_9'
+  GROUP BY l.l_partkey),
+ t AS (SELECT ROUND(SUM(part_value) * 0.001, 2) AS threshold FROM v)
+SELECT v.partkey, v.part_value
+FROM v, t
+WHERE v.part_value > t.threshold
+"""
+
+
+@register("q11_important_stock", Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery HAVING: the per-part value aggregates once (one
+    shuffle on l_partkey; supplier/nation broadcast into the scan stage), the
+    1-row nation total broadcasts back over it — the grouped frame is reused
+    for both sides (ReuseExchange), so the fact scans once. Values round to
+    2 dp BEFORE the threshold comparison so both engines compare identical
+    doubles (same discipline as q15's max-equality)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "part_value"
+            )
+        )
+    )
+    t = v.agg(F.round(F.sum("part_value") * F.lit(0.001), 2).alias("threshold"))
+    return (
+        v.join(F.broadcast(t))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q12-shaped: priority-class line counts by linestatus for one ship year
 # (shipmode column absent → grouped by l_linestatus instead)
 # --------------------------------------------------------------------------
