@@ -33,13 +33,31 @@ def _download(**_):
     urllib.request.urlretrieve(CSV_URL, os.path.join(LANDING, "pp-complete.csv"))
 
 
+def _notify_success(**_):
+    # reference: initial_price_paid_data.py:183 success webhook
+    from airflow_dags_spark.jobs.notify import notify_success
+
+    notify_success("Initial Price Paid Data")
+
+
+def _on_failure(context):
+    # reference: initial_price_paid_data.py:37-40,189,195
+    from airflow_dags_spark.jobs.notify import on_failure_callback
+
+    on_failure_callback(context)
+
+
 if DAG is not None:
     with DAG(
         dag_id="initial_price_paid_data_spark",
         schedule=None,  # manual one-shot, like the reference
         start_date=datetime(2025, 1, 1),
         catchup=False,
-        default_args={"retries": 1, "retry_delay": timedelta(minutes=5)},
+        default_args={
+            "retries": 1,
+            "retry_delay": timedelta(minutes=5),
+            "on_failure_callback": _on_failure,
+        },
     ) as dag:
         download = PythonOperator(task_id="download_csv", python_callable=_download)
         load = BashOperator(
@@ -50,4 +68,7 @@ if DAG is not None:
                 f"initial-load {LANDING}/pp-complete.csv {TABLE}"
             ),
         )
-        download >> load
+        notify = PythonOperator(
+            task_id="send_success_notification", python_callable=_notify_success
+        )
+        download >> load >> notify

@@ -36,9 +36,17 @@ def _download(**_):
 
 
 def _notify_success(**_):
-    # reference posts to Discord (monthly_price_paid_data.py:34-39); webhook
-    # URL comes from a connection/env in a real deployment
-    print("monthly price paid load: success")
+    # reference posts to Discord (monthly_price_paid_data.py:34-39,174-175);
+    # URL comes from ENGINE_WEBHOOK_URL in a real deployment
+    from airflow_dags_spark.jobs.notify import notify_success
+
+    notify_success("Oxford Price Paid Data (Monthly Update)")
+
+
+def _on_failure(context):
+    from airflow_dags_spark.jobs.notify import on_failure_callback
+
+    on_failure_callback(context)
 
 
 if DAG is not None:
@@ -47,7 +55,11 @@ if DAG is not None:
         schedule="0 2 25 * *",
         start_date=datetime(2025, 1, 1),
         catchup=False,
-        default_args={"retries": 1, "retry_delay": timedelta(minutes=5)},
+        default_args={
+            "retries": 1,
+            "retry_delay": timedelta(minutes=5),
+            "on_failure_callback": _on_failure,
+        },
     ) as dag:
         download = PythonOperator(task_id="download_csv", python_callable=_download)
         load = BashOperator(

@@ -19,13 +19,25 @@ except ImportError:  # pragma: no cover
 
 AREAS = os.environ.get("AREAS_TABLE_PATH", "/data/tables/rightmove_areas")
 
+
+def _on_failure(context):
+    # reference: rightmove_outcodes.py:22-29,152,158 failure webhook
+    from airflow_dags_spark.jobs.notify import on_failure_callback
+
+    on_failure_callback(context)
+
+
 if DAG is not None:
     with DAG(
         dag_id="process_rightmove_outcodes_spark",
         schedule="0 2 * * 0",
         start_date=datetime(2025, 1, 1),
         catchup=False,
-        default_args={"retries": 1, "retry_delay": timedelta(minutes=5)},
+        default_args={
+            "retries": 1,
+            "retry_delay": timedelta(minutes=5),
+            "on_failure_callback": _on_failure,
+        },
     ) as dag:
         BashOperator(
             task_id="spark_enrich_outcodes",

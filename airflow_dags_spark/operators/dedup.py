@@ -221,12 +221,14 @@ def connected_components(
     iteration cost.
     """
     spark = nodes.sparkSession
+    self_created_state_dir = False
     if state_dir is None:
         state_dir = spark.sparkContext.getCheckpointDir()
     if state_dir is None:
         import tempfile
 
         state_dir = tempfile.mkdtemp(prefix="spark_graft_cc_")
+        self_created_state_dir = True
     import uuid
 
     base = state_dir.rstrip("/") + "/cc-" + uuid.uuid4().hex
@@ -285,7 +287,9 @@ def connected_components(
         F.col("node").alias(node_col), F.col("comp").alias("component")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     try:
-        _delete_path(spark, base)
+        # remove the whole mkdtemp dir when we created it, not just the
+        # cc-<uuid> subdir — otherwise every call leaks an empty tempdir
+        _delete_path(spark, state_dir if self_created_state_dir else base)
     except Exception:
         pass  # leaked state dir is recoverable; the result no longer needs it
     return result

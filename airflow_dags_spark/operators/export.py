@@ -146,9 +146,12 @@ def pack_sequences(
     """
     import pandas as pd
 
+    # key column keeps its input type (string doc ids are common) — derive
+    # the Arrow output field from df.schema instead of hardcoding bigint
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         "shard bigint, seq_id bigint, "
-        f"{key_col} bigint, n_tokens bigint"
+        f"{key_col} {key_type}, n_tokens bigint"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -171,7 +174,10 @@ def pack_sequences(
         )
 
     prepared = shard_assignment(
-        df.select(key_col, F.col(token_col).cast("bigint").alias("__tokens")),
+        # null token counts (e.g. token_count(null text)) cannot be packed —
+        # drop them here so the pandas fold never sees NaN
+        df.select(key_col, F.col(token_col).cast("bigint").alias("__tokens"))
+        .where(F.col("__tokens").isNotNull()),
         [key_col],
         n_shards,
         portable=True,

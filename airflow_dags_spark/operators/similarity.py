@@ -37,11 +37,15 @@ def cosine_topk(
     corpus_vec: str = "cv",
 ) -> DataFrame:
     """Exact top-k by cosine. Deterministic: rank on ROUNDED similarity with
-    key tiebreak, so float last-ulp noise can't flip the cutoff."""
+    key tiebreak, so float last-ulp noise can't flip the cutoff.
+
+    The QUERY side is broadcast (small by contract); the corpus is the
+    streaming side and never shuffles — at 100 TB the plan is a single
+    narrow pass over the corpus plus the per-query top-k window."""
     sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6) + F.lit(0.0)
     w = Window.partitionBy(query_key).orderBy(F.desc("sim"), F.asc(corpus_key))
     return (
-        queries.crossJoin(F.broadcast(corpus) if corpus is not queries else corpus)
+        corpus.crossJoin(F.broadcast(queries))
         .select(query_key, corpus_key, sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)

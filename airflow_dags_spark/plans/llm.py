@@ -8,6 +8,7 @@ register rows-only and are verified in pytest against exact references.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -727,18 +728,18 @@ def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the grouping key first, so at 100 TB this is one shuffle keyed by
     |groups|, with the Python cost linear in rows and parallel per group."""
     import numpy as np
-    from pyspark.sql.pandas.functions import PandasUDFType
 
-    # functionType passed explicitly: this module's postponed annotations
-    # (PEP 563) turn type hints into strings, defeating signature inference.
-    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def geomean(v):
+    # Series -> scalar type hints select the grouped-agg variant; the
+    # stringified PEP 563 annotations resolve against module globals, where
+    # ``pd`` is imported (the deprecated PandasUDFType enum is gone).
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
     # Spark disallows mixing a group-agg pandas UDF with built-in aggregates
     # in one agg() — the count rides along as a second pandas UDAF.
-    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def ndocs(v):
+    @F.pandas_udf("long")
+    def ndocs(v: pd.Series) -> int:
         return len(v)
 
     d = read_table(spark, sf_dir, "documents")

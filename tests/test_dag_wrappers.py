@@ -1,18 +1,27 @@
-"""The Airflow DAG wrappers must import cleanly WITHOUT airflow installed —
-engine containers never ship it (the try/ImportError guard in each file)."""
+"""The Airflow DAG wrappers must import cleanly whether or not airflow is
+installed (the try/ImportError guard in each file). Engine containers never
+ship airflow, so the guard's ImportError branch is what usually runs — but
+the test must not FAIL on an environment that happens to have airflow."""
 
 from __future__ import annotations
 
 import glob
+import importlib.util
 import runpy
 
 import pytest
 
 DAG_FILES = sorted(glob.glob("airflow_dags/*.py"))
 
+AIRFLOW_INSTALLED = importlib.util.find_spec("airflow") is not None
+
 
 @pytest.mark.parametrize("path", DAG_FILES)
 def test_dag_file_imports_without_airflow(path):
     ns = runpy.run_path(path)
-    # guard took the ImportError branch in this container
-    assert ns.get("DAG") is None
+    if AIRFLOW_INSTALLED:
+        # real airflow present: the guard must have produced a DAG object
+        assert ns.get("DAG") is not None
+    else:
+        # guard took the ImportError branch in this container
+        assert ns.get("DAG") is None

@@ -85,6 +85,31 @@ def test_sim_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_cosine_topk_operator_broadcasts_query_side(spark):
+    """Direct gate on the two-DataFrame ``cosine_topk`` operator (not just
+    the registry's ``brute_force_topk`` path): the query side must build
+    under the BroadcastExchange; the corpus parquet scan must stream."""
+    from pyspark.sql import functions as F
+
+    from airflow_dags_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    qrows = [(i, [float(i == j) for j in range(8)]) for i in range(3)]
+    queries = spark.createDataFrame(qrows, "qid int, qv array<double>")
+    plan = (
+        cosine_topk(queries, corpus, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    # everything under the BroadcastExchange is the local query set — the
+    # corpus file scan must NOT be the build side
+    build_side = plan.split("BroadcastExchange", 1)[1]
+    assert "embeddings.parquet" not in build_side
+
+
 def test_ivf_cell_assignment_is_shuffle_free_projection(spark):
     plan = plan_of(spark, "sim_ann_ivf_topk")
     # exactly one exchange family is acceptable: the final per-query top-k
