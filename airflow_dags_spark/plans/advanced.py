@@ -1,0 +1,389 @@
+"""Warehouse + training-pipeline operators beyond the reference's surface:
+SCD2 dimension versioning, time-series gap fill, retention cohorts, numeric
+histograms, training-mix sampling, and benchmark-contamination detection.
+
+The reference stores mutable dimensions by overwriting in place
+(``dags/pull_new_sales_list.py:252-261`` updates rows destructively); SCD2
+is the lakehouse answer for keeping the history. The rest are the analytics
+/ data-curation queries a 100 TB training pipeline runs daily. All are
+DuckDB-oracle-checked; all stay JVM-side (window functions, sequence/
+explode, hash joins on derived keys — no Python in any hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension versioning
+# --------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM changes
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+       event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+         '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            IS NULL AS BOOLEAN) AS is_current
+FROM starts
+"""
+
+
+@register("scd2_history", SCD2_ORACLE)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 built from a change stream: collapse
+    consecutive identical states per key into [valid_from, valid_to)
+    versions, open-ended row marked current.
+
+    Two window passes over the same (user_id, ts) ordering — ONE shuffle,
+    both windows reuse the exchange+sort. At 100 TB: state history is
+    per-key sequential by construction; skewed keys cost their own row
+    count, nothing cross-key."""
+    e = read_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w_ver)
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill (spine + zero-fill + LOCF)
+# --------------------------------------------------------------------------
+
+GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT et.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+  ) gs
+),
+hourly AS (
+  -- engine-exact 4-dp mean: exact integer micro-unit sum, then HALF_UP by
+  -- integer arithmetic (floor((2a+b)/2b)) — no float accumulation, no
+  -- engine-private ROUND-on-double tie behavior anywhere
+  SELECT event_type, h, cnt,
+         ((num - (num % den)) / den) / 10000.0 AS avg_value
+  FROM (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(2 * SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                + 100 * COUNT(*) AS BIGINT) AS num,
+           CAST(200 * COUNT(*) AS BIGINT) AS den
+    FROM events GROUP BY 1, 2
+  )
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(hh.cnt, 0) AS cnt,
+       COALESCE(hh.avg_value,
+         LAST_VALUE(hh.avg_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS avg_value_filled
+FROM spine s LEFT JOIN hourly hh
+  ON hh.event_type = s.event_type AND hh.h = s.h
+"""
+
+
+@register("timeseries_gap_fill", GAP_FILL_ORACLE)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per series with zero-filled counts and
+    last-observation-carried-forward averages — the resample step before
+    any time-series model sees event data.
+
+    The spine is ``sequence(min_hour, max_hour, 1 hour)`` exploded against
+    the distinct series keys: generated, not shuffled (the 1-row global
+    bounds aggregate broadcasts). LOCF is one window per series. At 100 TB
+    the spine size is |series|·|hours| — independent of event count."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    # engine-exact 4-dp mean (see oracle comment): exact bigint micro-unit
+    # sum + HALF_UP via floor((2a+b)/2b) integer arithmetic — deterministic
+    # under any partitioning, identical in any engine
+    micro = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.lit(2) * F.sum(micro) + F.lit(100) * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("num"),
+            (F.lit(200) * F.count(F.lit(1))).cast("bigint").alias("den"),
+        )
+        .select(
+            "event_type",
+            "h",
+            "cnt",
+            (
+                ((F.col("num") - F.col("num") % F.col("den")) / F.col("den"))
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce(
+                "avg_value", F.last("avg_value", ignorenulls=True).over(w)
+            ).alias("avg_value_filled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts
+# --------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week, counted
+    per week-offset of later activity — THE product-analytics query.
+
+    Two shuffles total: the per-user first-event aggregate, then the
+    (cohort, offset) count over user-distinct activity. The firsts side is
+    |users| rows; Spark picks broadcast vs shuffle join by size (AQE)."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Numeric histogram (fixed-bound width_bucket binning)
+# --------------------------------------------------------------------------
+
+# DuckDB has no width_bucket; the CASE below is its exact definition for
+# bounds (0, 600000, 24): underflow→0, overflow→25, else floor(v/25000)+1
+HISTOGRAM_ORACLE = """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 25
+            ELSE CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT) + 1
+       END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("numeric_histogram", HISTOGRAM_ORACLE)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram via ``width_bucket`` — profiling binning with
+    NO data-dependent pass (literal bounds ⇒ single aggregation, map-side
+    partial combine, |buckets| result rows at any scale)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(24)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-mix sampling (per-source weighted deterministic sampling)
+# --------------------------------------------------------------------------
+
+# md5-derived uniform in [0,1): first 8 hex chars / 16^8 — identical in both
+# engines, so the sampled row SET is oracle-checkable (vs rand(), which is
+# engine-private). Weights: a typical training-mix spec.
+_MIX_SQL_U = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+TRAINING_MIX_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_MIX_SQL_U} <
+  CASE
+    WHEN source IN ('src0', 'src1') THEN 1.0
+    WHEN source IN ('src2', 'src3', 'src4') THEN 0.5
+    ELSE 0.2
+  END
+"""
+
+
+@register("training_mix_sample", TRAINING_MIX_ORACLE)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling for a training mix: keep source
+    groups at configured rates (1.0 / 0.5 / 0.2) using the md5-uniform so
+    membership is deterministic and reproducible across runs AND engines —
+    the property a resumable 100 TB curation job needs (re-runs must pick
+    the SAME rows). One narrow filter over the scan; no shuffle at all."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 1.0)
+        .when(F.col("source").isin("src2", "src3", "src4"), 0.5)
+        .otherwise(0.2)
+    )
+    return d.where(u < rate).select("doc_id", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination detection (shared n-gram shingles)
+# --------------------------------------------------------------------------
+
+# reuse the exact normalization + 3-gram shingle recipe the dedup oracle uses
+from airflow_dags_spark.plans.llm import _SHINGLES  # noqa: E402
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+bench AS (
+  SELECT doc_id AS bench_id, unnest(s) AS shingle FROM sh
+  WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM corpus c JOIN bench b ON b.shingle = c.shingle
+GROUP BY c.doc_id
+"""
+
+
+@register("benchmark_contamination", CONTAMINATION_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs sharing 3-gram
+    shingles with a benchmark/eval set (stand-in: ``doc_id % 97 = 0``) —
+    the decontamination step every serious pretraining corpus runs.
+
+    Shape: shingle-explode both sides, hash-join on the shingle value,
+    aggregate per doc. The benchmark side is small by construction (eval
+    sets are thousands of docs), so at 100 TB Spark broadcasts it and the
+    corpus streams — no all-pairs, no corpus shuffle before the join; the
+    only exchange is the final per-doc aggregate."""
+    from airflow_dags_spark.functions.text import shingles_from_tokens, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    # stage tokens first (see shingles_from_tokens docstring: the lambda
+    # must see a materialized attribute, not an inlined split tree)
+    sh = d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", shingles_from_tokens(F.col("__toks"), 3).alias("s")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"), F.explode("s").alias("shingle")
+        )
+    )
+    corpus = (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("s").alias("shingle"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -262,7 +262,9 @@ def stateful_watermark_tracker(
     def track(key, pdfs, state: GroupState):
         import pandas as pd
 
-        max_us, n = state.get() if state.exists else (None, 0)
+        # GroupState.getOption is a PROPERTY (calling it raises "'tuple' is
+        # not callable" on the second micro-batch, once state exists)
+        max_us, n = state.getOption if state.exists else (None, 0)
         for pdf in pdfs:
             ts_us = (pdf[ts_col].astype("int64") // 1000).max()
             max_us = ts_us if max_us is None else max(max_us, int(ts_us))
@@ -358,4 +360,72 @@ def stateful_dedup_ttl(
         outputStructType=out_schema,
         outputMode="append",
         timeMode="ProcessingTime",
+    )
+
+
+def _parse_ttl_ms(ttl: str) -> int:
+    import re
+
+    m = re.match(r"(\d+)\s*(hour|minute|second|day)s?", ttl)
+    if not m:
+        raise ValueError(f"unparseable ttl: {ttl!r}")
+    unit_ms = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    return int(m.group(1)) * unit_ms[m.group(2)]
+
+
+def stateful_dedup_ttl_groupstate(
+    df: DataFrame,
+    *,
+    key_col: str = "event_id",
+    ttl: str = "24 hours",
+) -> DataFrame:
+    """T3 TTL dedup on the ``applyInPandasWithState`` (GroupState) API —
+    same semantics as ``stateful_dedup_ttl`` but with no runtime
+    requirements beyond stock Spark: runs on the default HDFS-backed state
+    store, no protobuf state-server protocol. This is the portable form; the
+    ``transformWithState`` form above shows the Spark 4 native-TTL path.
+
+    Semantics: emit a key the first time it is seen; suppress redeliveries
+    while its state lives; after ``ttl`` of processing time the key is
+    first-seen again. Correctness of re-emit does NOT depend on timer
+    callbacks: the TTL is checked against the stored first-seen stamp on
+    every access, while ``setTimeoutDuration`` handles eviction of idle
+    keys (so state stays O(keys within TTL), exactly the 100 TB/day
+    argument in ``stateful_dedup_ttl``'s docstring).
+    """
+    ttl_ms = _parse_ttl_ms(ttl)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), True),
+            T.StructField("first_seen_batch_rows", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_seen_ms", T.LongType(), True)])
+
+    def dedup(key, pdfs, state):
+        import time
+
+        import pandas as pd
+
+        if state.hasTimedOut:  # idle past TTL: evict, emit nothing
+            state.remove()
+            return
+        n = sum(len(pdf) for pdf in pdfs)
+        now_ms = int(time.time() * 1000)
+        opt = state.getOption  # GroupState.get/getOption are PROPERTIES
+        first = opt[0] if opt is not None else None
+        state.update((now_ms if first is None or now_ms - first > ttl_ms else first,))
+        state.setTimeoutDuration(ttl_ms)
+        if first is None or now_ms - first > ttl_ms:
+            yield pd.DataFrame({key_col: [key[0]], "first_seen_batch_rows": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -27,6 +27,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    # heavy-join TPC-H: multi-way joins + big aggregations, the queries where
+    # a join-reorder / ReuseExchange / broadcast-threshold regression shows
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
     "window_topn_per_customer",
     "k3_insert_if_absent",
     "k4_merge_upsert",

@@ -35,6 +35,12 @@ NAMES = [
     "json_variant_agg",
     "agg_geomean_udaf",
     "export_pack_sequences",
+    "scd2_history",
+    "timeseries_gap_fill",
+    "retention_cohorts",
+    "numeric_histogram",
+    "training_mix_sample",
+    "benchmark_contamination",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -294,6 +294,31 @@ def test_curate_corpus_one_shuffle_gates_in_scan_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 window passes order by the same key — ONE hash exchange on
+    user_id, the second window reuses the first's partitioning."""
+    plan = plan_of(spark, "scd2_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The (small) benchmark shingle set must broadcast; the corpus shingle
+    stream must not be exchanged before the join."""
+    plan = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges are the per-doc aggregate (partial+final)
+    before_join = plan.split("BroadcastHashJoin")[-1]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+def test_training_mix_is_scan_plus_filter_only(spark):
+    """Weighted deterministic sampling is one narrow pass: no exchange, no
+    Python, whole-stage codegen all the way."""
+    plan = plan_of(spark, "training_mix_sample")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # ---------------------------------------------------------------------------
 # Registry-wide sweep: no ACCIDENTAL cartesian / nested-loop joins anywhere.
 # A non-equi join typo (wrong column, missing condition) silently degrades
@@ -308,6 +333,11 @@ ALLOWED_NESTED_LOOP = {
     # — a 1-row nested loop is the canonical plan, not a defect:
     "q22_idle_customers",
     "text_tfidf_terms",
+    # Q11's HAVING threshold: a 1-row global aggregate broadcast against the
+    # grouped frame (verified: BuildRight is the SinglePartition threshold)
+    "q11_important_stock",
+    # 1-row global-bounds broadcast feeding the generated time spine:
+    "timeseries_gap_fill",
 }
 
 

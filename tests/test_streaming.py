@@ -160,23 +160,39 @@ def test_stateful_watermark_tracker(spark, tmp_path):
     )
     stream = read_event_stream(spark, landing)
     out = str(tmp_path / "hwm")
+
     # update-mode output needs a merge-capable sink; parquet append can't
     # express it, so drain through foreachBatch (the engine's merge_sink path)
-    q = (
-        stateful_watermark_tracker(stream)
-        .writeStream.foreachBatch(
-            lambda batch, _id: batch.write.mode("append").parquet(out)
+    def drain_hwm():
+        q = (
+            stateful_watermark_tracker(read_event_stream(spark, landing))
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_hwm"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", str(tmp_path / "ckpt_hwm"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
+
+    drain_hwm()
     got = {r["user_id"]: (str(r["high_water_ts"]), r["n_seen"]) for r in
            spark.read.parquet(out).collect()}
     assert got[7] == ("2026-01-01 11:00:00", 2)
     assert got[8] == ("2026-01-01 09:00:00", 1)
+
+    # second drain: per-key state must survive ACROSS micro-batches (the
+    # exists=True path — GroupState.get/getOption are properties, and only
+    # this path would catch calling them)
+    land(tmp_path, "b2.json", [event(4, "2026-01-01 12:30:00", user_id=7)])
+    drain_hwm()
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        ts, n = str(r["high_water_ts"]), r["n_seen"]
+        if r["user_id"] not in latest or n > latest[r["user_id"]][1]:
+            latest[r["user_id"]] = (ts, n)
+    assert latest[7] == ("2026-01-01 12:30:00", 3)  # accumulated, not reset
 
 
 def test_interval_join_streams(spark, tmp_path):
@@ -350,4 +366,86 @@ def test_stateful_dedup_ttl_expiry_reemits(spark, tmp_path):
     time.sleep(3)  # let the 1 s ValueState TTL lapse
     land(tmp_path, "b2.json", [event(9, "2026-01-01 11:00:00")])
     drain()
+    assert [r.event_id for r in spark.read.parquet(out).collect()] == [9, 9]
+
+
+def test_groupstate_dedup_ttl_first_seen_only(spark, tmp_path):
+    """Portable TTL dedup (applyInPandasWithState, default state store):
+    a key emits once across micro-batches; redeliveries are suppressed.
+    EXECUTED in this container — no RocksDB/protobuf requirement."""
+    from airflow_dags_spark.streaming.pipeline import stateful_dedup_ttl_groupstate
+
+    out, ckpt = str(tmp_path / "seen_gs"), str(tmp_path / "ckpt_gs")
+
+    def drain_gs():
+        stream = read_event_stream(spark, str(tmp_path / "landing"))
+        q = (
+            stateful_dedup_ttl_groupstate(stream, key_col="event_id", ttl="1 day")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:00:00"),
+            event(1, "2026-01-01 10:00:01"),  # same-batch redelivery
+            event(2, "2026-01-01 10:00:02"),
+        ],
+    )
+    drain_gs()
+    got = {
+        r.event_id: r.first_seen_batch_rows for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: 2, 2: 1}  # key 1 emitted once, with both rows counted
+
+    land(
+        tmp_path,
+        "b2.json",
+        [
+            event(1, "2026-01-01 11:00:00"),  # cross-batch redelivery: drop
+            event(3, "2026-01-01 11:00:01"),  # new key: emit
+        ],
+    )
+    drain_gs()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # 1 NOT re-emitted
+
+
+def test_groupstate_dedup_ttl_expiry_reemits(spark, tmp_path):
+    """After the TTL lapses the key is first-seen again — the dedup horizon
+    is bounded (state O(keys within TTL)), re-emit checked against the
+    stored stamp so it does not depend on timer-callback scheduling."""
+    import time
+
+    from airflow_dags_spark.streaming.pipeline import stateful_dedup_ttl_groupstate
+
+    out, ckpt = str(tmp_path / "seen_gs2"), str(tmp_path / "ckpt_gs2")
+
+    def drain_gs():
+        stream = read_event_stream(spark, str(tmp_path / "landing"))
+        q = (
+            stateful_dedup_ttl_groupstate(stream, key_col="event_id", ttl="1 second")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(tmp_path, "b1.json", [event(9, "2026-01-01 10:00:00")])
+    drain_gs()
+    time.sleep(3)  # let the 1 s TTL lapse in processing time
+    land(tmp_path, "b2.json", [event(9, "2026-01-01 11:00:00")])
+    drain_gs()
     assert [r.event_id for r in spark.read.parquet(out).collect()] == [9, 9]
