@@ -92,7 +92,11 @@ def enrich_outcodes(
              "display_name": F.lit(None).cast("string")}
         )
     lookups = keyed_lookup(batch, "outcode", fetch, rate_limit_s=rate_limit_s)
-    updates = resolve_outcodes(lookups)
+    # materialize the (≤ batch_size) update set BEFORE the merge: the merge
+    # atomically replaces the very files this plan reads, and a lazy plan
+    # would both re-run the rate-limited fetches and re-list dead files on
+    # any later action over the returned frame
+    updates = resolve_outcodes(lookups).localCheckpoint(eager=True)
     areas.merge_upsert(
         updates,
         order_by=["outcode"],

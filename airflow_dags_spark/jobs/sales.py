@@ -95,12 +95,15 @@ def pull_new_sales(
 
     # P17 audit columns (dags/pull_new_sales_list.py:244-249); K4 merge
     # updates only updated_date on conflict (dags/pull_new_sales_list.py:255-257)
+    # materialized: the watermark advance below atomically rewrites the
+    # areas table this plan reads (and a lazy plan would re-run the
+    # rate-limited scrape on any later action over the returned frame)
     batch = props.select(
         "property_id",
         F.lit(False).alias("is_processed"),
         F.lit(today_int).cast("int").alias("created_date"),
         F.lit(today_int).cast("int").alias("updated_date"),
-    )
+    ).localCheckpoint(eager=True)
     sales.merge_upsert(
         batch, order_by=["property_id"], update_cols=["updated_date"]
     )

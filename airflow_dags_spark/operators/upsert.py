@@ -219,17 +219,21 @@ class ParquetTable:
         jvm, fs = self._fs()
         hpath = jvm.org.apache.hadoop.fs.Path
         # the touched-partition set is bounded by construction (the batch's
-        # distinct partition values); materialize it so the target filter is
-        # an independent plan (avoids self-join lineage ambiguity with
-        # `clean`) and the scan gets literal partition pruning
+        # distinct partition values); collect it and filter the target with
+        # LITERALS — static partition pruning at planning time (PartitionFilters
+        # on the scan), no reliance on runtime dynamic pruning of a semi-join
         touched_rows = clean.select(*self.partition_by).distinct().collect()
-        touched = self.spark.createDataFrame(
-            touched_rows,
-            clean.select(*self.partition_by).schema,
-        )
-        tgt = self.read().join(
-            F.broadcast(touched), self.partition_by, "left_semi"
-        )
+        if len(self.partition_by) == 1:
+            p = self.partition_by[0]
+            pred = F.col(p).isin([r[0] for r in touched_rows])
+        else:
+            pred = F.lit(False)
+            for r in touched_rows:
+                conj = F.lit(True)
+                for p in self.partition_by:
+                    conj = conj & (F.col(p) == F.lit(r[p]))
+                pred = pred | conj
+        tgt = self.read().where(pred)
         merged = self._merged_frame(tgt, clean, update_cols)
         # stage first: the merged plan reads the very partitions the dynamic
         # overwrite replaces, and Spark (correctly) refuses read-write cycles

@@ -387,3 +387,64 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition detection (duplicate-shingle ratio)
+# --------------------------------------------------------------------------
+
+from airflow_dags_spark.plans.llm import _NORM  # noqa: E402
+
+REPETITION_ORACLE = f"""
+SELECT doc_id,
+       total_shingles,
+       distinct_shingles,
+       CASE WHEN total_shingles > 0
+            THEN 1.0 - CAST(distinct_shingles AS DOUBLE) / total_shingles
+            ELSE 0.0 END AS repetition_ratio
+FROM (
+  SELECT doc_id,
+         CAST(GREATEST(len(string_split({_NORM}, ' ')) - 2, 0) AS BIGINT)
+           AS total_shingles,
+         CAST(len({_SHINGLES}) AS BIGINT) AS distinct_shingles
+  FROM documents
+)
+"""
+
+
+@register("text_repetition_ratio", REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection: fraction of duplicated 3-gram shingles per doc
+    (1 - distinct/total) — the standard boilerplate/degenerate-text signal a
+    pretraining quality gate thresholds on.
+
+    Pure array expressions over one scan — zero shuffles, zero Python; the
+    ratio is raw IEEE division of two exact integers so it hashes identically
+    in any engine (no ROUND tie behavior in play)."""
+    from airflow_dags_spark.functions.text import shingles_from_tokens, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.greatest(F.size("__toks") - 2, F.lit(0))
+        .cast("bigint")
+        .alias("total_shingles"),
+        F.size(shingles_from_tokens(F.col("__toks"), 3))
+        .cast("bigint")
+        .alias("distinct_shingles"),
+    )
+    return staged.select(
+        "doc_id",
+        "total_shingles",
+        "distinct_shingles",
+        F.when(
+            F.col("total_shingles") > 0,
+            F.lit(1.0)
+            - F.col("distinct_shingles").cast("double")
+            / F.col("total_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )

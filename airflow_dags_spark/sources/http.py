@@ -1,5 +1,5 @@
-"""Rate-limited HTTP sources (S4/S5, SURVEY.md §2.1) as ``mapPartitions``
-over a small work-item DataFrame.
+"""Rate-limited HTTP sources (S4/S5, SURVEY.md §2.1) as Arrow-batched
+``mapInPandas`` over a small work-item DataFrame.
 
 The reference fetches per-row inside Python task loops:
 
@@ -27,7 +27,8 @@ import json
 import time
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, Row
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from airflow_dags_spark.functions.json_extract import extract_balanced_json
@@ -68,24 +69,30 @@ def keyed_lookup(
 
     Returns ``(key, response)`` with ``response`` null on fetch error so the
     caller can emit the no-match sentinel (P18) instead of retrying forever.
-    """
-    spark = keys_df.sparkSession
 
-    def run(rows: Iterator[Row]) -> Iterator[Row]:
+    ``mapInPandas`` keeps the boundary on the Arrow path (no Python-RDD
+    detour); the sequential fetch loop inside each Arrow batch is the point
+    — it IS the rate limiter.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         first = True
-        for row in rows:
-            if not first and rate_limit_s:
-                time.sleep(rate_limit_s)  # dags/rightmove_outcodes.py:122
-            first = False
-            key = row[key_col]
-            try:
-                body = fetch(key)
-            except Exception:
-                body = None
-            yield Row(key=key, response=body)
+        for pdf in batches:
+            keys, bodies = [], []
+            for key in pdf[key_col]:
+                if not first and rate_limit_s:
+                    time.sleep(rate_limit_s)  # dags/rightmove_outcodes.py:122
+                first = False
+                try:
+                    body = fetch(key)
+                except Exception:
+                    body = None
+                keys.append(key)
+                bodies.append(body)
+            yield pd.DataFrame({"key": keys, "response": bodies})
 
     work = keys_df.select(key_col).repartition(num_partitions)
-    return spark.createDataFrame(work.rdd.mapPartitions(run), LOOKUP_RESULT_SCHEMA)
+    return work.mapInPandas(run, LOOKUP_RESULT_SCHEMA)
 
 
 def paginated_scrape(
@@ -106,43 +113,44 @@ def paginated_scrape(
     reference's 200-page safety cap, dags/pull_new_sales_list.py:203-206).
     Yields one row per fetched page; property-id extraction happens after, in
     DataFrame ops (jobs/sales.py), so only the inherently-sequential fetch
-    loop is Python.
+    loop is Python. ``mapInPandas`` (Arrow path) emits one frame per area —
+    memory is bounded by one area's page set, never the partition's.
     """
-    spark = areas_df.sparkSession
 
-    def run(rows: Iterator[Row]) -> Iterator[Row]:
-        for row in rows:
-            area_id = row[area_id_col]
-            offset = 0
-            for page_index in range(max_pages):
-                if page_index and rate_limit_s:
-                    time.sleep(rate_limit_s)  # dags/pull_new_sales_list.py:201
+    def pages_of(area_id: int) -> Iterator[tuple[int, int, int, str | None]]:
+        offset = 0
+        for page_index in range(max_pages):
+            if page_index and rate_limit_s:
+                time.sleep(rate_limit_s)  # dags/pull_new_sales_list.py:201
+            try:
+                html = fetch_page(area_id, offset)
+            except Exception:
+                html = None
+            yield (area_id, page_index, offset, html)
+            if html is None:
+                break
+            # pagination cursor from embedded JSON (P12+P13;
+            # dags/pull_new_sales_list.py:139-157,196)
+            model = extract_balanced_json(html)
+            next_offset = None
+            if model is not None:
                 try:
-                    html = fetch_page(area_id, offset)
-                except Exception:
-                    html = None
-                yield Row(
-                    area_id=area_id,
-                    page_index=page_index,
-                    offset=offset,
-                    html=html,
+                    next_offset = (
+                        json.loads(model).get("pagination", {}).get("next")
+                    )
+                except (ValueError, AttributeError):
+                    next_offset = None
+            if next_offset is None or int(next_offset) <= offset:
+                break
+            offset += page_size  # dags/pull_new_sales_list.py:199-200
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for area_id in pdf[area_id_col]:
+                rows = list(pages_of(int(area_id)))
+                yield pd.DataFrame(
+                    rows, columns=["area_id", "page_index", "offset", "html"]
                 )
-                if html is None:
-                    break
-                # pagination cursor from embedded JSON (P12+P13;
-                # dags/pull_new_sales_list.py:139-157,196)
-                model = extract_balanced_json(html)
-                next_offset = None
-                if model is not None:
-                    try:
-                        next_offset = (
-                            json.loads(model).get("pagination", {}).get("next")
-                        )
-                    except (ValueError, AttributeError):
-                        next_offset = None
-                if next_offset is None or int(next_offset) <= offset:
-                    break
-                offset += page_size  # dags/pull_new_sales_list.py:199-200
 
     work = areas_df.select(area_id_col).repartition(num_partitions)
-    return spark.createDataFrame(work.rdd.mapPartitions(run), PAGE_RESULT_SCHEMA)
+    return work.mapInPandas(run, PAGE_RESULT_SCHEMA)

@@ -88,12 +88,19 @@ def main() -> None:
         _warm(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: single-run numbers on this box show rare one-off
+    # stalls (10-20 s on a random query, not reproducible in isolation —
+    # VM/GC hiccups, not plans); min-of-N is the standard way to measure the
+    # plan instead of the noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

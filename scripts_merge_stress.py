@@ -38,12 +38,12 @@ def orders_with_month(spark, factor: int):
     o = read_table(spark, BASE_SF_DIR, "orders")
     if factor > 1:
         span = o.agg(F.max("o_orderkey")).first()[0] + 1
-        o = o.unionByName(
-            *[
+        out = o
+        for i in range(1, factor):
+            out = out.unionByName(
                 o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * span))
-                for i in range(1, factor)
-            ]
-        )
+            )
+        o = out
     return o.withColumn("o_month", F.date_format("o_orderdate", "yyyyMM"))
 
 
@@ -60,6 +60,16 @@ def one_month_batch(spark, df, n=1000):
     return (
         df.where(F.col("o_month") == month)
         .orderBy("o_orderkey")
+        .limit(n)
+        .withColumn("o_comment", F.lit("merged-by-stress"))
+    )
+
+
+def all_months_batch(spark, df, n=1000):
+    """Same batch SIZE but spread over every partition (worst case for the
+    touched-partition pruning: touched == all)."""
+    return (
+        df.orderBy(F.md5(F.col("o_orderkey").cast("string")))
         .limit(n)
         .withColumn("o_comment", F.lit("merged-by-stress"))
     )
@@ -86,17 +96,28 @@ def main() -> None:
         n_partitions = df.select("o_month").distinct().count()
         batch = one_month_batch(spark, spark.read.parquet(part.path))
         batch.cache().count()
+        spread = all_months_batch(spark, spark.read.parquet(part.path))
+        spread.cache().count()
         out[f"rows_{tag}"] = df.count()
         out[f"partitions_{tag}"] = n_partitions
         out[f"merge_flat_{tag}_sec"] = timed_merge(flat, batch)
-        out[f"merge_part_{tag}_sec"] = timed_merge(part, batch)
+        out[f"merge_part_1touched_{tag}_sec"] = timed_merge(part, batch)
+        out[f"merge_part_alltouched_{tag}_sec"] = timed_merge(part, spread)
         batch.unpersist()
+        spread.unpersist()
 
-    out["part_scale_ratio"] = round(
-        out[f"merge_part_{factor}x_sec"] / out["merge_part_1x_sec"], 2
+    out["part_1touched_scale_ratio"] = round(
+        out[f"merge_part_1touched_{factor}x_sec"]
+        / out["merge_part_1touched_1x_sec"],
+        2,
     )
     out["flat_scale_ratio"] = round(
         out[f"merge_flat_{factor}x_sec"] / out["merge_flat_1x_sec"], 2
+    )
+    out["touched_ratio_at_max"] = round(
+        out[f"merge_part_alltouched_{factor}x_sec"]
+        / out[f"merge_part_1touched_{factor}x_sec"],
+        2,
     )
     print(json.dumps(out))
     spark.stop()
