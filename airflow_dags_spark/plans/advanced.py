@@ -448,3 +448,47 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (inverse of pivot_status_by_priority)
+# --------------------------------------------------------------------------
+
+UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM agg
+"""
+
+
+@register("unpivot_metrics", UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via ``DataFrame.unpivot`` (SQL ``UNPIVOT``/melt) —
+    the inverse of the pivot operator, the shape metric stores and plotting
+    layers want. One aggregation shuffle; the unpivot itself is a zero-
+    shuffle projection (each row fans out to |metrics| rows in place).
+    Decimal sums → exact values, cast to double identically in any engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )
