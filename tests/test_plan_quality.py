@@ -302,13 +302,19 @@ def test_scd2_windows_share_one_exchange(spark):
 
 
 def test_contamination_broadcasts_benchmark_side(spark):
-    """The (small) benchmark shingle set must broadcast; the corpus shingle
-    stream must not be exchanged before the join."""
+    """The (small) distinct benchmark shingle set must broadcast; the
+    corpus shingle stream joins without a pre-join exchange, and shingle
+    construction stays out of interpreted higher-order functions."""
     plan = plan_of(spark, "benchmark_contamination")
     assert "BroadcastHashJoin" in plan
-    # the only hash exchanges are the per-doc aggregate (partial+final)
-    before_join = plan.split("BroadcastHashJoin")[-1]
-    assert "Exchange hashpartitioning" not in before_join
+    # the streamed (corpus) side — everything ABOVE the BroadcastExchange in
+    # the printed tree — must carry no hash exchange before the join; the
+    # bench-side distinct's exchange lives under the BroadcastExchange
+    streamed_side = plan.split("BroadcastExchange", 1)[0]
+    post_agg, pre_join = streamed_side.split("BroadcastHashJoin", 1)
+    assert "Exchange hashpartitioning" not in pre_join
+    # codegen shingles: slice/arrays_zip, no transform() lambda on this path
+    assert "lambdafunction" not in plan
 
 
 def test_training_mix_is_scan_plus_filter_only(spark):
