@@ -56,4 +56,5 @@ def load_all() -> None:
         temporal,
         tpch,
         advanced,
+        sketches,
     )

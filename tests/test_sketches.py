@@ -1,0 +1,99 @@
+"""Mergeable sketch aggregates (plans/sketches.py): accuracy bounds vs
+exact answers, and the merge law (union-of-sketches ≈ sketch-of-union)
+that makes them the 100 TB pre-aggregation primitive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans import registry
+
+registry.load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_daily_estimates_within_bound(spark):
+    rows = registry.QUERIES["sketch_hll_daily_users"](spark, SF_DIR).collect()
+    per_day = {r["day"]: r["est_users"] for r in rows if r["day"] is not None}
+    merged = [r["est_users"] for r in rows if r["day"] is None]
+    assert len(merged) == 1
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact_per_day = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = e.agg(F.countDistinct("user_id")).first()[0]
+    assert set(per_day) == set(exact_per_day)
+    for day, est in per_day.items():
+        # default lgConfigK=12 → relative error well under 5% at these sizes
+        assert abs(est - exact_per_day[day]) <= max(2, 0.05 * exact_per_day[day])
+    assert abs(merged[0] - exact_total) <= max(2, 0.05 * exact_total)
+
+
+def test_hll_union_of_sketches_matches_sketch_of_union(spark):
+    """The merge law: estimating after hll_union_agg over per-day sketches
+    must equal sketching the whole column at once (same lgConfigK)."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    merged = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    assert merged == direct
+
+
+def test_kll_quantiles_within_rank_tolerance(spark):
+    rows = registry.QUERIES["sketch_kll_price_quantiles"](spark, SF_DIR).collect()
+    out = {r["o_orderpriority"]: r for r in rows}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    prices = sorted(r[0] for r in o.select("o_totalprice").collect())
+
+    def exact_rank(v):  # fraction of values <= v
+        import bisect
+
+        return bisect.bisect_right(prices, v) / n
+
+    all_row = out["ALL"]
+    # KLL default k=200 → rank error ~1.65%; allow 3%
+    for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        assert abs(exact_rank(all_row[col]) - q) < 0.03
+
+
+def test_kll_merged_equals_single_sketch_ranks(spark):
+    """Merged per-group KLL quantiles stay within rank tolerance of the
+    exact global quantile — the property that lets per-day sketches answer
+    yearly percentile queries."""
+    rows = registry.QUERIES["sketch_kll_price_quantiles"](spark, SF_DIR).collect()
+    groups = [r for r in rows if r["o_orderpriority"] != "ALL"]
+    assert len(groups) == 5  # TPC-H priorities
+    for r in groups:
+        assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+def test_theta_per_source_estimates(spark):
+    rows = registry.QUERIES["sketch_theta_source_overlap"](spark, SF_DIR).collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from airflow_dags_spark.functions.text import fingerprint
+
+    exact = {
+        r["source"]: r["n"]
+        for r in d.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n"))
+        .collect()
+    }
+    got = {r["source"]: r["est_distinct_docs"] for r in rows}
+    assert set(got) == set(exact)
+    for s, est in got.items():
+        # theta sketches are EXACT below the sampling threshold (~4k)
+        assert abs(est - exact[s]) <= max(1, 0.05 * exact[s])
