@@ -145,3 +145,21 @@ def test_pack_sequences_deterministic(spark):
         d.repartition(13), "doc_id", "n_tokens", budget=512, n_shards=4
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_string_keys_and_null_tokens(spark):
+    """String doc ids (common) must pack — the output key field derives its
+    type from the input schema, not a hardcoded bigint — and rows with null
+    token counts (token_count of null text) are dropped, not a NaN crash
+    inside the pandas fold."""
+    from airflow_dags_spark.operators.export import pack_sequences
+
+    d = spark.createDataFrame(
+        [("doc-a", 100), ("doc-b", 200), ("doc-c", None), ("doc-d", 50)],
+        "doc_uri string, n_tokens bigint",
+    )
+    packed = pack_sequences(d, "doc_uri", "n_tokens", budget=256, n_shards=2)
+    assert packed.schema["doc_uri"].dataType.simpleString() == "string"
+    rows = packed.collect()
+    assert sorted(r.doc_uri for r in rows) == ["doc-a", "doc-b", "doc-d"]
+    assert all(r.n_tokens is not None for r in rows)
