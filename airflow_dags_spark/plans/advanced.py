@@ -496,3 +496,39 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source, {_MIX_SQL_U} AS u FROM documents)
+"""
+
+
+@register("split_train_val_test", SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment on the md5-uniform:
+    membership is a pure function of the key, so the split survives re-runs,
+    engine changes, and incremental corpus growth (a doc never migrates
+    between splits when new docs arrive — the property that keeps eval sets
+    uncontaminated across corpus versions). One narrow projection, no
+    shuffle, no state."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

@@ -83,6 +83,19 @@ def dedup_within_watermark(
     return with_watermark(df, ts_col, delay).dropDuplicates(keys)
 
 
+def dedup_within_watermark_native(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "1 day"
+) -> DataFrame:
+    """T3 via Spark 3.5+ ``dropDuplicatesWithinWatermark``: same contract as
+    ``dedup_within_watermark`` but state eviction is tied to the watermark
+    REGARDLESS of the event-time column being among the keys — duplicates
+    whose event times differ (retries restamped by the producer, the common
+    real-world case) still dedup, while plain ``dropDuplicates(keys+[ts])``
+    would pass them through and ``dropDuplicates(keys)`` holds state
+    forever without a watermark column in the keys."""
+    return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(
     df: DataFrame,
     window_len: str = "1 hour",

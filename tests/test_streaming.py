@@ -449,3 +449,27 @@ def test_groupstate_dedup_ttl_expiry_reemits(spark, tmp_path):
     land(tmp_path, "b2.json", [event(9, "2026-01-01 11:00:00")])
     drain_gs()
     assert [r.event_id for r in spark.read.parquet(out).collect()] == [9, 9]
+
+
+def test_native_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery with a DIFFERENT event
+    time (producer restamped the retry) still dedups on the key — the case
+    plain dropDuplicates(keys + ts) misses."""
+    from airflow_dags_spark.streaming.pipeline import (
+        dedup_within_watermark_native,
+    )
+
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:00:00"),
+            event(1, "2026-01-01 10:03:00"),  # restamped retry: same key
+            event(2, "2026-01-01 10:01:00"),
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    deduped = dedup_within_watermark_native(stream, ["event_id"])
+    out = drain(deduped.select("event_id", "user_id"), tmp_path, "native_dedup")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
