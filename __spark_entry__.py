@@ -32,8 +32,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # front-loads the 47 highest-value yet-unverified oracle-backed queries
 # (writeback k3-k6, CDC/IVM, the LLM dedup/similarity/text/curation set,
 # event-time windows, temporal joins, heavy TPC-H) plus 3 already-green
-# sentinels as regression canaries. Everything else (7 deferred TPC-H,
+# sentinels as regression canaries. Everything else (deferred TPC-H,
 # rows-only ops, round-1-verified queries) follows in stable order.
+#
+# ROUND-3 ROTATION (after CORRECTNESS_r02 lands): replace this list with
+# the remaining unverified set — TPC-H q12/q13/q15/q16/q17/q19/q20/q22,
+# the round-2 additions (scd2_history, timeseries_gap_fill,
+# retention_cohorts, numeric_histogram, training_mix_sample,
+# benchmark_contamination, text_repetition_ratio, unpivot_metrics,
+# split_train_val_test, recursive_cte_spine), and the rows-only ops
+# (sim_ann_ivf_topk, sim_ann_lsh_topk, dedup_minhash_lsh_pairs,
+# dedup_simhash, multimodal_*, text_sentence_split_udtf,
+# export_pack_sequences, sketch_*, agg_approx_stats) so they at least get
+# driver rows-checks; keep 3 green sentinels as canaries.
 DRIVER_PRIORITY = [
     # sentinels (driver-green in round 1)
     "q1_pricing_summary",

@@ -532,3 +532,49 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+
+RECURSIVE_SPINE_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1998-12-01'
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY 1
+"""
+
+
+@register("recursive_cte_spine", RECURSIVE_SPINE_ORACLE)
+def recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` through the SQL surface: a recursive month
+    spine left-joined to orders for zero-filled monthly counts — the SQL
+    front end's answer to the generated-sequence spine in
+    ``timeseries_gap_fill``. Recursion depth is the fixed 84-month range
+    (driver-bounded, one row per step), so the iterative plan is O(depth)
+    tiny local steps followed by ONE join against the fact table."""
+    from airflow_dags_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '1998-12-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY 1
+        """
+    )

@@ -41,6 +41,12 @@ NAMES = [
     "numeric_histogram",
     "training_mix_sample",
     "benchmark_contamination",
+    "text_repetition_ratio",
+    "unpivot_metrics",
+    "split_train_val_test",
+    "recursive_cte_spine",
+    "sketch_hll_daily_users",
+    "sketch_kll_price_quantiles",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
