@@ -578,3 +578,94 @@ def recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier gate (quality filtering on numeric columns)
+# --------------------------------------------------------------------------
+
+IQR_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+         quantile_cont(o_totalprice, 0.75) AS p75
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       CAST(o_totalprice > p75 + 1.5 * (p75 - p25) AS BOOLEAN) AS high
+FROM orders, b
+WHERE o_totalprice < p25 - 1.5 * (p75 - p25)
+   OR o_totalprice > p75 + 1.5 * (p75 - p25)
+"""
+
+
+@register("outlier_iqr_gate", IQR_ORACLE)
+def outlier_iqr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier gate: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR]
+    — the numeric-column twin of the text quality gates. EXACT linear-
+    interpolated percentiles (``percentile`` ≡ DuckDB ``quantile_cont``:
+    identical interpolation arithmetic, so the fence doubles are
+    bit-identical and row membership oracle-stable). The 1-row bounds
+    aggregate broadcasts; the gate is then a streamed filter — at 100 TB
+    swap the exact percentile for the KLL sketch (plans/sketches.py) and
+    the shape is unchanged."""
+    o = read_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("o_totalprice") < F.col("p25") - 1.5 * iqr)
+            | (F.col("o_totalprice") > F.col("p75") + 1.5 * iqr)
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") > F.col("p75") + 1.5 * iqr).alias("high"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level exact dedup (composed: chunk_text -> hash-groupBy)
+# --------------------------------------------------------------------------
+
+from airflow_dags_spark.plans.llm import CHUNK_ORACLE as _CHUNK_SQL  # noqa: E402
+
+DEDUP_CHUNKS_ORACLE = f"""
+WITH chunks AS ({_CHUNK_SQL})
+SELECT md5(chunk) AS chunk_fp,
+       MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM chunks
+WHERE n_tokens > 0
+GROUP BY 1
+"""
+
+
+@register("dedup_chunks", DEDUP_CHUNKS_ORACLE)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: slide 64-token windows over every doc
+    (functions/text.py:chunk_text), fingerprint each chunk, keep the
+    min-doc survivor per fingerprint — the boilerplate-paragraph removal
+    pass that document-level dedup misses (shared headers/footers inside
+    otherwise-unique docs).
+
+    Composed entirely from existing operators: the chunker's zero-shuffle
+    codegen map stage feeds the same one-shuffle hash-groupBy as
+    ``dedup_exact``; the shuffle carries one row per DISTINCT chunk hash
+    (map-side partial agg), not per chunk."""
+    from airflow_dags_spark.functions.text import chunk_text
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_text(d, "text", "doc_id", chunk_size=64, overlap=16)
+    return (
+        chunks.where(F.col("n_tokens") > 0)
+        .groupBy(F.md5("chunk").alias("chunk_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -344,6 +344,8 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",
     # 1-row global-bounds broadcast feeding the generated time spine:
     "timeseries_gap_fill",
+    # 1-row percentile-fence broadcast ahead of the streamed gate:
+    "outlier_iqr_gate",
 }
 
 
