@@ -1,0 +1,150 @@
+"""Iterative graph operators beyond connected components: PageRank.
+
+PageRank over entity graphs (customer→supplier purchase edges, doc→doc
+near-dup candidate edges) ranks entities by link structure — the
+importance/centrality signal a curation pipeline uses to weight sources or
+pick canonical cluster representatives.
+
+Same scale discipline as ``dedup.connected_components``:
+
+- per-round rank state is double-buffered through parquet, which truncates
+  ALL lineage each round (localCheckpoint retains the origin plan and its
+  hidden tree grows geometrically with three references per iteration —
+  measured on cc, documented at ``dedup.py:connected_components``);
+- each round is ONE contribution shuffle (edges ⋈ ranks on src, grouped on
+  dst) plus a tiny 1-row aggregate for dangling mass and convergence; at
+  100 TB ranks/edges co-partition on the join key across rounds — the
+  standard Pregel iteration cost;
+- dangling (sink) mass is redistributed uniformly each round so total rank
+  stays 1 (the textbook correction; dropping it makes ranks leak).
+
+Floating-point sums vary in the last ulp with partition order → rows-only
+driver check; tests/test_graph.py bounds the result against an exact numpy
+power iteration at 1e-9 L1.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from airflow_dags_spark.operators.dedup import _delete_path
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """PageRank of ``nodes`` over directed ``edges``. Returns
+    ``(node_col, rank)`` summing to 1. Converges when the L1 delta between
+    rounds drops under ``tol`` (checked with one scalar aggregate per
+    round, never a driver-side rank collect)."""
+    spark = nodes.sparkSession
+    self_created = False
+    if state_dir is None:
+        state_dir = spark.sparkContext.getCheckpointDir()
+    if state_dir is None:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="spark_graft_pr_")
+        self_created = True
+    base = state_dir.rstrip("/") + "/pr-" + uuid.uuid4().hex
+
+    def materialize(df: DataFrame, name: str) -> DataFrame:
+        path = f"{base}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        _cleanup(spark, base, state_dir, self_created)
+        return nodes.select(
+            F.col(node_col).alias(node_col), F.lit(0.0).alias("rank")
+        )
+
+    e = materialize(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct(),
+        "edges",
+    )
+    # out-degrees once; nodes with no out-edges are dangling sinks
+    deg = materialize(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "deg"
+    )
+    ranks = materialize(
+        nodes.select(
+            F.col(node_col).alias("node"),
+            F.lit(1.0 / n_nodes).alias("rank"),
+        ),
+        "ranks-0",
+    )
+
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(max_iter):
+        with_deg = ranks.join(deg, ranks.node == deg.src, "left")
+        # mass of dangling nodes, redistributed uniformly
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = materialize(
+            ranks.select("node")
+            .join(contribs, ranks.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
+                ).alias("rank"),
+            ),
+            f"ranks-{(i + 1) % 2}",
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), F.col("n.node") == F.col("o.node"))
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+
+    result = ranks.select(
+        F.col("node").alias(node_col), F.col("rank")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    _cleanup(spark, base, state_dir, self_created)
+    return result
+
+
+def _cleanup(spark, base: str, state_dir: str, self_created: bool) -> None:
+    try:
+        _delete_path(spark, state_dir if self_created else base)
+    except Exception:
+        pass  # leaked state dir is recoverable
+
+
+__all__ = ["pagerank"]
