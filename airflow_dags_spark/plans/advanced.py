@@ -705,3 +705,68 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(c.unionByName(s), edges, max_iter=10, tol=1e-9)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (A-Res reservoir) + quantile normalization
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars,
+             POWER({_MIX_SQL_U}, 1.0 / GREATEST(n_chars, 1)) AS p
+      FROM documents)
+ORDER BY p DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("weighted_sample_ares", WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    key = u^(1/w), take the top-k — here weighting docs by length, the
+    upsample-by-quality primitive of training-mix construction. The
+    md5-uniform makes the sample deterministic AND cross-engine identical
+    (vs rand()-based reservoirs). Top-k compiles to TakeOrderedAndProject:
+    per-partition heaps, no global sort — O(k·partitions) at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select("doc_id", "source", "n_chars", p.alias("__p"))
+        .orderBy(F.desc("__p"), F.asc("doc_id"))
+        .limit(100)
+        .drop("__p")
+    )
+
+
+QUANTILE_NORM_ORACLE = """
+SELECT doc_id, source,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), 9) + 0.0
+         AS length_quantile
+FROM documents
+"""
+
+
+@register("quantile_normalize_lengths", QUANTILE_NORM_ORACLE)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each doc's length to its within-source
+    percent rank — the distribution-free feature scaling that makes length
+    gates comparable across sources with wildly different length profiles.
+    percent_rank is exact integer-rank arithmetic ((rank-1)/(n-1)): hash-
+    identical across engines, unlike any mean/std-based scaler. One window
+    shuffle per source partition."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        (F.round(F.percent_rank().over(w), 9) + F.lit(0.0)).alias(
+            "length_quantile"
+        ),
+    )

@@ -317,6 +317,14 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "lambdafunction" not in plan
 
 
+def test_weighted_sample_uses_takeordered_not_global_sort(spark):
+    """A-Res weighted top-k must compile to TakeOrderedAndProject (per-
+    partition heaps), never a full sort of the corpus."""
+    plan = plan_of(spark, "weighted_sample_ares")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_training_mix_is_scan_plus_filter_only(spark):
     """Weighted deterministic sampling is one narrow pass: no exchange, no
     Python, whole-stage codegen all the way."""
