@@ -770,3 +770,42 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "length_quantile"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Join strategy hints (physical control surface)
+# --------------------------------------------------------------------------
+
+JOIN_HINT_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("join_hint_shuffle_merge", JOIN_HINT_ORACLE)
+def join_hint_shuffle_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with an explicit MERGE (sort-merge) hint: the
+    physical-control surface for when the optimizer's size estimates are
+    wrong (a common 100 TB failure: a 'small' side that broadcasts at
+    planning time but explodes at runtime). Same result set as the
+    unhinted join — the hint is purely physical, which is exactly what the
+    oracle hash-match proves."""
+    o = read_table(spark, sf_dir, "orders").hint("merge")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+    )

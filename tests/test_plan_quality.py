@@ -317,6 +317,14 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "lambdafunction" not in plan
 
 
+def test_join_hint_forces_sort_merge(spark):
+    """The MERGE hint must override the optimizer's broadcast choice — the
+    escape hatch for wrong size estimates at lake scale."""
+    plan = plan_of(spark, "join_hint_shuffle_merge")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_weighted_sample_uses_takeordered_not_global_sort(spark):
     """A-Res weighted top-k must compile to TakeOrderedAndProject (per-
     partition heaps), never a full sort of the corpus."""
