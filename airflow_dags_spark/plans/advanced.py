@@ -809,3 +809,32 @@ def join_hint_shuffle_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) join with lossless length-bucket pruning
+# --------------------------------------------------------------------------
+
+FUZZY_JOIN_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("fuzzy_join_part_names", FUZZY_JOIN_ORACLE)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join of part names within a brand (entity-
+    resolution blocking): pairs within 2 edits. The Spark side prunes with
+    the lossless length-bucket candidate join (operators/fuzzy.py); the
+    oracle is DuckDB's BRUTE-FORCE all-pairs form — hash-identical results
+    prove the pruning drops nothing, which is the entire correctness
+    burden of a candidate-filtered join."""
+    from airflow_dags_spark.operators.fuzzy import fuzzy_self_join
+
+    p = read_table(spark, sf_dir, "part")
+    return fuzzy_self_join(
+        p, "p_name", "p_partkey", max_dist=2, scope_cols=["p_brand"]
+    )

@@ -111,3 +111,38 @@ def test_contamination_benchmark_docs_never_self_report(spark):
     rows = registry.QUERIES["benchmark_contamination"](spark, SF_DIR).collect()
     assert all(r.doc_id % 97 != 0 for r in rows)  # bench set excluded
     assert all(r.n_shared_shingles > 0 for r in rows)  # inner join: hits only
+
+
+def test_fuzzy_self_join_matches_brute_force(spark):
+    """Length-bucket pruning is lossless: pruned result == all-pairs result,
+    including pairs whose lengths straddle a bucket boundary."""
+    from airflow_dags_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "abc"), (2, "abcd"),        # dist 1, lengths 3/4 straddle buckets
+        (3, "abc"),                      # dist 0 duplicate of 1
+        (4, "xyzzy"), (5, "xyzzy!"),     # dist 1
+        (6, "completely different"),     # matches nothing
+        (7, "ab"), (8, "abcde"),         # dist 3 from each other: excluded
+    ]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(df, "name", "k", max_dist=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (ka, kb, lev(na, nb))
+        for (ka, na), (kb, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 2
+    }
+    assert got == want
