@@ -838,3 +838,86 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(
         p, "p_name", "p_partkey", max_dist=2, scope_cols=["p_brand"]
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS et
+  FROM events
+),
+d AS (
+  SELECT DISTINCT CASE WHEN event_type = 'click' THEN NULL ELSE event_type END
+           AS et,
+         CASE WHEN event_type = 'click' THEN 'unattributed'
+              ELSE event_type END AS label
+  FROM events
+)
+SELECT e.event_id, d.label
+FROM e JOIN d ON e.et IS NOT DISTINCT FROM d.et
+"""
+
+
+@register("join_null_safe", NULL_SAFE_JOIN_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` ≡ IS NOT DISTINCT FROM): NULL keys
+    match NULL keys — the join semantics dimension tables with an explicit
+    'unknown' member need (a plain equi-join silently drops every NULL-key
+    row). Still a hash join: the null-safe operator is a join KEY, not a
+    residual filter."""
+    e = read_table(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    ev = e.select("event_id", et.alias("et"))
+    dim = (
+        e.select(
+            et.alias("et"),
+            F.when(F.col("event_type") == "click", "unattributed")
+            .otherwise(F.col("event_type"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return ev.join(dim, ev.et.eqNullSafe(dim.et)).select("event_id", "label")
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window (trailing interval aggregate)
+# --------------------------------------------------------------------------
+
+RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS trailing_90d_spend
+FROM orders
+"""
+
+
+@register("window_range_frame_trailing", RANGE_FRAME_ORACLE)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day spend per customer via a RANGE (value-based) window
+    frame — unlike ROWS frames, the frame width follows EVENT TIME, so
+    sparse and dense customers get the same semantic window. One shuffle on
+    the partition key; decimal sums keep the trailing aggregate engine-
+    exact."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_rf")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS trailing_90d_spend
+        FROM __orders_rf
+        """
+    )
