@@ -47,6 +47,14 @@ NAMES = [
     "recursive_cte_spine",
     "sketch_hll_daily_users",
     "sketch_kll_price_quantiles",
+    "outlier_iqr_gate",
+    "dedup_chunks",
+    "weighted_sample_ares",
+    "join_hint_shuffle_merge",
+    "fuzzy_join_part_names",
+    "join_null_safe",
+    "window_range_frame_trailing",
+    "graph_pagerank_purchases",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
