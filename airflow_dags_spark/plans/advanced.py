@@ -921,3 +921,61 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __orders_rf
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct count over a window (Spark-gap rewrite)
+# --------------------------------------------------------------------------
+
+CUM_DISTINCT_ORACLE = """
+SELECT DISTINCT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+       ) AS cum_distinct_users
+FROM events
+"""
+
+
+@register("window_cumulative_distinct", CUM_DISTINCT_ORACLE)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per series over time — ``COUNT(DISTINCT)
+    OVER`` exists in the oracle's SQL dialect but NOT in Spark's window
+    functions, so the engine rewrites it: each user's FIRST day per series
+    contributes 1, and the running count is a plain cumulative sum of new-
+    user counts. Two hash shuffles total ((series,user) first-day agg +
+    (series,day) count), then a tiny per-series window — no distinct state
+    carried per row, which is also WHY this form scales where a literal
+    windowed-distinct (per-row growing hash set) cannot."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = (
+        e.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    new_per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    # the output keeps every (series, day) PRESENT IN THE DATA (oracle rows
+    # come from event rows), so join the day universe back in
+    days = e.select("event_type", F.to_date("ts").alias("day")).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(new_per_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias(
+                "cum_distinct_users"
+            ),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cum_distinct_users",
+        )
+    )
