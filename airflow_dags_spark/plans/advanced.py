@@ -979,3 +979,125 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total (windowed ratio-to-report)
+# --------------------------------------------------------------------------
+
+SHARE_ORACLE = """
+WITH n AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       ROUND(revenue, 2) AS revenue,
+       revenue / SUM(revenue) OVER (PARTITION BY region) AS region_share,
+       revenue / SUM(revenue) OVER () AS global_share
+FROM n
+"""
+
+
+@register("share_of_total", SHARE_ORACLE)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region and
+    of the world — THE BI denominator pattern (unbounded window sums over a
+    pre-aggregated frame). Heavy lifting is the one grouped aggregate; the
+    window sums run over |nations| rows. Decimal sums make the shares raw
+    IEEE divisions of exact values — no rounding ties."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        (F.col("revenue") / F.sum("revenue").over(w_region)).alias(
+            "region_share"
+        ),
+        (F.col("revenue") / F.sum("revenue").over(w_all)).alias("global_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity sweep (data-quality anti-joins)
+# --------------------------------------------------------------------------
+
+DQ_REFS_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+"""
+
+
+@register("dq_referential_integrity", DQ_REFS_ORACLE)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: orphan counts for every FK edge in the
+    schema — the lakehouse replacement for the FOREIGN KEY constraints the
+    reference's Postgres enforced (SURVEY §1.5: uniqueness/integrity move
+    from constraints to checks). Each edge is one LeftAnti hash join whose
+    small side broadcasts; counts are exact and the expected value is 0,
+    so the query doubles as a CI data gate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+
+    # ONE lazy plan (union of 1-row aggregates), no driver-side counting —
+    # all four anti-joins execute in a single action
+    def orphans(fk_name, child, child_key, parent, parent_key):
+        return (
+            child.join(
+                parent, child[child_key] == parent[parent_key], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(fk_name).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        orphans("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
