@@ -30,6 +30,16 @@ from airflow_dags_spark.operators.maintenance import (
     table_diff,
     zorder_layout,
 )
+from airflow_dags_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    semantic_dedup,
+)
+from airflow_dags_spark.operators.skipping import (
+    collect_file_stats,
+    prune_files,
+    read_with_skipping,
+)
 from airflow_dags_spark.operators.multimodal import (
     attach_payload_metadata,
     decode_payload,
@@ -69,6 +79,12 @@ __all__ = [
     "merge_agg_state",
     "table_diff",
     "zorder_layout",
+    "assign_clusters",
+    "kmeans_fit",
+    "semantic_dedup",
+    "collect_file_stats",
+    "prune_files",
+    "read_with_skipping",
     "attach_payload_metadata",
     "decode_payload",
     "extract_features",

@@ -252,6 +252,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_semantic_embedding", None)  # k-means fit is engine-internal
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: distributed
+    spherical k-means partitions the corpus, exact cosine runs only inside
+    clusters, min-key survivor wins. Reports the per-cluster prune summary
+    (corpus size, survivors, max within-cluster duplicate similarity).
+
+    Rows-only for the driver (the quantizer fit is not SQL-expressible);
+    exactness vs a global numpy brute-force of the same rule is
+    pytest-checked (tests/test_clustering.py)."""
+    from airflow_dags_spark.operators.clustering import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    marked = semantic_dedup(emb, 0.15, n_clusters=8)
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.max("best_lower_sim").alias("max_dup_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
 TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
   LENGTH(text) AS n_chars,

@@ -247,3 +247,113 @@ def test_redact_pii_patterns(spark):
     assert got[1] == "mail <EMAIL> now"
     assert got[2] == "call <PHONE> today"
     assert got[3] == "no pii here at all"
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (operators/skipping.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_range_sorted(spark, path: str, n_files: int = 8):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (
+        o.repartitionByRange(n_files, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return o
+
+
+def test_file_stats_cover_all_rows(spark, tmp_path):
+    from airflow_dags_spark.operators.skipping import collect_file_stats
+
+    path = str(tmp_path / "t")
+    o = _write_range_sorted(spark, path)
+    stats = collect_file_stats(spark, path, ["o_orderdate", "o_totalprice"])
+    rows = stats.collect()
+    assert len(rows) == 8
+    assert sum(r["n_rows"] for r in rows) == o.count()
+    for r in rows:
+        assert r["min_o_orderdate"] <= r["max_o_orderdate"]
+
+
+def test_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_dags_spark.operators.skipping import (
+        collect_file_stats,
+        prune_files,
+        read_with_skipping,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    o = _write_range_sorted(spark, path)
+    stats = collect_file_stats(spark, path, ["o_orderdate"])
+    lo, hi = dt.date(1995, 6, 1), dt.date(1995, 8, 31)
+
+    kept = prune_files(stats, "o_orderdate", lo, hi)
+    assert 0 < len(kept) < 8, f"range-sorted layout should prune files: {kept}"
+
+    got = read_with_skipping(spark, path, "o_orderdate", lo, hi, stats=stats)
+    want = o.where(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+
+
+def test_skipping_empty_range_returns_empty_with_schema(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_dags_spark.operators.skipping import read_with_skipping
+
+    path = str(tmp_path / "t")
+    _write_range_sorted(spark, path)
+    got = read_with_skipping(
+        spark, path, "o_orderdate", dt.date(2099, 1, 1), dt.date(2099, 2, 1)
+    )
+    assert got.count() == 0
+    assert "o_orderkey" in got.columns
+
+
+def test_skipping_open_ended_bounds(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_dags_spark.operators.skipping import (
+        collect_file_stats,
+        read_with_skipping,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    o = _write_range_sorted(spark, path)
+    stats = collect_file_stats(spark, path, ["o_orderdate"])
+    hi = dt.date(1993, 1, 1)
+    got = read_with_skipping(spark, path, "o_orderdate", None, hi, stats=stats)
+    want = o.where(F.col("o_orderdate") <= F.lit(hi)).count()
+    assert got.count() == want
+
+
+def test_skipping_keeps_all_null_stat_files(spark, tmp_path):
+    """A file whose column is entirely NULL has NULL min/max — it must be
+    kept (cannot prove non-overlap), and the residual filter drops its rows."""
+    from airflow_dags_spark.operators.skipping import (
+        collect_file_stats,
+        prune_files,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") < 50, F.col("id")).alias("v"),
+    )
+    base.where("id < 50").coalesce(1).write.mode("overwrite").parquet(path)
+    base.where("id >= 50").coalesce(1).write.mode("append").parquet(path)
+    stats = collect_file_stats(spark, path, ["v"])
+    assert stats.count() == 2
+    kept = prune_files(stats, "v", 10, 20)
+    assert len(kept) == 2  # null-stats file conservatively survives

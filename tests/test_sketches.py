@@ -97,3 +97,83 @@ def test_theta_per_source_estimates(spark):
     for s, est in got.items():
         # theta sketches are EXACT below the sampling threshold (~4k)
         assert abs(est - exact[s]) <= max(1, 0.05 * exact[s])
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom / Count-Min (functions/probabilistic.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from airflow_dags_spark.functions.probabilistic import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    bloom = bloom_build(o, "o_custkey")
+    # at tiny SF every customer has orders — add definitely-absent keys so
+    # the false-positive branch is exercised
+    probes = c.select("c_custkey").unionByName(
+        c.select((F.col("c_custkey") + 10_000_000).alias("c_custkey"))
+    )
+    probed = bloom_might_contain(bloom, probes, "c_custkey")
+    present = {r[0] for r in o.select("o_custkey").distinct().collect()}
+    rows = probed.collect()
+    fp = 0
+    absent = 0
+    for r in rows:
+        if r["c_custkey"] in present:
+            assert r["might_contain"], "Bloom false negative is impossible"
+        else:
+            absent += 1
+            fp += int(r["might_contain"])
+    assert absent > 0
+    # m=65536, k=4 sized for ~4% FP at sf0.1; tiny sf0.001 load → well under
+    assert fp <= max(2, 0.1 * absent)
+
+
+def test_bloom_merge_equals_bloom_of_union(spark):
+    from airflow_dags_spark.functions.probabilistic import bloom_build, bloom_merge
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    left = o.where(F.col("o_orderkey") % 2 == 0)
+    right = o.where(F.col("o_orderkey") % 2 == 1)
+    merged = bloom_merge(
+        bloom_build(left, "o_custkey"), bloom_build(right, "o_custkey")
+    )
+    whole = bloom_build(o, "o_custkey")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_cms_overestimates_and_merge_law(spark):
+    from airflow_dags_spark.functions.probabilistic import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cms = cms_build(li, "l_suppkey")
+    truth = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(cms, truth, "l_suppkey").collect()
+    assert est, "no keys estimated"
+    for r in est:
+        assert r["cms_est"] >= r["true_cnt"], f"CMS underestimated {r}"
+
+    halves = [li.where(F.col("l_orderkey") % 2 == i) for i in (0, 1)]
+    merged = cms_merge(*[cms_build(h, "l_suppkey") for h in halves])
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in cms.collect()}
+
+
+def test_cms_exact_when_width_exceeds_cardinality_margin(spark):
+    """With enough width the chance of a full-depth collision chain is
+    negligible — estimates collapse to exact counts (sanity of the min-rule)."""
+    from airflow_dags_spark.functions.probabilistic import cms_build, cms_estimate
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cms = cms_build(li, "l_suppkey", depth=6, width=1 << 16)
+    truth = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    for r in cms_estimate(cms, truth, "l_suppkey", depth=6, width=1 << 16).collect():
+        assert r["cms_est"] == r["true_cnt"]
