@@ -44,7 +44,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (sim_ann_ivf_topk, sim_ann_lsh_topk, dedup_minhash_lsh_pairs,
 # dedup_simhash, multimodal_*, text_sentence_split_udtf,
 # export_pack_sequences, sketch_*, agg_approx_stats) so they at least get
-# driver rows-checks; keep 3 green sentinels as canaries.
+# driver rows-checks; keep 3 green sentinels as canaries. Round-2
+# continuation also added these oracle-backed queries to rotate in:
+# sketch_bloom_membership, sketch_cms_heavy_hitters, timeseries_ewma_final,
+# anomaly_seasonal_zscore, k7_delete_keys (+ rows-only
+# dedup_semantic_embedding).
 DRIVER_PRIORITY = [
     # sentinels (driver-green in round 1)
     "q1_pricing_summary",

@@ -223,17 +223,7 @@ class ParquetTable:
         # LITERALS — static partition pruning at planning time (PartitionFilters
         # on the scan), no reliance on runtime dynamic pruning of a semi-join
         touched_rows = clean.select(*self.partition_by).distinct().collect()
-        if len(self.partition_by) == 1:
-            p = self.partition_by[0]
-            pred = F.col(p).isin([r[0] for r in touched_rows])
-        else:
-            pred = F.lit(False)
-            for r in touched_rows:
-                conj = F.lit(True)
-                for p in self.partition_by:
-                    conj = conj & (F.col(p) == F.lit(r[p]))
-                pred = pred | conj
-        tgt = self.read().where(pred)
+        tgt = self.read().where(self._partition_pred(touched_rows))
         merged = self._merged_frame(tgt, clean, update_cols)
         # stage first: the merged plan reads the very partitions the dynamic
         # overwrite replaces, and Spark (correctly) refuses read-write cycles
@@ -249,6 +239,120 @@ class ParquetTable:
             )
         finally:
             fs.delete(hpath(stage), True)
+
+    def vacuum_orphans(self) -> list[str]:
+        """Remove leftover ``.stage-*`` / ``.old-*`` sibling dirs from
+        crashed mid-swap writes (the documented self-healing path of
+        ``_atomic_overwrite``). Safe anytime: live data never lives in a
+        stage dir — a crash before the swap leaves the target untouched,
+        a crash after it leaves only the disposable backup."""
+        jvm, fs = self._fs()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        me = hpath(self.path)
+        parent = me.getParent()
+        if parent is None or not fs.exists(parent):
+            return []
+        name = me.getName()
+        removed: list[str] = []
+        for st in fs.listStatus(parent):
+            n = st.getPath().getName()
+            if n.startswith(f"{name}.stage-") or n.startswith(f"{name}.old-"):
+                fs.delete(st.getPath(), True)
+                removed.append(n)
+        return removed
+
+    def delete_where(self, predicate: Column) -> None:
+        """Keyed DELETE by predicate — the missing verb of the reference's
+        CRUD surface (Postgres ``DELETE FROM ... WHERE``; also the GDPR/
+        right-to-erasure path a lake table needs).
+
+        NULL predicate rows are KEPT (SQL DELETE semantics: only rows where
+        the predicate is TRUE are removed).
+
+        Unpartitioned: atomic swap of the retained set (the plain-parquet
+        full-rewrite tax, same as merge). Partitioned: only partitions that
+        CONTAIN matching rows are rewritten — O(touched), not O(table);
+        partitions left empty by the delete have their directories removed
+        (dynamic overwrite alone cannot express an empty partition)."""
+        keep = ~F.coalesce(predicate, F.lit(False))
+        if not self.exists():
+            return
+        if not self.partition_by:
+            self._atomic_overwrite(self.read().where(keep))
+            return
+        touched = (
+            self.read().where(predicate).select(*self.partition_by).distinct().collect()
+        )
+        if not touched:
+            return
+        remaining = self.read().where(self._partition_pred(touched)).where(keep)
+        self._rewrite_touched_partitions(remaining, touched)
+
+    def delete_keys(self, keys_df: DataFrame) -> None:
+        """Keyed DELETE by key set (anti-join form): remove every row whose
+        key appears in ``keys_df``. With a partitioned target the touched
+        partitions come from target⋈keys (broadcast the key batch), so the
+        rewrite is O(partitions containing those keys)."""
+        if not self.exists():
+            return
+        keys = keys_df.select(*self.keys).distinct()
+        for k in self.keys:
+            keys = keys.where(F.col(k).isNotNull())
+        if not self.partition_by:
+            tgt = self.read()
+            self._atomic_overwrite(tgt.join(keys, self._join_cond(tgt, keys), "left_anti"))
+            return
+        tgt = self.read()
+        matches = tgt.join(F.broadcast(keys), self._join_cond(tgt, keys), "left_semi")
+        touched = matches.select(*self.partition_by).distinct().collect()
+        if not touched:
+            return
+        scoped = self.read().where(self._partition_pred(touched))
+        remaining = scoped.join(keys, self._join_cond(scoped, keys), "left_anti")
+        self._rewrite_touched_partitions(remaining, touched)
+
+    def _rewrite_touched_partitions(self, remaining: DataFrame, touched) -> None:
+        """Stage → dynamic overwrite of partitions that still have rows;
+        partitions the operation left EMPTY get their directories removed
+        (dynamic overwrite alone cannot express an empty partition)."""
+        jvm, fs = self._fs()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        remaining.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        try:
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(self.path)
+            )
+            still = {
+                tuple(r[p] for p in self.partition_by)
+                for r in staged.select(*self.partition_by).distinct().collect()
+            }
+            for r in touched:
+                vals = tuple(r[p] for p in self.partition_by)
+                if vals not in still:
+                    sub = "/".join(
+                        f"{p}={v}" for p, v in zip(self.partition_by, vals)
+                    )
+                    fs.delete(hpath(f"{self.path}/{sub}"), True)
+        finally:
+            fs.delete(hpath(stage), True)
+
+    def _partition_pred(self, touched_rows) -> Column:
+        """Literal partition predicate → static pruning at planning time."""
+        if len(self.partition_by) == 1:
+            p = self.partition_by[0]
+            return F.col(p).isin([r[0] for r in touched_rows])
+        pred = F.lit(False)
+        for r in touched_rows:
+            conj = F.lit(True)
+            for p in self.partition_by:
+                conj = conj & (F.col(p) == F.lit(r[p]))
+            pred = pred | conj
+        return pred
 
     def advance_watermark(
         self, processed_keys: DataFrame, watermark_col: str, value

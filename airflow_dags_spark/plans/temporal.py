@@ -7,7 +7,7 @@ are full oracle-checked queries, not rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_dags_spark.operators.temporal import asof_join, range_join
@@ -89,4 +89,106 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "signup_id",
         F.round("value", 4).alias("event_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing — recursive state, engine-portable via a list fold
+# --------------------------------------------------------------------------
+
+EWMA_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("timeseries_ewma_final", EWMA_ORACLE)
+def timeseries_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α=0.3, s₁=x₁ recursion) of each user's value series.
+
+    No window frame expresses the recursion, so the plan folds
+    ``aggregate(array_sort(collect_list(struct)))`` — ONE shuffle keyed by
+    user, per-key memory bounded by that key's series. DuckDB's
+    ``list_reduce`` reproduces the identical fold (same order, same float
+    sequence) → exact oracle. For labeling EVERY row, or series too long to
+    collect per key, use ``functions/timeseries.py:ewma_per_row``
+    (applyInPandas, O(1) state)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        F.col("seq"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            x["value"] * F.lit(0.3) + acc * F.lit(0.7)
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(fold, 6).alias("ewma_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal anomaly detection — z-score vs (event_type, hour-of-day) baseline
+# --------------------------------------------------------------------------
+
+ANOMALY_ORACLE = """
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, value
+  FROM events WHERE value IS NOT NULL
+),
+scored AS (
+  SELECT event_type,
+         CASE WHEN stddev_samp(value) OVER w > 0
+              THEN ROUND(abs((value - avg(value) OVER w)
+                             / stddev_samp(value) OVER w), 6)
+         END AS az
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, hod)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       ROUND(max(az), 4) + 0.0 AS max_abs_z
+FROM scored
+GROUP BY event_type
+"""
+
+
+@register("anomaly_seasonal_zscore", ANOMALY_ORACLE)
+def anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scan: z-score every event against its
+    (event_type, hour-of-day) population, count |z| > 3 outliers per type.
+
+    One exchange on (event_type, hod) feeds both window moments (mean +
+    stddev share the frame), then a map-side-combinable count rollup —
+    the monitoring query a 100 TB event lake runs hourly. z rounded at 6dp
+    BEFORE thresholding so the cutoff cannot flip on engine ulp noise."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select("event_type", F.hour("ts").alias("hod"), "value")
+    w = Window.partitionBy("event_type", "hod")
+    s = F.stddev_samp("value").over(w)
+    az = F.when(
+        s > 0, F.round(F.abs((F.col("value") - F.avg("value").over(w)) / s), 6)
+    )
+    return (
+        base.withColumn("az", az)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("az") > 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            (F.round(F.max("az"), 4) + F.lit(0.0)).alias("max_abs_z"),
+        )
     )

@@ -232,3 +232,24 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_v"), 2).cast("double").alias("sum_price"),
         F.col("cnt"),
     )
+
+
+K7_ORACLE = f"""
+WITH tgt AS ({_TGT_SQL}),
+del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+SELECT t.* FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = t.o_orderkey)
+"""
+
+
+@register("k7_delete_keys", K7_ORACLE)
+def k7_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — keyed DELETE as the anti-join result set (the dataflow form of
+    ``ParquetTable.delete_keys``; the physical write path — touched-partition
+    pruning + empty-partition directory removal — is pytest round-tripped in
+    tests/test_upsert.py). The anti-join broadcasts the (small) key batch
+    and streams the target: O(batch ⋈ touched), never O(table) compute."""
+    tgt = _target(spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    del_keys = o.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    return tgt.join(del_keys, "o_orderkey", "left_anti")

@@ -60,3 +60,81 @@ def register_views(
     end-to-end — the engine analog of the reference's named Postgres tables."""
     for name in names:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_evolved(
+    spark: SparkSession,
+    *paths: str,
+    type_widening: bool = True,
+) -> DataFrame:
+    """Schema-drift-tolerant scan across table snapshots/landing batches.
+
+    A long-lived ingest path accumulates files written under different
+    schema versions (columns added, columns retired, ints widened). Spark's
+    ``mergeSchema`` handles ADDED columns but hard-fails on type changes;
+    this reader aligns every snapshot to the UNION schema explicitly:
+
+    - columns present in some snapshots only → null-filled elsewhere
+      (``unionByName(allowMissingColumns=True)``);
+    - integer/float width drift (int→bigint, float→double) → widened to the
+      widest observed type BEFORE the union, so `mergeSchema`'s failure
+      mode is handled instead of raised;
+    - genuinely incompatible redefinitions (e.g. string→struct) still
+      raise — silent coercion would corrupt data.
+
+    Each snapshot stays one independent parquet scan (pushdown/pruning
+    intact); the union is plan-level, no data movement beyond the scans.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    _int_rank = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+    _flt_rank = {FloatType: 0, DoubleType: 1}
+
+    dfs = [spark.read.parquet(p) for p in paths]
+
+    def _widest(a, b):
+        if type(a) is type(b):
+            return a
+        if type(a) in _int_rank and type(b) in _int_rank:
+            return a if _int_rank[type(a)] >= _int_rank[type(b)] else b
+        if type(a) in _flt_rank and type(b) in _flt_rank:
+            return a if _flt_rank[type(a)] >= _flt_rank[type(b)] else b
+        if type(a) in _int_rank and type(b) in _flt_rank:
+            return b
+        if type(a) in _flt_rank and type(b) in _int_rank:
+            return a
+        raise TypeError(
+            f"incompatible schema drift: {a.simpleString()} vs {b.simpleString()}"
+        )
+
+    target: dict = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name in target and type_widening:
+                target[f.name] = _widest(target[f.name], f.dataType)
+            elif f.name not in target:
+                target[f.name] = f.dataType
+
+    aligned = []
+    for df in dfs:
+        cols = []
+        for f in df.schema.fields:
+            want = target[f.name]
+            cols.append(
+                df[f.name].cast(want).alias(f.name)
+                if f.dataType != want
+                else df[f.name]
+            )
+        aligned.append(df.select(*cols))
+
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -55,6 +55,12 @@ NAMES = [
     "join_null_safe",
     "window_range_frame_trailing",
     "graph_pagerank_purchases",
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "timeseries_ewma_final",
+    "anomaly_seasonal_zscore",
+    "k7_delete_keys",
+    "dedup_semantic_embedding",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -357,3 +357,50 @@ def test_skipping_keeps_all_null_stat_files(spark, tmp_path):
     assert stats.count() == 2
     kept = prune_files(stats, "v", 10, 20)
     assert len(kept) == 2  # null-stats file conservatively survives
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution reader (sources/tables.py:read_evolved)
+# ---------------------------------------------------------------------------
+
+
+def test_read_evolved_added_column_and_widened_int(spark, tmp_path):
+    from airflow_dags_spark.sources.tables import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, 10)], "id int, n int").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, 20_000_000_000, "x")], "id int, n bigint, tag string"
+    ).write.parquet(v2)
+    out = read_evolved(spark, v1, v2)
+    assert dict(out.dtypes) == {"id": "int", "n": "bigint", "tag": "string"}
+    rows = {r["id"]: (r["n"], r["tag"]) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20_000_000_000, "x")}
+
+
+def test_read_evolved_float_widening_and_retired_column(spark, tmp_path):
+    from airflow_dags_spark.sources.tables import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, 1.5, "old")], "id int, x float, legacy string").write.parquet(v1)
+    spark.createDataFrame([(2, 2.5)], "id int, x double").write.parquet(v2)
+    out = read_evolved(spark, v1, v2)
+    assert dict(out.dtypes)["x"] == "double"
+    rows = {r["id"]: (r["x"], r["legacy"]) for r in out.collect()}
+    assert rows[2] == (2.5, None)
+    assert rows[1][1] == "old"
+
+
+def test_read_evolved_incompatible_drift_raises(spark, tmp_path):
+    import pytest
+
+    from airflow_dags_spark.sources.tables import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "s")], "id int, v string").write.parquet(v1)
+    spark.createDataFrame([(2, 3)], "id int, v int").write.parquet(v2)
+    with pytest.raises(TypeError, match="incompatible schema drift"):
+        read_evolved(spark, v1, v2)

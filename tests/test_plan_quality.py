@@ -372,3 +372,43 @@ def test_no_accidental_cartesian_or_nested_loop(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bloom_probe_broadcasts_filter_table(spark):
+    """The Bloom word table (≤ m/32 rows) must broadcast; the probe side
+    streams. A shuffle join here would defeat the sketch's purpose."""
+    plan = plan_of(spark, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    # build side collapses map-side: bit_or partial agg before its exchange
+    assert "partial_bit_or" in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    plan = plan_of(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # counters combine before the shuffle
+    # top-k candidates via TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_fold_is_single_exchange(spark):
+    """collect_list fold: ONE hash exchange on user_id; the partial
+    collect runs map-side (ObjectHashAggregate)."""
+    plan = plan_of(spark, "timeseries_ewma_final")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "ObjectHashAggregate" in plan
+
+
+def test_anomaly_one_window_two_moments(spark):
+    """avg and stddev over the same frame must share ONE Window operator
+    (one (event_type,hod) exchange), then roll up with a partial agg."""
+    plan = plan_of(spark, "anomaly_seasonal_zscore")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
+    assert "partial_count" in plan
+
+
+def test_k7_delete_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "k7_delete_keys")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

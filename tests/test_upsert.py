@@ -221,3 +221,93 @@ def test_partitioned_merge_partial_source_columns(spark, tmp_table):
         update_cols=["v"],
     )
     assert rows_of(t) == {(1, 77, "x", "a"), (2, 20, "y", "b")}
+
+
+# ---------------------------------------------------------------------------
+# delete_where / delete_keys (K7)
+# ---------------------------------------------------------------------------
+
+
+def _mk_table(spark, tmp_path, partition_by=None):
+    from airflow_dags_spark.operators.upsert import ParquetTable
+
+    rows = [
+        (1, "a", "p1"),
+        (2, "b", "p1"),
+        (3, "c", "p2"),
+        (4, "d", "p2"),
+        (5, None, "p3"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v string, part string")
+    t = ParquetTable(
+        spark, str(tmp_path / "t"), "id", partition_by=partition_by
+    )
+    t.create_if_not_exists(df)
+    return t
+
+
+def test_delete_where_unpartitioned(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("id") <= 2)
+    assert sorted(r["id"] for r in t.read().collect()) == [3, 4, 5]
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """DELETE WHERE v < 'c': NULL v evaluates to NULL → row must be KEPT."""
+    t = _mk_table(spark, tmp_path)
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("v") < "c")
+    assert sorted(r["id"] for r in t.read().collect()) == [3, 4, 5]
+
+
+def test_delete_where_partitioned_prunes_and_removes_empty_dirs(spark, tmp_path):
+    import os
+
+    t = _mk_table(spark, tmp_path, partition_by=["part"])
+    from pyspark.sql import functions as F
+
+    # capture p1's file listing; delete all of p3 and one row of p2
+    p1_before = sorted(os.listdir(str(tmp_path / "t" / "part=p1")))
+    t.delete_where(F.col("id").isin(3, 5))
+    got = {(r["id"], r["part"]) for r in t.read().collect()}
+    assert got == {(1, "p1"), (2, "p1"), (4, "p2")}
+    # untouched partition p1: identical files (never rewritten)
+    assert sorted(os.listdir(str(tmp_path / "t" / "part=p1"))) == p1_before
+    # fully-deleted partition p3: directory gone
+    assert not os.path.exists(str(tmp_path / "t" / "part=p3"))
+
+
+def test_delete_keys_unpartitioned_and_missing_keys_noop(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    keys = spark.createDataFrame([(2,), (4,), (99,)], "id bigint")
+    t.delete_keys(keys)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 5]
+    # no matching keys → no-op
+    t.delete_keys(spark.createDataFrame([(100,)], "id bigint"))
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 5]
+
+
+def test_delete_keys_partitioned_untouched_partition_not_rewritten(spark, tmp_path):
+    import os
+
+    t = _mk_table(spark, tmp_path, partition_by=["part"])
+    p1_before = sorted(os.listdir(str(tmp_path / "t" / "part=p1")))
+    t.delete_keys(spark.createDataFrame([(4,)], "id bigint"))
+    got = {(r["id"], r["part"]) for r in t.read().collect()}
+    assert got == {(1, "p1"), (2, "p1"), (3, "p2"), (5, "p3")}
+    assert sorted(os.listdir(str(tmp_path / "t" / "part=p1"))) == p1_before
+
+
+def test_delete_keys_case_insensitive(spark, tmp_path):
+    from airflow_dags_spark.operators.upsert import ParquetTable
+
+    df = spark.createDataFrame(
+        [("AbC", 1), ("xyz", 2)], "code string, n bigint"
+    )
+    t = ParquetTable(spark, str(tmp_path / "ci"), "code", case_insensitive=True)
+    t.create_if_not_exists(df)
+    t.delete_keys(spark.createDataFrame([("aBc",)], "code string"))
+    assert [r["code"] for r in t.read().collect()] == ["xyz"]
