@@ -55,6 +55,8 @@ from airflow_dags_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from airflow_dags_spark.operators.temporal import asof_join, range_join
+from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
+from airflow_dags_spark.operators.versioning import VersionedParquetTable
 from airflow_dags_spark.operators.upsert import (
     ParquetTable,
     advance_watermark,
@@ -98,6 +100,8 @@ __all__ = [
     "asof_join",
     "range_join",
     "ParquetTable",
+    "VersionedParquetTable",
+    "bloom_screened_insert_if_absent",
     "advance_watermark",
     "insert_if_absent",
     "merge_upsert",
