@@ -1,0 +1,83 @@
+"""Bloom-screened ingest (operators/ingest.py): result must be bit-identical
+to plain insert_if_absent; the Bloom only changes the cost profile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
+from airflow_dags_spark.operators.upsert import ParquetTable
+
+
+def _df(spark, *ids):
+    return spark.createDataFrame([(i, f"v{i}") for i in ids], "id bigint, v string")
+
+
+def test_first_batch_bootstraps_table_and_bloom(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    stats = bloom_screened_insert_if_absent(t, _df(spark, 1, 2, 3), ["id"])
+    assert stats == {
+        "n_batch": 3,
+        "n_definite_new": 3,
+        "n_maybe": 0,
+        "n_inserted": 3,
+    }
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_overlapping_batch_matches_plain_insert_if_absent(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "a"), "id")
+    p = ParquetTable(spark, str(tmp_path / "b"), "id")
+    first = _df(spark, *range(0, 50))
+    second = _df(spark, *range(40, 90))
+    bloom_screened_insert_if_absent(t, first, ["id"])
+    stats = bloom_screened_insert_if_absent(t, second, ["id"])
+    p.insert_if_absent(first, ["id"])
+    p.insert_if_absent(second, ["id"])
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    want = sorted((r["id"], r["v"]) for r in p.read().collect())
+    assert got == want
+    # every true duplicate was flagged maybe (no false negatives possible)
+    assert stats["n_maybe"] >= 10
+    assert stats["n_inserted"] == 40
+
+
+def test_all_new_batch_skips_exact_join(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    bloom_screened_insert_if_absent(t, _df(spark, *range(100)), ["id"])
+    stats = bloom_screened_insert_if_absent(
+        t, _df(spark, *range(1_000_000, 1_000_050)), ["id"]
+    )
+    # distant keys: with m=65536 the FP odds per key are ~4%; allow a few
+    assert stats["n_maybe"] <= 6
+    assert stats["n_definite_new"] >= 44
+    assert stats["n_inserted"] == 50
+    assert t.read().count() == 150
+
+
+def test_duplicate_only_batch_inserts_nothing(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    bloom_screened_insert_if_absent(t, _df(spark, 1, 2, 3), ["id"])
+    stats = bloom_screened_insert_if_absent(t, _df(spark, 1, 2, 3), ["id"])
+    assert stats["n_maybe"] == 3  # all true dups flagged
+    assert stats["n_inserted"] == 0
+    assert t.read().count() == 3
+
+
+def test_batch_internal_dups_first_wins(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    src = spark.createDataFrame(
+        [(1, "keep"), (1, "zz_drop"), (2, "x")], "id bigint, v string"
+    )
+    bloom_screened_insert_if_absent(t, src, ["v"])
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "keep", 2: "x"}
+
+
+def test_multi_key_table_rejected(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), ["a", "b"])
+    with pytest.raises(ValueError, match="single-key"):
+        bloom_screened_insert_if_absent(
+            t, spark.createDataFrame([(1, 2)], "a bigint, b bigint"), ["a"]
+        )
