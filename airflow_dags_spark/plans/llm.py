@@ -265,7 +265,7 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_dags_spark.operators.clustering import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
-    marked = semantic_dedup(emb, 0.15, n_clusters=8)
+    marked = semantic_dedup(emb, 0.15)  # auto-scaled cluster count
     return (
         marked.groupBy("cluster")
         .agg(
