@@ -1,0 +1,103 @@
+"""Execution observability: SQLMetrics of an executed plan as plain data.
+
+The reference's only observability is Airflow task logs + row-count prints
+(dags/pull_new_sales_list.py logging); a lake-scale engine needs the
+numbers the plan actually produced — rows per operator, shuffle bytes,
+spill — to catch the regressions SCALE.md documents against (a plan that
+"passes" while shuffling 100× more than it should).
+
+``execution_metrics`` walks the EXECUTED physical plan (post-AQE) through
+py4j and returns ``{operator -> {metric -> value}}``; ``scan_summary``
+condenses the numbers that matter for plan audits. Driver-side only, reads
+JVM accumulators — zero effect on the job it measures.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+
+def _walk(node, visit, seen: set[int]) -> None:
+    try:
+        node_id = int(node.id())
+    except Exception:
+        node_id = id(node)
+    if node_id in seen:
+        return
+    seen.add(node_id)
+    visit(node)
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk(it.next(), visit, seen)
+    # AQE wraps query stages (children() is empty on the wrappers); descend
+    # through their plan accessors — py4j hasattr is always True, so probe
+    # by calling and swallowing the no-such-method error
+    for meth in ("plan", "executedPlan"):
+        try:
+            _walk(getattr(node, meth)(), visit, seen)
+        except Exception:
+            pass
+
+
+def _metric_name(metric) -> str:
+    """SQLMetric.name() is a Scala Option — unwrap Some(...)."""
+    opt = metric.name()
+    try:
+        return str(opt.get()) if not opt.isEmpty() else "unnamed"
+    except Exception:
+        return str(opt)
+
+
+def execution_metrics(df: DataFrame) -> dict[str, dict[str, int]]:
+    """Metrics of ``df``'s executed plan, aggregated per operator name.
+
+    Call AFTER an action on ``df`` (the same DataFrame object — a write
+    clones the QueryExecution); metrics of never-executed operators read 0.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    out: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+
+    def visit(node):
+        name = str(node.nodeName()).strip()
+        it = node.metrics().iterator()
+        while it.hasNext():
+            metric = it.next()._2()
+            out[name][_metric_name(metric)] += int(metric.value())
+
+    _walk(plan, visit, set())
+    return {k: dict(v) for k, v in out.items()}
+
+
+def scan_summary(df: DataFrame) -> dict[str, int]:
+    """The audit numbers: rows scanned / produced, shuffle traffic, spill.
+
+    ``rows_scanned`` ≫ ``rows_out`` with tiny ``shuffle_bytes_written`` is
+    the healthy shape (filters at the scan, partial aggs before the wire);
+    big shuffle or any spill on a small input is the regression signal."""
+    m = execution_metrics(df)
+    summary = {
+        "rows_scanned": 0,
+        "rows_out": 0,
+        "shuffle_bytes_written": 0,
+        "shuffle_records_written": 0,
+        "spill_bytes": 0,
+        "files_read": 0,
+    }
+    for op, metrics in m.items():
+        for name, val in metrics.items():
+            if op.startswith("Scan") and name == "number of output rows":
+                summary["rows_scanned"] += val
+            if name == "number of files read":
+                summary["files_read"] += val
+            if name == "shuffle bytes written":
+                summary["shuffle_bytes_written"] += val
+            if name == "shuffle records written":
+                summary["shuffle_records_written"] += val
+            if "spill size" in name:
+                summary["spill_bytes"] += val
+    # rows_out: the plan root's own row metric (0 for command-style roots)
+    root = df._jdf.queryExecution().executedPlan()
+    summary["rows_out"] = m.get(root.nodeName(), {}).get("number of output rows", 0)
+    return summary

@@ -554,3 +554,48 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+MAP_FUNCS_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT)                                  AS n_types,
+  max(CASE WHEN event_type = 'view' THEN c END)             AS n_view,
+  CAST(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS BIGINT)   AS n_heavy_types,
+  CAST(sum(c) AS BIGINT)                                    AS total_events
+FROM per GROUP BY user_id
+"""
+
+
+@register("scalar_map_functions", MAP_FUNCS_ORACLE)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 MAP-function sweep: builds a per-user event_type→count map with
+    ``map_from_entries`` and derives every output THROUGH map operators —
+    ``size``, ``element_at`` (NULL on absent key), ``map_filter`` (HOF),
+    ``aggregate(map_values(...))`` fold — while the oracle computes the same
+    scalars relationally, proving the map semantics (not just the shapes).
+
+    One exchange on user_id; the map never exceeds |event types| entries, so
+    per-row state is O(types) regardless of event volume — the same reason
+    map columns are the idiomatic Spark shape for sparse per-entity
+    feature bags at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "c")))
+    )
+    agg = per.groupBy("user_id").agg(m.alias("m"))
+    return agg.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_types"),
+        F.element_at("m", F.lit("view")).alias("n_view"),
+        F.size(F.map_filter("m", lambda k, v: v >= 5)).cast("bigint").alias(
+            "n_heavy_types"
+        ),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_events"),
+    )

@@ -1,0 +1,45 @@
+"""Execution-metrics observability (functions/metrics.py): the measured
+counterpart of the string-matching plan gates — proves partial aggregation
+and scan pruning by the numbers the executed plan actually produced."""
+
+from __future__ import annotations
+
+from airflow_dags_spark.functions.metrics import execution_metrics, scan_summary
+from airflow_dags_spark.plans import registry
+
+registry.load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_metrics_show_mapside_combine(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    s = scan_summary(df)
+    assert s["files_read"] >= 1
+    assert s["rows_scanned"] == 6000  # sf0.001 lineitem row count
+    # the entire point of partial aggregation: the shuffle carries group
+    # rows, not data rows
+    assert 0 < s["shuffle_records_written"] <= 100
+    assert s["spill_bytes"] == 0
+
+
+def test_execution_metrics_per_operator(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    m = execution_metrics(df)
+    assert "Scan parquet" in m
+    assert m["Scan parquet"]["number of output rows"] == 6000
+    assert "Filter" in m
+    # the shipdate filter is selective: strictly fewer rows leave it
+    assert 0 < m["Filter"]["number of output rows"] < 6000
+
+
+def test_broadcast_join_query_shuffles_little(spark):
+    """q3 joins orders⋈lineitem⋈customer with broadcast dims: shuffle
+    traffic must stay far below the scanned volume."""
+    df = registry.QUERIES["q3_top_revenue_orders"](spark, SF_DIR)
+    df.collect()
+    s = scan_summary(df)
+    assert s["rows_scanned"] > 0
+    assert s["shuffle_records_written"] < s["rows_scanned"]
