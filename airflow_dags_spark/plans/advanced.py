@@ -1101,3 +1101,86 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+# --------------------------------------------------------------------------
+# Trailing-window distinct count — the sliding-window form of the Spark gap
+# --------------------------------------------------------------------------
+
+TRAILING_DISTINCT_ORACLE = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS trailing_users
+FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+"""
+
+
+@register("window_trailing_distinct_users", TRAILING_DISTINCT_ORACLE)
+def window_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing distinct users per day (the DAU/WAU family). The
+    oracle writes it as a range join + COUNT(DISTINCT); Spark has neither
+    windowed distinct nor efficient theta joins, so the engine rewrites:
+    each DISTINCT (user, active-day) pair covers the 7 target days it
+    contributes to (``explode(sequence(...))`` — a bounded 7× fan-out of
+    the deduped pairs, NOT of raw events), then one distinct-count per
+    target day. Two key-partitioned exchanges on ~|pairs| rows; a range
+    self-join would instead touch |days|×|pairs| with no hash key."""
+    e = read_table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    coverage = pairs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    return (
+        coverage.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("trailing_users"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "trailing_users"
+        )
+    )
+
+
+PER_SOURCE_SAMPLE_ORACLE = f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY POWER({_MIX_SQL_U}, 1.0 / GREATEST(n_chars, 1)) DESC,
+                    doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
+@register("weighted_sample_per_source", PER_SOURCE_SAMPLE_ORACLE)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum A-Res: the k heaviest-keyed docs of EVERY source (the
+    per-source curation quota, vs weighted_sample_ares's global top-k).
+    One exchange on source + per-group sort of only that group's rows
+    (window row_number) — never a global sort; the md5-uniform key keeps
+    the sample deterministic and engine-identical."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    w = Window.partitionBy("source").orderBy(F.desc(p), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+    )

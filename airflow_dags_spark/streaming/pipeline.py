@@ -442,3 +442,43 @@ def stateful_dedup_ttl_groupstate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def cms_sink(
+    df: DataFrame,
+    key_col: str,
+    cms_path: str,
+    checkpoint_dir: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy-hitters: per micro-batch Count-Min sketches persisted
+    as ``<cms_path>/batch=<id>/`` — state is ≤ depth×width rows per batch
+    no matter the stream volume, and the batch-id directory layout makes
+    re-delivered batches IDEMPOTENT (same dir overwritten, never
+    double-counted — the failure mode a naive merge-in-place sink has).
+    Query side: ``read_cms`` merges on read (counter sums are associative);
+    compact old batch dirs with one ``cms_merge`` write when they pile up.
+    """
+    from airflow_dags_spark.functions.probabilistic import cms_build
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        cms_build(batch, key_col, depth, width).write.mode("overwrite").parquet(
+            f"{cms_path}/batch={batch_id}"
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
+    """Merge-on-read of a ``cms_sink`` directory: one counter table."""
+    from airflow_dags_spark.functions.probabilistic import cms_merge
+
+    return cms_merge(spark.read.parquet(cms_path).select("r", "b", "cnt"))

@@ -61,6 +61,9 @@ NAMES = [
     "anomaly_seasonal_zscore",
     "k7_delete_keys",
     "dedup_semantic_embedding",
+    "scalar_map_functions",
+    "window_trailing_distinct_users",
+    "weighted_sample_per_source",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -412,3 +412,20 @@ def test_k7_delete_is_broadcast_anti_join(spark):
     plan = plan_of(spark, "k7_delete_keys")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_trailing_distinct_has_no_range_join(spark):
+    """The 7-day trailing distinct rewrite must stay hash-partitioned
+    (explode fan-out of deduped pairs), never the theta range join the SQL
+    form implies."""
+    plan = plan_of(spark, "window_trailing_distinct_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # distinct-count partials before the wire
+
+
+def test_per_source_sample_never_sorts_globally(spark):
+    plan = plan_of(spark, "weighted_sample_per_source")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan

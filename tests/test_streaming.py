@@ -473,3 +473,45 @@ def test_native_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
     out = drain(deduped.select("event_id", "user_id"), tmp_path, "native_dedup")
     rows = spark.read.parquet(out).collect()
     assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_cms_sink_streaming_heavy_hitters(spark, tmp_path):
+    """Per-batch CMS dirs merge-on-read to the sketch of the whole stream
+    (merge law), and every estimate upper-bounds the true count."""
+    from airflow_dags_spark.functions.probabilistic import cms_build
+    from airflow_dags_spark.streaming.pipeline import cms_sink, read_cms
+
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [event(i, "2026-01-01 10:00:00", user_id=i % 7) for i in range(40)],
+    )
+    land(
+        tmp_path,
+        "b2.json",
+        [event(100 + i, "2026-01-01 11:00:00", user_id=i % 5) for i in range(30)],
+    )
+    stream = read_event_stream(spark, landing)
+    cms_path = str(tmp_path / "cms")
+    q = cms_sink(
+        stream, "user_id", cms_path, str(tmp_path / "ckpt_cms"), width=256
+    )
+    q.awaitTermination(120)
+
+    merged = {(r["r"], r["b"]): r["cnt"] for r in read_cms(spark, cms_path).collect()}
+    assert merged, "no counters written"
+
+    whole = spark.read.json(landing).select("user_id")
+    want = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in cms_build(whole, "user_id", width=256).collect()
+    }
+    assert merged == want  # merge-on-read == sketch of the union
+
+    from airflow_dags_spark.functions.probabilistic import cms_estimate
+
+    truth = whole.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    for r in cms_estimate(
+        read_cms(spark, cms_path), truth, "user_id", width=256
+    ).collect():
+        assert r["cms_est"] >= r["true_cnt"]
