@@ -100,3 +100,29 @@ def salted_join(
     small_rep = small.withColumn("__salt", salt_domain)
     joined = big_salted.join(small_rep, [*on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def left_join_null_split(
+    left: DataFrame, right: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """Left join that routes NULL-keyed rows AROUND the shuffle.
+
+    SQL equi-joins never match NULL keys, but Spark still hashes them: in a
+    left outer join every null-keyed left row shuffles into partition
+    hash(null) — with null-heavy keys (unparsed FKs, optional dimensions)
+    that is THE single-reducer hotspot AQE's skew handling splits late and
+    expensively. The rewrite is free: null-keyed rows take a metadata-only
+    union branch (right columns null-filled), only genuinely joinable rows
+    enter the exchange. Result is exactly LEFT JOIN (oracle-checked by
+    ``join_null_skew_split``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    null_pred = F.lit(False)
+    for k in keys:
+        null_pred = null_pred | F.col(k).isNull()
+    joined = left.where(~null_pred).join(right, keys, "left")
+    right_only = [c for c in joined.columns if c not in left.columns]
+    bypass = left.where(null_pred).select(
+        "*", *[F.lit(None).cast(joined.schema[c].dataType).alias(c) for c in right_only]
+    )
+    return joined.unionByName(bypass.select(*joined.columns))

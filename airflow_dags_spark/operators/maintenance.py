@@ -392,3 +392,30 @@ def agg_state(df: DataFrame, group_exprs: dict, val) -> DataFrame:
         F.count(val).alias("nn"),
         F.count("*").alias("cnt"),
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental maintenance of an inner equi-join VIEW (the join
+    counterpart of agg_delta/merge_agg_state): for append-only inputs,
+
+        Δ(A ⋈ B) = dA ⋈ B  ∪  A ⋈ dB  ∪  dA ⋈ dB
+
+    The three legs are disjoint and complete (a joined row is new iff its
+    A-side is new, its B-side is new, or both), so ``old_view ∪ Δ`` IS the
+    new view — no recompute of A ⋈ B. At 100 TB the deltas are the small
+    sides: both big legs broadcast the delta and stream ONE pass over the
+    big input; with zone maps/partitioning the big-side scan prunes to the
+    delta's key range. Updates/deletes generalize by running the same rule
+    over retract/assert change sets (table_diff output); append-only here
+    matches the reference's ingest pattern (monthly inserts)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    t1 = d_a.join(b_old, keys)
+    t2 = a_old.join(d_b, keys)
+    t3 = d_a.join(d_b, keys)
+    return t1.unionByName(t2).unionByName(t3)

@@ -1184,3 +1184,38 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+NULL_SKEW_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS cust,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders)
+SELECT o.o_orderkey, o.cust, o.price, c.c_name
+FROM o LEFT JOIN customer c ON o.cust = c.c_custkey
+"""
+
+
+@register("join_null_skew_split", NULL_SKEW_ORACLE)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN over a null-heavy FK through the null-split rewrite
+    (functions/skew.py:left_join_null_split): null keys — which can never
+    match, yet all hash to ONE reducer in a plain plan — bypass the
+    exchange entirely via a union branch; only joinable rows shuffle. The
+    oracle is the plain LEFT JOIN, proving the rewrite changes the
+    physical shape only. Here a third of orders carry a NULL customer (the
+    unmatched-FK rate real reference data has in postcode joins)."""
+    from airflow_dags_spark.functions.skew import left_join_null_split
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), "c_name"
+    )
+    return left_join_null_split(o, c, "cust")

@@ -253,3 +253,50 @@ def k7_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     del_keys = o.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
     return tgt.join(del_keys, "o_orderkey", "left_anti")
+
+
+IVM_JOIN_ORACLE = """
+WITH a_old AS (
+  SELECT o_orderkey, o_custkey AS cust, ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 4 != 0),
+d_a AS (
+  SELECT o_orderkey, o_custkey AS cust, ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 4 = 0),
+b_old AS (
+  SELECT c_custkey AS cust, c_name FROM customer WHERE c_custkey % 5 != 0),
+d_b AS (
+  SELECT c_custkey AS cust, c_name FROM customer WHERE c_custkey % 5 = 0)
+SELECT * FROM (
+  SELECT a.o_orderkey, a.cust, a.price, b.c_name
+  FROM (SELECT * FROM a_old UNION ALL SELECT * FROM d_a) a
+  JOIN (SELECT * FROM b_old UNION ALL SELECT * FROM d_b) b USING (cust)
+  EXCEPT
+  SELECT a.o_orderkey, a.cust, a.price, b.c_name
+  FROM a_old a JOIN b_old b USING (cust))
+"""
+
+
+@register("ivm_join_delta", IVM_JOIN_ORACLE)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the engine computes the delta by
+    the three-leg rule (operators/maintenance.py:join_delta) touching only
+    delta⋈table legs; the oracle computes it the expensive way — new join
+    EXCEPT old join — proving the rule's algebra exactly (orders are
+    unique per key, so set EXCEPT is multiplicity-safe)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), "c_name"
+    )
+    a_old = o.where(F.col("o_orderkey") % 4 != 0)
+    d_a = o.where(F.col("o_orderkey") % 4 == 0)
+    b_old = c.where(F.col("cust") % 5 != 0)
+    d_b = c.where(F.col("cust") % 5 == 0)
+    from airflow_dags_spark.operators.maintenance import join_delta
+
+    return join_delta(a_old, d_a, b_old, d_b, "cust").select(
+        "o_orderkey", "cust", "price", "c_name"
+    )

@@ -482,3 +482,66 @@ def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     from airflow_dags_spark.functions.probabilistic import cms_merge
 
     return cms_merge(spark.read.parquet(cms_path).select("r", "b", "cnt"))
+
+
+def ewma_tracker(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming EWMA per key (the real-time form of
+    functions/timeseries.py): ``applyInPandasWithState`` carrying ONE float
+    of state per key — s ← α·x + (1-α)·s folded over each micro-batch in
+    (ts, event_id) order, continuing from the stored value. State size is
+    O(keys) regardless of stream length; event-time timeout evicts idle
+    keys past the watermark.
+
+    Contract: per-key order ACROSS micro-batches follows arrival order
+    (source-ordered feeds — the reference's dated landing files — satisfy
+    this); within a batch rows are sorted by event time.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), True),
+            T.StructField("ewma", T.DoubleType(), True),
+            T.StructField("n_seen", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ewma", T.DoubleType(), True),
+            T.StructField("n_seen", T.LongType(), True),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        s, n = state.getOption if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, "event_id"], kind="mergesort")
+            for x in pdf[value_col]:
+                if pd.isna(x):
+                    continue
+                s = float(x) if s is None else alpha * float(x) + (1 - alpha) * s
+                n += 1
+        state.update((s, int(n)))
+        yield pd.DataFrame({key_col: [key[0]], "ewma": [s], "n_seen": [n]})
+
+    return (
+        with_watermark(df, ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

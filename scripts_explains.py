@@ -64,6 +64,8 @@ NAMES = [
     "scalar_map_functions",
     "window_trailing_distinct_users",
     "weighted_sample_per_source",
+    "join_null_skew_split",
+    "ivm_join_delta",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -404,3 +404,26 @@ def test_read_evolved_incompatible_drift_raises(spark, tmp_path):
     spark.createDataFrame([(2, 3)], "id int, v int").write.parquet(v2)
     with pytest.raises(TypeError, match="incompatible schema drift"):
         read_evolved(spark, v1, v2)
+
+
+def test_join_delta_old_plus_delta_equals_new(spark):
+    """The IVM law: old_view ∪ Δ == new_view, on real tables."""
+    from airflow_dags_spark.operators.maintenance import join_delta
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("cust")
+    )
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("cust"), "c_name"
+    )
+    a_old, d_a = o.where("o_orderkey % 4 != 0"), o.where("o_orderkey % 4 = 0")
+    b_old, d_b = c.where("cust % 5 != 0"), c.where("cust % 5 = 0")
+    delta = join_delta(a_old, d_a, b_old, d_b, "cust")
+    old_view = a_old.join(b_old, "cust")
+    new_view = o.join(c, "cust")
+    got = sorted(map(tuple, old_view.unionByName(delta).collect()))
+    want = sorted(map(tuple, new_view.collect()))
+    assert got == want
+    # the three legs are disjoint: no joined row counted twice
+    assert delta.count() == delta.distinct().count()

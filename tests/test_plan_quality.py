@@ -429,3 +429,15 @@ def test_per_source_sample_never_sorts_globally(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_null_split_join_bypasses_exchange_for_null_keys(spark):
+    """The null branch must be a union leg with NO join below it: plan
+    shows a Union whose second child filters isnull and never joins."""
+    plan = plan_of(spark, "join_null_skew_split")
+    assert "Union" in plan
+    # exactly one join in the whole plan — the matchable branch
+    joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert joins == 1, plan

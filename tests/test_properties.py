@@ -311,3 +311,63 @@ def test_pack_sequences_matches_reference_fold(spark, tokens, budget):
         expect = _reference_pack(pairs, budget)
         got_map = {r.doc_id: r.seq_id for r in rows if r.shard == shard}
         assert got_map == expect, f"shard {shard}"
+
+
+# --- Probabilistic-structure laws (functions/probabilistic.py) --------------
+
+key_sets = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=30
+)
+
+
+@given(present=key_sets, probes=key_sets)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_never_false_negative(spark, present, probes):
+    """For ANY key set and ANY probe set: every inserted key probes True
+    (the Bloom guarantee), at any (m, k) configuration."""
+    from airflow_dags_spark.functions.probabilistic import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(int(x),) for x in present], "k bigint")
+    pr = spark.createDataFrame(
+        [(int(x),) for x in set(present) | set(probes)], "k bigint"
+    )
+    bloom = bloom_build(df, "k", m_bits=512, k=3)
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, pr, "k", m_bits=512, k=3).collect()
+    }
+    for x in set(present):
+        assert got[x] is True
+
+
+@given(stream=key_sets, split=st.integers(min_value=0, max_value=30))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cms_upper_bound_and_merge_law(spark, stream, split):
+    """For ANY stream: every CMS estimate ≥ the true count, and splitting
+    the stream arbitrarily then merging the sketches equals sketching the
+    whole stream (associativity of counter sums)."""
+    from airflow_dags_spark.functions.probabilistic import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from pyspark.sql import functions as F
+
+    whole = spark.createDataFrame([(int(x),) for x in stream], "k bigint")
+    cms = cms_build(whole, "k", depth=3, width=64)
+    truth = whole.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    for r in cms_estimate(cms, truth, "k", depth=3, width=64).collect():
+        assert r["cms_est"] >= r["true_cnt"]
+
+    cut = min(split, len(stream))
+    a = spark.createDataFrame([(int(x),) for x in stream[:cut]] or [(0,)], "k bigint")
+    b = spark.createDataFrame([(int(x),) for x in stream[cut:]] or [(0,)], "k bigint")
+    if not stream[:cut] or not stream[cut:]:
+        return  # degenerate split: nothing to merge
+    merged = cms_merge(
+        cms_build(a, "k", depth=3, width=64), cms_build(b, "k", depth=3, width=64)
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in cms.collect()}

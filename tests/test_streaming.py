@@ -515,3 +515,45 @@ def test_cms_sink_streaming_heavy_hitters(spark, tmp_path):
         read_cms(spark, cms_path), truth, "user_id", width=256
     ).collect():
         assert r["cms_est"] >= r["true_cnt"]
+
+
+def test_ewma_tracker_state_survives_batches(spark, tmp_path):
+    """Streaming EWMA: the recursion continues across micro-batches from
+    stored state, matching the batch recursion on the full series."""
+    from airflow_dags_spark.streaming.pipeline import ewma_tracker
+
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:00:00", user_id=7, value=10.0),
+            event(2, "2026-01-01 11:00:00", user_id=7, value=20.0),
+        ],
+    )
+    out = str(tmp_path / "ewma")
+
+    def drain_ewma():
+        q = (
+            ewma_tracker(read_event_stream(spark, landing), alpha=0.5)
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain_ewma()
+    got = {r["user_id"]: (r["ewma"], r["n_seen"]) for r in
+           spark.read.parquet(out).collect()}
+    assert got[7] == (15.0, 2)  # 10 -> 0.5*20+0.5*10
+
+    land(tmp_path, "b2.json", [event(3, "2026-01-01 12:00:00", user_id=7, value=35.0)])
+    drain_ewma()
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        if r["user_id"] not in latest or r["n_seen"] > latest[r["user_id"]][1]:
+            latest[r["user_id"]] = (r["ewma"], r["n_seen"])
+    assert latest[7] == (25.0, 3)  # 0.5*35 + 0.5*15 — continued, not reset
