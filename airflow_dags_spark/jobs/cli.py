@@ -11,6 +11,9 @@ One file the orchestrator ships to the cluster:
     spark-submit .../cli.py zorder <table> col1,col2 [--n-files 64]
     spark-submit .../cli.py pack-sequences <docs> <out> [--budget 2048]
     spark-submit .../cli.py curate-export <docs> <out> [--lang en]
+    spark-submit .../cli.py wds-export <docs> <out> [--n-shards 8]
+    spark-submit .../cli.py semantic-dedup <embeddings> <out> [--threshold 0.95]
+    spark-submit .../cli.py vacuum <table>
 
 The HTTP jobs use the stdlib-based fetchers from jobs/live_http.py; tests
 bypass this module and inject fixture fetchers directly (SURVEY.md §7
@@ -73,6 +76,26 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-tokens", type=int, default=24)
     p.add_argument("--n-shards", type=int, default=16)
 
+    p = sub.add_parser("wds-export")
+    p.add_argument("docs_path", help="parquet with key/text/meta columns")
+    p.add_argument("output_path")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--meta-cols", default="source,lang")
+    p.add_argument("--n-shards", type=int, default=8)
+
+    p = sub.add_parser("semantic-dedup")
+    p.add_argument("embeddings_path", help="parquet with key + vector columns")
+    p.add_argument("output_path", help="where the kept-flag table is written")
+    p.add_argument("--key-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--target-cluster-size", type=int, default=1000)
+
+    p = sub.add_parser("vacuum")
+    p.add_argument("table_path")
+    p.add_argument("--key", default="id")
+
     args = parser.parse_args(argv)
 
     from airflow_dags_spark.session import get_spark
@@ -114,6 +137,37 @@ def main(argv: list[str] | None = None) -> None:
         from airflow_dags_spark.jobs.json_to_csv import json_to_csv
 
         json_to_csv(spark, args.input_path, args.output_path)
+    elif args.cmd == "wds-export":
+        from airflow_dags_spark.operators.export import write_wds_shards
+
+        manifest = write_wds_shards(
+            spark.read.parquet(args.docs_path),
+            args.output_path,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            meta_cols=[c for c in args.meta_cols.split(",") if c],
+            n_shards=args.n_shards,
+        )
+        for r in manifest.collect():
+            print(r["tar_path"], r["n_samples"], r["tar_bytes"])
+    elif args.cmd == "semantic-dedup":
+        from airflow_dags_spark.operators.clustering import semantic_dedup
+
+        marked = semantic_dedup(
+            spark.read.parquet(args.embeddings_path),
+            args.threshold,
+            key_col=args.key_col,
+            vec_col=args.vec_col,
+            target_cluster_size=args.target_cluster_size,
+        )
+        marked.write.mode("overwrite").parquet(args.output_path)
+        kept = marked.where("kept").count()
+        print(f"kept={kept}")
+    elif args.cmd == "vacuum":
+        from airflow_dags_spark.operators.upsert import ParquetTable
+
+        removed = ParquetTable(spark, args.table_path, args.key).vacuum_orphans()
+        print(f"removed={len(removed)}")
     elif args.cmd == "compact":
         from airflow_dags_spark.operators.maintenance import compact
 

@@ -193,3 +193,73 @@ __all__ = [
     "shard_histogram",
     "pack_sequences",
 ]
+
+
+def write_wds_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    text_col: str,
+    meta_cols: list[str] | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """WebDataset-style tar shard export: one ``shard-NNNNN.tar`` per shard,
+    each sample as paired members ``<key>.txt`` (content) + ``<key>.json``
+    (metadata) — the loader format of the large-scale training stacks that
+    stream tars instead of parquet.
+
+    Determinism is total: membership is the portable md5 shard hash, member
+    order is a key sort, and tar metadata (mtime/uid/gid) is zeroed — so a
+    re-run produces BYTE-IDENTICAL tars (content-addressable, resumable,
+    diffable). Executors write their shards directly (``applyInPandas`` per
+    shard group — one task per shard, no driver involvement); size shards
+    via ``n_shards`` so one shard (the WebDataset-recommended 100 MB–1 GB)
+    fits an executor. Returns the manifest (shard, n_samples, tar_path,
+    tar_bytes) as a DataFrame.
+    """
+    import json as _json
+
+    meta_cols = meta_cols or []
+    assigned = shard_assignment(df, [key_col], n_shards, portable=True)
+
+    out_schema = "shard int, n_samples long, tar_path string, tar_bytes long"
+
+    def write_shard(pdf):
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        tar_path = os.path.join(path, f"shard-{shard:05d}.tar")
+        os.makedirs(path, exist_ok=True)
+        tmp = tar_path + ".tmp"
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                text = ("" if row[text_col] is None else str(row[text_col])).encode()
+                meta = _json.dumps(
+                    {c: row[c] for c in meta_cols}, default=str, sort_keys=True
+                ).encode()
+                for suffix, payload in ((".txt", text), (".json", meta)):
+                    info = tarfile.TarInfo(name=f"{key}{suffix}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    import io
+
+                    tar.addfile(info, io.BytesIO(payload))
+        os.replace(tmp, tar_path)  # atomic per-shard commit → resumable
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_samples": [len(pdf)],
+                "tar_path": [tar_path],
+                "tar_bytes": [os.path.getsize(tar_path)],
+            }
+        )
+
+    return assigned.groupBy("shard").applyInPandas(write_shard, out_schema)

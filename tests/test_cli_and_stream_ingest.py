@@ -149,3 +149,44 @@ def test_cli_curate_export(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(out).select("doc_id", "shard").collect()
     }
     assert first == again
+
+
+def test_cli_wds_export_and_semantic_dedup_and_vacuum(spark, tmp_path, monkeypatch, capsys):
+    import os
+    import tarfile
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+
+    # wds-export
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "aa", "s1", "en"), (2, "bb", "s2", "en")],
+        "doc_id bigint, text string, source string, lang string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "wds")
+    cli_main(["wds-export", docs, out, "--n-shards", "1"])
+    tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(tars) == 1
+    with tarfile.open(os.path.join(out, tars[0])) as tar:
+        assert sorted(tar.getnames()) == ["1.json", "1.txt", "2.json", "2.txt"]
+
+    # semantic-dedup
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(emb)
+    marked_out = str(tmp_path / "marked")
+    cli_main(["semantic-dedup", emb, marked_out, "--threshold", "0.99"])
+    kept = {
+        r["vec_id"]
+        for r in spark.read.parquet(marked_out).where("kept").collect()
+    }
+    assert kept == {1, 3}
+
+    # vacuum
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(table)
+    os.makedirs(table + ".stage-dead")
+    cli_main(["vacuum", table])
+    assert not os.path.exists(table + ".stage-dead")

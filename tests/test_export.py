@@ -163,3 +163,77 @@ def test_pack_sequences_string_keys_and_null_tokens(spark):
     rows = packed.collect()
     assert sorted(r.doc_uri for r in rows) == ["doc-a", "doc-b", "doc-d"]
     assert all(r.n_tokens is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shard export
+# ---------------------------------------------------------------------------
+
+
+def test_wds_shards_complete_and_paired(spark, tmp_path):
+    import tarfile
+
+    from airflow_dags_spark.operators.export import write_wds_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "wds")
+    manifest = write_wds_shards(
+        docs, out, key_col="doc_id", text_col="text",
+        meta_cols=["source", "lang"], n_shards=4,
+    ).collect()
+    assert sum(r["n_samples"] for r in manifest) == docs.count()
+    seen = set()
+    for r in manifest:
+        with tarfile.open(r["tar_path"]) as tar:
+            names = tar.getnames()
+            txts = {n[:-4] for n in names if n.endswith(".txt")}
+            jsons = {n[:-5] for n in names if n.endswith(".json")}
+            assert txts == jsons  # every sample is a paired .txt/.json
+            assert not (txts & seen)
+            seen |= txts
+    assert len(seen) == docs.count()
+
+
+def test_wds_shards_byte_identical_rerun(spark, tmp_path):
+    import hashlib
+
+    from airflow_dags_spark.operators.export import write_wds_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def digest(run_dir):
+        rows = write_wds_shards(
+            docs.repartition(7) if "b" in run_dir else docs,
+            str(tmp_path / run_dir),
+            key_col="doc_id", text_col="text", meta_cols=["source"], n_shards=3,
+        ).collect()
+        out = {}
+        for r in rows:
+            out[r["shard"]] = hashlib.md5(
+                open(r["tar_path"], "rb").read()
+            ).hexdigest()
+        return out
+
+    # identical bytes even with different input partitioning
+    assert digest("a") == digest("b")
+
+
+def test_wds_shard_content_roundtrip(spark, tmp_path):
+    import json
+    import tarfile
+
+    from airflow_dags_spark.operators.export import write_wds_shards
+
+    df = spark.createDataFrame(
+        [(1, "hello", "s1"), (2, None, "s2")], "doc_id bigint, text string, source string"
+    )
+    rows = write_wds_shards(
+        df, str(tmp_path / "w"), key_col="doc_id", text_col="text",
+        meta_cols=["source"], n_shards=1,
+    ).collect()
+    with tarfile.open(rows[0]["tar_path"]) as tar:
+        t1 = tar.extractfile("1.txt").read().decode()
+        m1 = json.loads(tar.extractfile("1.json").read())
+        t2 = tar.extractfile("2.txt").read().decode()
+    assert t1 == "hello" and m1 == {"source": "s1"}
+    assert t2 == ""  # null text → empty member, sample still present
