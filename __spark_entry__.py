@@ -26,29 +26,13 @@ registry.load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the first 50 entries of ``queries()`` per round
-# (CORRECTNESS_r01.json == first 50 registration-order names). Round 1
-# verified the classic relational/scalar set; this explicit priority list
-# front-loads the 47 highest-value yet-unverified oracle-backed queries
-# (writeback k3-k6, CDC/IVM, the LLM dedup/similarity/text/curation set,
-# event-time windows, temporal joins, heavy TPC-H) plus 3 already-green
-# sentinels as regression canaries. Everything else (deferred TPC-H,
-# rows-only ops, round-1-verified queries) follows in stable order.
-#
-# ROUND-3 ROTATION (after CORRECTNESS_r02 lands): replace this list with
-# the remaining unverified set — TPC-H q12/q13/q15/q16/q17/q19/q20/q22,
-# the round-2 additions (scd2_history, timeseries_gap_fill,
-# retention_cohorts, numeric_histogram, training_mix_sample,
-# benchmark_contamination, text_repetition_ratio, unpivot_metrics,
-# split_train_val_test, recursive_cte_spine), and the rows-only ops
-# (sim_ann_ivf_topk, sim_ann_lsh_topk, dedup_minhash_lsh_pairs,
-# dedup_simhash, multimodal_*, text_sentence_split_udtf,
-# export_pack_sequences, sketch_*, agg_approx_stats) so they at least get
-# driver rows-checks; keep 3 green sentinels as canaries. Round-2
-# continuation also added these oracle-backed queries to rotate in:
-# sketch_bloom_membership, sketch_cms_heavy_hitters, timeseries_ewma_final,
-# anomaly_seasonal_zscore, k7_delete_keys (+ rows-only
-# dedup_semantic_embedding).
+# The driver verifies the first 50 entries of ``queries()`` per round.
+# Rotation is AUTOMATIC: ``_ordered_names`` reads every past
+# CORRECTNESS_r*.json and puts (3 green sentinels +) all queries with no
+# green driver row yet first, so each round's window verifies new queries
+# with no manual reordering. DRIVER_PRIORITY below only breaks ties among
+# the unverified (highest-value first); with no CORRECTNESS files present
+# it is the full fallback order.
 DRIVER_PRIORITY = [
     # sentinels (driver-green in round 1)
     "q1_pricing_summary",
@@ -112,11 +96,55 @@ DRIVER_PRIORITY = [
 ]
 
 
+def _verified_names() -> set[str]:
+    """Names already driver-green in ANY past round (CORRECTNESS_r*.json).
+
+    Green = all three checks passed, or a rows-only query that executed
+    (err is None/no_oracle). Absent/corrupt files → empty set (safe
+    fallback to the static priority)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") in (None, "no_oracle") and (
+                row.get("hash_match")
+                or (row.get("err") == "no_oracle" and row.get("spark_rows", -1) >= 0)
+            ):
+                green.add(name)
+    return green
+
+
 def _ordered_names() -> list[str]:
-    """Registry names with DRIVER_PRIORITY first, rest in registration order."""
+    """Registry names ordered so the driver's per-round window (first 50)
+    always verifies NEW queries: names with no green row in any past
+    CORRECTNESS file come first (static DRIVER_PRIORITY order, then
+    registration order), then 3 already-green sentinels as regression
+    canaries, then the verified remainder. Self-rotating — no manual
+    reorder needed between rounds."""
+    verified = _verified_names()
     prio = [n for n in DRIVER_PRIORITY if n in registry.QUERIES]
-    seen = set(prio)
-    return prio + [n for n in registry.QUERIES if n not in seen]
+    ordered = prio + [n for n in registry.QUERIES if n not in set(prio)]
+    if not verified:
+        return ordered
+    unverified = [n for n in ordered if n not in verified]
+    sentinels = [
+        n
+        for n in ("q1_pricing_summary", "p4_regexp_strip", "join_anti_customers_without_orders")
+        if n in verified and n in registry.QUERIES
+    ]
+    rest = [n for n in ordered if n in verified and n not in set(sentinels)]
+    # sentinels lead so they stay inside the driver's 50-query window as
+    # regression canaries (VERDICT r01 recommendation), then all unverified
+    return sentinels + unverified + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

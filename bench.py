@@ -48,6 +48,10 @@ HEADLINE = [
     "curate_corpus",
     "json_variant_agg",
     "agg_geomean_udaf",
+    # round-2 continuation: portable-sketch + Spark-gap headline coverage
+    "sketch_bloom_membership",
+    "timeseries_ewma_final",
+    "window_trailing_distinct_users",
 ]
 
 

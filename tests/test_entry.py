@@ -33,3 +33,26 @@ def test_all_queries_run_on_smoke_sf(spark):
     for name, fn in q.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, name
+
+
+def test_driver_window_self_rotates():
+    """With CORRECTNESS_r01.json present, the first-50 window must contain
+    exactly the 3 green sentinels plus 47 not-yet-verified queries, and
+    _ordered_names must be a permutation of the registry."""
+    names = list(_entry_mod.queries())
+    verified = _entry_mod._verified_names()
+    assert len(names) == len(set(names))
+    from airflow_dags_spark.plans import registry
+
+    registry.load_all()
+    assert set(names) == set(registry.QUERIES)
+    if not verified:  # fresh clone without driver artifacts
+        return
+    window = names[:50]
+    already = [n for n in window if n in verified]
+    assert already == [
+        "q1_pricing_summary",
+        "p4_regexp_strip",
+        "join_anti_customers_without_orders",
+    ]
+    assert all(n not in verified for n in window if n not in already)

@@ -371,3 +371,39 @@ def test_cms_upper_bound_and_merge_law(spark, stream, split):
         cms_build(a, "k", depth=3, width=64), cms_build(b, "k", depth=3, width=64)
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in cms.collect()}
+
+
+null_join_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # key
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lrows=null_join_rows, rrows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=99)),
+    min_size=0, max_size=8))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_null_split_join_equals_plain_left_join(spark, lrows, rrows):
+    """For ANY left rows (nullable keys, duplicates) and right rows: the
+    null-split rewrite is row-for-row the plain left join."""
+    from airflow_dags_spark.functions.skew import left_join_null_split
+
+    left = spark.createDataFrame(
+        [(k, v) for k, v in lrows] or [(None, 0)], "k bigint, lv bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, v) for k, v in rrows] or [(0, 0)], "k bigint, rv bigint"
+    )
+    got = sorted(
+        map(tuple, left_join_null_split(left, right, "k").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    want = sorted(
+        map(tuple, left.join(right, "k", "left").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got == want
