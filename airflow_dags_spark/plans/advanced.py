@@ -1219,3 +1219,83 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust"), "c_name"
     )
     return left_join_null_split(o, c, "cust")
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence + year-over-year growth
+# --------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+@register("basket_part_pairs", BASKET_ORACLE)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket first pass: the 25 most co-purchased part pairs.
+    Pair fan-out is a SELF-join keyed on the order — bounded by the
+    per-order line count (≤7 lines in this schema ⇒ ≤21 pairs/order), so
+    cost is O(orders · pairs-per-order), never all-parts². One orderkey
+    exchange (reused by both sides), map-side partial count, top-k via
+    TakeOrderedAndProject. The A-priori candidate-generation shape for
+    frequent itemsets at 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+YOY_ORACLE = """
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS revenue
+  FROM orders GROUP BY 1)
+SELECT yr, CAST(revenue AS VARCHAR) AS revenue,
+       ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY yr) IS NOT NULL
+             THEN (revenue - LAG(revenue) OVER (ORDER BY yr))
+                  / LAG(revenue) OVER (ORDER BY yr) END, 6) + 0.0
+         AS yoy_growth
+FROM yearly
+"""
+
+
+@register("yoy_revenue_growth", YOY_ORACLE)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly decimal-exact sums, then a
+    lag window over the |years| aggregate rows — the single-partition
+    window touches only the tiny pre-aggregated frame (fine at any scale:
+    |years| rows), never the fact table. Growth is a raw IEEE ratio of
+    exact decimal sums, rounded identically in both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev.isNotNull(), (F.col("revenue") - prev) / prev
+    )
+    return yearly.select(
+        "yr",
+        F.col("revenue").cast("string").alias("revenue"),
+        (F.round(growth.cast("double"), 6) + F.lit(0.0)).alias("yoy_growth"),
+    )

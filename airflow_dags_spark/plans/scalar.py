@@ -599,3 +599,85 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("total_events"),
     )
+
+
+COND_FUNCS_ORACLE = """
+SELECT o_orderkey,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')            AS status_or_open,
+  CASE WHEN o_totalprice > 200000 THEN 'big'
+       WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
+  GREATEST(o_custkey % 10, 3)                             AS prio_floor,
+  LEAST(CAST(o_totalprice AS DOUBLE), 100000.0)           AS capped_price,
+  CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END   AS is_urgent,
+  IFNULL(NULLIF(o_orderstatus, o_orderstatus), 'none')    AS always_none
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+@register("scalar_conditional_functions", COND_FUNCS_ORACLE)
+def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 conditional-function sweep: nullif/coalesce/ifnull, greatest/
+    least, searched CASE, LIKE-driven flags — the null-handling idioms the
+    reference's pandas fillna/mask code maps to. Pure narrow projection:
+    zero shuffles, fused into the scan stage."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.greatest(F.col("o_custkey") % 10, F.lit(3)).alias("prio_floor"),
+        F.least(F.col("o_totalprice").cast("double"), F.lit(100000.0)).alias(
+            "capped_price"
+        ),
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+        F.ifnull(
+            F.nullif("o_orderstatus", F.col("o_orderstatus")), F.lit("none")
+        ).alias(
+            "always_none"
+        ),
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  ROUND(ABS(l_extendedprice - l_quantity * 1000.0), 2) + 0.0 AS abs_diff,
+  SIGN(l_extendedprice - l_quantity * 1000.0) + 0.0          AS diff_sign,
+  CAST(FLOOR(l_discount * 100) AS BIGINT)                    AS disc_pct_floor,
+  CAST(CEIL(l_tax * 100) AS BIGINT)                          AS tax_pct_ceil,
+  ROUND(SQRT(CAST(l_quantity AS DOUBLE)), 6)                 AS qty_sqrt,
+  ROUND(LN(CAST(l_extendedprice AS DOUBLE)), 6)              AS price_ln,
+  ROUND(LOG10(CAST(l_extendedprice AS DOUBLE)), 6)           AS price_log10,
+  ROUND(POWER(CAST(l_quantity AS DOUBLE), 2.0), 2)           AS qty_sq,
+  CAST(l_orderkey % 97 AS BIGINT)                            AS key_mod
+FROM lineitem WHERE l_orderkey % 11 = 0
+"""
+
+
+@register("scalar_math_functions", MATH_FUNCS_ORACLE)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 math-function sweep: abs/sign/floor/ceil/sqrt/ln/log10/power/
+    mod over the fact table, rounded where IEEE ulp could differ between
+    engines. Narrow projection fused into the scan; no exchange."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    diff = F.col("l_extendedprice") - F.col("l_quantity") * 1000.0
+    price_d = F.col("l_extendedprice").cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.round(F.abs(diff), 2) + F.lit(0.0)).alias("abs_diff"),
+        (F.signum(diff.cast("double")) + F.lit(0.0)).alias("diff_sign"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).cast("bigint").alias("tax_pct_ceil"),
+        F.round(F.sqrt(F.col("l_quantity").cast("double")), 6).alias("qty_sqrt"),
+        F.round(F.log(price_d), 6).alias("price_ln"),
+        F.round(F.log10(price_d), 6).alias("price_log10"),
+        F.round(F.pow(F.col("l_quantity").cast("double"), 2.0), 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
