@@ -232,3 +232,39 @@ def sketch_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_sketch_estimate("sk").alias("est_distinct_docs"),
         )
     )
+
+
+@register("outlier_kll_gate", None)  # sketch quantiles are engine-private
+def outlier_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``outlier_iqr_gate``: Tukey fences from KLL
+    SKETCH quantiles instead of exact percentiles. The exact form's
+    ``percentile`` buffers every value per group; the sketch form is a
+    KB-sized mergeable aggregate — same single-pass shape (1-row bounds
+    broadcast + streamed filter), bounded memory at any scale, and the
+    per-day/per-partition sketches can persist so the fences come from a
+    summary table, not a rescan.
+
+    Accuracy vs the exact gate is pytest-bounded (tests/test_sketches.py):
+    KLL rank error ~1% moves the fence a little, so only rows NEAR the
+    fence can flip — the test measures that symmetric difference."""
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        o.agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+        .select(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("p25"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.75)).alias("p75"),
+        )
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("o_totalprice") < F.col("p25") - 1.5 * iqr)
+            | (F.col("o_totalprice") > F.col("p75") + 1.5 * iqr)
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") > F.col("p75") + 1.5 * iqr).alias("high"),
+        )
+    )

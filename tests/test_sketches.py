@@ -177,3 +177,19 @@ def test_cms_exact_when_width_exceeds_cardinality_margin(spark):
     truth = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt"))
     for r in cms_estimate(cms, truth, "l_suppkey", depth=6, width=1 << 16).collect():
         assert r["cms_est"] == r["true_cnt"]
+
+
+def test_kll_outlier_gate_close_to_exact(spark):
+    """The sketch-fence gate flags (almost) the same rows as the exact
+    IQR gate — only near-fence rows may flip, bounded by KLL rank error."""
+    exact = {
+        r["o_orderkey"]
+        for r in registry.QUERIES["outlier_iqr_gate"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["o_orderkey"]
+        for r in registry.QUERIES["outlier_kll_gate"](spark, SF_DIR).collect()
+    }
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    sym = len(exact ^ approx)
+    assert sym <= max(3, 0.02 * n), (len(exact), len(approx), sym)
