@@ -681,3 +681,72 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("l_quantity").cast("double"), 2.0), 2).alias("qty_sq"),
         (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
     )
+
+
+BITWISE_ORACLE = """
+SELECT o_orderkey,
+  CAST(o_orderkey & 255 AS BIGINT)        AS low_byte,
+  CAST(o_orderkey | 4096 AS BIGINT)       AS with_flag,
+  CAST(xor(o_orderkey, 21845) AS BIGINT)  AS xored,
+  CAST(o_orderkey << 2 AS BIGINT)         AS shl2,
+  CAST(o_orderkey >> 3 AS BIGINT)         AS shr3,
+  bit_count(o_orderkey)                   AS popcount
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@register("scalar_bitwise_functions", BITWISE_ORACLE)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 bitwise sweep: and/or/xor/shifts/popcount — the flag-word and
+    hash-manipulation idioms the engine's own Bloom/SimHash/zorder
+    operators are built from, surfaced as a checkable query. Narrow
+    zero-shuffle projection."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 2)").cast("bigint").alias("shl2"),
+        F.expr("shiftright(o_orderkey, 3)").cast("bigint").alias("shr3"),
+        F.bit_count("o_orderkey").alias("popcount"),
+    )
+
+
+DATE_FUNCS2_ORACLE = """
+SELECT o_orderkey,
+  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')       AS plus_3m,
+  ROUND(12 * (EXTRACT(year FROM o_orderdate) - 2020)
+        + (EXTRACT(month FROM o_orderdate) - 6)
+        + (EXTRACT(day FROM o_orderdate) - 15) / 31.0, 6)    AS months_since,
+  CAST(EXTRACT(week FROM o_orderdate) AS INT)                AS wk,
+  CAST(EXTRACT(isodow FROM o_orderdate) AS INT)              AS iso_dow,
+  strftime(make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT), 1, 1),
+           '%Y-%m-%d')                                       AS year_start
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+@register("scalar_date_functions2", DATE_FUNCS2_ORACLE)
+def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 date sweep v2: add_months, months_between (mirrored by the
+    engine-portable 31-day-fraction formula both engines compute
+    identically), ISO week/day-of-week, make_date. Zero-shuffle."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 0)
+    d = F.col("o_orderdate")
+    months_since = (
+        12 * (F.year(d) - 2020)
+        + (F.month(d) - 6)
+        + (F.dayofmonth(d) - 15) / 31.0
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.round(months_since, 6).alias("months_since"),
+        F.weekofyear(d).alias("wk"),
+        F.expr("extract(dayofweek_iso FROM o_orderdate)").cast("int").alias("iso_dow"),
+        F.date_format(F.make_date(F.year(d), F.lit(1), F.lit(1)), "yyyy-MM-dd").alias(
+            "year_start"
+        ),
+    )

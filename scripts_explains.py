@@ -66,6 +66,11 @@ NAMES = [
     "weighted_sample_per_source",
     "join_null_skew_split",
     "ivm_join_delta",
+    "basket_part_pairs",
+    "yoy_revenue_growth",
+    "scalar_conditional_functions",
+    "scalar_math_functions",
+    "outlier_kll_gate",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
