@@ -193,7 +193,8 @@ def semantic_dedup(
         # blocked gram matrix: block × n memory, full-cluster never held
         for lo in range(1, n, 1024):
             hi = min(lo + 1024, n)
-            s = np.round(x[lo:hi] @ x.T, 6)
+            # only lower-keyed columns matter: x[:hi] halves the FLOPs
+            s = np.round(x[lo:hi] @ x[:hi].T, 6)
             for i in range(lo, hi):
                 best[i] = s[i - lo, :i].max()
         bl = pd.Series(best).where(pd.notna(best), None)
