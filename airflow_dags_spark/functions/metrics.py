@@ -97,7 +97,34 @@ def scan_summary(df: DataFrame) -> dict[str, int]:
                 summary["shuffle_records_written"] += val
             if "spill size" in name:
                 summary["spill_bytes"] += val
-    # rows_out: the plan root's own row metric (0 for command-style roots)
-    root = df._jdf.queryExecution().executedPlan()
-    summary["rows_out"] = m.get(root.nodeName(), {}).get("number of output rows", 0)
+    # rows_out: the first REAL operator under the root, read from its own
+    # metrics object (with AQE the root is AdaptiveSparkPlan, which has no
+    # row metric; a name-keyed map lookup would also collide with other
+    # same-named operators deeper in the plan)
+    summary["rows_out"] = _root_rows(df._jdf.queryExecution().executedPlan())
     return summary
+
+
+def _root_rows(plan) -> int:
+    """Row count at the plan root: unwrap AQE / query-stage / codegen
+    wrappers until a node that exposes ``number of output rows``; that
+    node's OWN metric is the result row count."""
+    node = plan
+    for _ in range(64):  # bounded descent; plans are never this deep
+        name = str(node.nodeName()).strip()
+        if name == "AdaptiveSparkPlan":
+            node = node.executedPlan()  # final physical plan post-execution
+            continue
+        if name.endswith("QueryStage"):
+            node = node.plan()
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            metric = it.next()._2()
+            if _metric_name(metric) == "number of output rows":
+                return int(metric.value())
+        ch = node.children()
+        if ch.isEmpty():
+            return 0
+        node = ch.head()  # wrappers (WholeStageCodegen, …) are single-child
+    return 0

@@ -34,6 +34,7 @@ from airflow_dags_spark.operators.clustering import (
     assign_clusters,
     kmeans_fit,
     semantic_dedup,
+    semantic_dedup_two_level,
 )
 from airflow_dags_spark.operators.skipping import (
     collect_file_stats,
@@ -53,6 +54,7 @@ from airflow_dags_spark.operators.similarity import (
     embedding_near_dup,
     ivf_ann_topk,
     lsh_ann_topk,
+    pq_ann_topk,
 )
 from airflow_dags_spark.operators.temporal import asof_join, range_join
 from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
@@ -84,6 +86,7 @@ __all__ = [
     "assign_clusters",
     "kmeans_fit",
     "semantic_dedup",
+    "semantic_dedup_two_level",
     "collect_file_stats",
     "prune_files",
     "read_with_skipping",
@@ -97,6 +100,7 @@ __all__ = [
     "embedding_near_dup",
     "ivf_ann_topk",
     "lsh_ann_topk",
+    "pq_ann_topk",
     "asof_join",
     "range_join",
     "ParquetTable",

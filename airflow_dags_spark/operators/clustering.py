@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -63,10 +64,19 @@ def kmeans_fit(
     """Fit k spherical-k-means centroids (unit vectors) distributed.
 
     Init: k seeded draws from the md5-ordered ``init_sample`` head — the
-    engine's deterministic-sample idiom, so refits on the same data give
-    identical centers regardless of partitioning. Each Lloyd round is one
-    shuffle-free executor pass; convergence when no centroid moves more
-    than ``tol`` (cosine of successive centroids ≥ 1 - tol)."""
+    engine's deterministic-sample idiom. Each Lloyd round is one
+    shuffle-free executor pass producing (cluster, cnt, vsum) partials,
+    then ONE k-key shuffle reduces partials per cluster executor-side
+    (treeAggregate shape) — the driver collects exactly k rows per round,
+    never ``batches × k``, so driver traffic is O(k·dim) no matter the
+    corpus size. Convergence when no centroid moves more than ``tol``
+    (cosine of successive centroids ≥ 1 - tol).
+
+    Determinism: partials are folded in a TOTAL sort order
+    (cnt, vsum bytes), removing shuffle-arrival nondeterminism — refits
+    are bit-identical for a fixed partitioning/Arrow batching. Across
+    DIFFERENT partitionings the partial-sum boundaries themselves differ,
+    so centers agree only to float-accumulation order (ulp-level)."""
     sample = [
         r[0]
         for r in df.where(F.col(vec_col).isNotNull())
@@ -103,10 +113,32 @@ def kmeans_fit(
                     out.append((int(j), len(m), m.sum(axis=0).tolist()))
                 yield pd.DataFrame(out, columns=["cluster", "cnt", "vsum"])
 
-        rows = vecs.mapInPandas(partials, partial_schema).collect()
+        def reduce_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            # total-order fold: same sum regardless of shuffle arrival order
+            v = np.vstack(pdf["vsum"].to_numpy()).astype(np.float64)
+            order = sorted(
+                range(len(pdf)),
+                key=lambda i: (int(pdf["cnt"].iloc[i]), v[i].tobytes()),
+            )
+            acc = np.zeros(v.shape[1])
+            for i in order:
+                acc += v[i]
+            return pd.DataFrame(
+                {
+                    "cluster": [int(pdf["cluster"].iloc[0])],
+                    "cnt": [int(pdf["cnt"].sum())],
+                    "vsum": [acc.tolist()],
+                }
+            )
+
+        rows = (
+            vecs.mapInPandas(partials, partial_schema)
+            .groupBy("cluster")
+            .applyInPandas(reduce_cluster, partial_schema)
+            .collect()
+        )
         sums = np.zeros_like(centers)
         counts = np.zeros(len(centers))
-        # driver fold in sorted order → deterministic float accumulation
         for r in sorted(rows, key=lambda r: (r["cluster"],)):
             sums[r["cluster"]] += np.asarray(r["vsum"])
             counts[r["cluster"]] += r["cnt"]
@@ -148,6 +180,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int | None = None,
     target_cluster_size: int = 1000,
+    max_clusters: int = 65_536,
+    approx_count: int | None = None,
     seed: int = 42,
     max_iter: int = 10,
 ) -> DataFrame:
@@ -165,10 +199,29 @@ def semantic_dedup(
     linearly in n. (A fixed n_clusters=8 measured 19.7× time at 10× data;
     the auto-scaled form is ~linear — SCALE.md.) The exact phase is one
     groupBy(cluster) → applyInPandas running a blocked BLAS gram matrix per
-    cluster — no |cluster|² joined rows, no per-pair interpreted lambda."""
+    cluster — no |cluster|² joined rows, no per-pair interpreted lambda.
+
+    ``max_clusters`` caps the n/target rule (default 65 536): k×dim centers
+    live on the driver AND broadcast to every assignment task, so unbounded
+    k is a driver/broadcast bomb at corpus scale (~50 B docs would give
+    k≈50 M → ~300 GB of centers under the raw rule). Past the cap, cluster
+    size grows with n instead — the SemDeDup paper itself runs k=50 k over
+    5 B docs (~100 k-row clusters, fine: the blocked gram is block×cluster
+    memory). Corpora where even capped clusters exceed executor memory
+    should recursively re-run semantic_dedup per oversized cluster
+    (two-level clustering) — cheap because each sub-run sees only one
+    cluster's rows.
+
+    ``approx_count`` short-circuits the sizing ``count()`` job — pass
+    ``sources.tables.parquet_row_count(...)`` (footer metadata, zero Spark
+    jobs) when the corpus is a parquet path. Sizing only needs order of
+    magnitude, so a pre-filter count is fine."""
     base = embeddings.where(F.col(vec_col).isNotNull())
     if n_clusters is None:
-        n_clusters = max(8, int(base.count() / max(target_cluster_size, 1)) + 1)
+        n = approx_count if approx_count is not None else base.count()
+        n_clusters = min(
+            max_clusters, max(8, int(n / max(target_cluster_size, 1)) + 1)
+        )
     centers = kmeans_fit(
         base, vec_col, n_clusters, key_col=key_col, seed=seed, max_iter=max_iter
     )
@@ -176,6 +229,15 @@ def semantic_dedup(
         base.select(F.col(key_col), F.col(vec_col)), centers, vec_col
     )
 
+    return _dedup_within_clusters(assigned, threshold, key_col, vec_col)
+
+
+def _dedup_within_clusters(
+    assigned: DataFrame, threshold: float, key_col: str, vec_col: str
+) -> DataFrame:
+    """The exact phase shared by semantic_dedup and the two-level variant:
+    one groupBy(cluster) → applyInPandas; per cluster a blocked BLAS gram
+    matrix marks rows with a lower-keyed neighbor ≥ threshold."""
     out_schema = StructType(
         [
             assigned.schema[key_col],
@@ -208,3 +270,80 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cluster").applyInPandas(per_cluster, out_schema)
+
+
+def semantic_dedup_two_level(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_clusters: int = 1024,
+    target_cluster_size: int = 1000,
+    split_factor: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Two-level SemDeDup: the scale form past ``semantic_dedup``'s
+    ``max_clusters`` cap. Level 1 fits a bounded COARSE quantizer
+    (``coarse_clusters`` ≤ 65k — driver/broadcast-safe no matter the corpus
+    size); any coarse cell larger than ``split_factor × target_cluster_size``
+    is then re-clustered by its OWN sub-quantizer (k₂ = size/target), and the
+    exact gram-matrix phase runs inside final (coarse, sub) cells.
+
+    Why not just raise k at level 1: k×dim centers ship to every task, so
+    level-1 k must stay bounded; two levels give k₁×k₂ effective cells while
+    never broadcasting more than max(k₁, max k₂) centers. The driver loop
+    over oversized cells is bounded by k₁; each sub-fit scans ONLY its
+    cell's rows (the assigned frame is cached across the loop).
+
+    Same output contract as ``semantic_dedup``; ``cluster`` is the final
+    cell id (coarse_id when unsplit, a derived unique id when split).
+    Dedup semantics note: splitting trades recall exactly like adding
+    clusters does — near-dups straddling sub-cells are missed (standard
+    SemDeDup trade, bounded by sub-cell purity)."""
+    base = embeddings.where(F.col(vec_col).isNotNull())
+    centers = kmeans_fit(
+        base, vec_col, coarse_clusters, key_col=key_col, seed=seed, max_iter=max_iter
+    )
+    assigned = assign_clusters(
+        base.select(F.col(key_col), F.col(vec_col)), centers, vec_col
+    ).persist()
+    try:
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        split_at = split_factor * target_cluster_size
+        oversized = sorted(c for c, n in sizes.items() if n > split_at)
+
+        out = assigned
+        if oversized:
+            keep = assigned.where(~F.col("cluster").isin(oversized))
+            parts = [keep]
+            # final ids: unsplit cells keep coarse id; split cells get ids
+            # above the coarse range, disjoint per (coarse, sub)
+            next_base = len(centers)
+            for c in oversized:
+                cell = assigned.where(F.col("cluster") == c).drop("cluster")
+                k2 = max(2, int(sizes[c] / max(target_cluster_size, 1)) + 1)
+                sub_centers = kmeans_fit(
+                    cell, vec_col, k2, key_col=key_col,
+                    seed=seed + 1 + c, max_iter=max_iter,
+                )
+                sub = assign_clusters(cell, sub_centers, vec_col).withColumn(
+                    "cluster", (F.col("cluster") + F.lit(next_base)).cast("int")
+                )
+                next_base += len(sub_centers)
+                parts.append(sub)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        # the exact phase runs AFTER the union so Spark schedules all final
+        # cells in one stage; materialize (off-heap safe: DISK_ONLY) so the
+        # cached assignment can be released before returning
+        result = _dedup_within_clusters(out, threshold, key_col, vec_col)
+        result = result.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        return result
+    finally:
+        assigned.unpersist()

@@ -46,6 +46,17 @@ def _bloom_path(table: ParquetTable) -> str:
     return f"{table.path}.bloom"
 
 
+def _bloom_keys(table: ParquetTable, df: DataFrame, key: str) -> DataFrame:
+    """Key column as the Bloom sees it. For ``case_insensitive`` tables the
+    exact anti-join compares ``lower(key)`` — the Bloom must hash the SAME
+    normalized value on both the build and probe paths, else a case-variant
+    duplicate ('ABC' vs stored 'abc') probes definitely-absent and gets
+    appended, breaking the bit-identical-to-K3 contract."""
+    if table.case_insensitive:
+        return df.select(F.lower(F.col(key)).alias(key))
+    return df.select(key)
+
+
 def _load_or_build_bloom(
     table: ParquetTable, key: str, m_bits: int, k: int
 ) -> DataFrame:
@@ -54,7 +65,7 @@ def _load_or_build_bloom(
         return table.spark.read.parquet(path)
     # backfill: one pass over the existing corpus (only ever paid once)
     if table.exists():
-        return bloom_build(table.read().select(key), key, m_bits, k)
+        return bloom_build(_bloom_keys(table, table.read(), key), key, m_bits, k)
     return table.spark.createDataFrame([], "word_idx bigint, word bigint")
 
 
@@ -78,7 +89,7 @@ def bloom_screened_insert_if_absent(
     if not table.exists():
         table._atomic_overwrite(clean)
         n = table.read().count()
-        bloom_build(table.read().select(key), key, m_bits, k).write.mode(
+        bloom_build(_bloom_keys(table, table.read(), key), key, m_bits, k).write.mode(
             "overwrite"
         ).parquet(_bloom_path(table))
         return {
@@ -89,8 +100,15 @@ def bloom_screened_insert_if_absent(
         }
 
     bloom = _load_or_build_bloom(table, key, m_bits, k)
-    probed = bloom_might_contain(bloom, clean.select(key), key, m_bits, k)
-    flagged = clean.join(probed, key)
+    probed = bloom_might_contain(
+        bloom, _bloom_keys(table, clean, key), key, m_bits, k
+    )
+    # join back on the same normalization the probe hashed; _dedup_source
+    # already guarantees one batch row per normalized key
+    norm = F.lower(F.col(key)) if table.case_insensitive else F.col(key)
+    flagged = clean.join(
+        probed.withColumnRenamed(key, "__bkey"), norm == F.col("__bkey")
+    ).drop("__bkey")
     # one materialization of the (small) batch split — avoids recomputing
     # the probe for each branch
     flagged = flagged.localCheckpoint(eager=True)
@@ -110,7 +128,7 @@ def bloom_screened_insert_if_absent(
     if n_inserted:
         table.append(to_insert.select(*table.read().columns))
         new_bloom = bloom_merge(
-            bloom, bloom_build(to_insert.select(key), key, m_bits, k)
+            bloom, bloom_build(_bloom_keys(table, to_insert, key), key, m_bits, k)
         )
         # stage-and-swap via a ParquetTable keyed on word_idx for atomicity
         ParquetTable(table.spark, _bloom_path(table), "word_idx")._atomic_overwrite(

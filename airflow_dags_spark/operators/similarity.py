@@ -14,6 +14,11 @@
   and each query touches |corpus|·nprobe/n_cells vectors.
 - ``embedding_near_dup`` — near-duplicate PAIRS by cosine ≥ threshold; exact
   within a candidate scope (all-pairs only inside buckets/bounded subsets).
+- ``pq_ann_topk`` — product-quantization ANN (Jégou et al. 2011, "Product
+  Quantization for Nearest Neighbor Search"): the corpus is stored as m
+  one-byte codes per vector (dim×4 bytes → m bytes, 32× compression at
+  dim=64/m=8) and queries scan codes via per-subspace lookup tables — the
+  memory-bound regime where 100 TB of raw vectors no longer fits anything.
 """
 
 from __future__ import annotations
@@ -88,6 +93,7 @@ def embedding_near_dup(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     scope_filter=None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs (a < b) with cosine ≥ threshold.
 
@@ -95,7 +101,18 @@ def embedding_near_dup(
     (``scope_filter``) or a bucket. The 100 TB recipe: bucket with
     ``ivf_ann_topk``'s quantizer or LSH, then run THIS exact check inside
     each bucket (mirrors dedup.minhash_candidate_pairs → ngram_jaccard).
-    """
+
+    Unbounded usage is LOUD by design: with no ``scope_filter`` the call
+    raises unless ``allow_full_scan=True`` — a broadcast all-pairs over the
+    full corpus is a quadratic scale bomb nobody should hit by accident.
+    Full-corpus dedup belongs to ``semantic_dedup`` (cluster-bounded) or an
+    LSH/IVF bucket + this check per bucket."""
+    if scope_filter is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_near_dup without scope_filter is an O(n^2) all-pairs "
+            "over the whole corpus; pass a scope_filter/bucket, or "
+            "allow_full_scan=True if the input is known-small"
+        )
     scoped = embeddings if scope_filter is None else embeddings.where(scope_filter)
     a = scoped.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = scoped.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
@@ -222,6 +239,168 @@ def ivf_ann_topk(
     )
 
 
+def _fit_pq_codebooks(
+    embeddings: DataFrame,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    fit_sample: int,
+    max_iter: int,
+    seed: int,
+) -> "np.ndarray":
+    """Train m per-subspace codebooks (shape m × n_codes × dim/m) on a
+    bounded driver-side sample — same sampled-fit practice as the IVF coarse
+    quantizer (FAISS trains PQ on a sample): codebook quality saturates
+    early, and the fit is seeded numpy Lloyd → deterministic."""
+    sample = [
+        r[0]
+        for r in embeddings.select(as_double(vec_col)).limit(fit_sample).collect()
+        if r[0] is not None
+    ]
+    x = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)  # encode UNIT vectors (cosine)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(xs))
+        centers = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books[j, :k] = centers
+        if k < n_codes:  # degenerate tiny corpus: pad with the first center
+            books[j, k:] = centers[0]
+    return books
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    k: int,
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    m: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    fit_sample: int = 20000,
+    max_iter: int = 10,
+    refine: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN: corpus vectors → m one-byte codes
+    (nearest codebook entry per subspace); query scoring is Asymmetric
+    Distance Computation — per query an m × n_codes lookup table of
+    subspace dot products, summed by code index, so the scan touches only
+    the code bytes, never the raw vectors.
+
+    100 TB shape: the ENCODE pass is one narrow Arrow-batched map (no
+    shuffle) and shrinks dim×4 bytes to m bytes per vector (32× at
+    dim=64/m=8) — the corpus-resident footprint that makes a full-scan ANN
+    affordable when raw vectors don't fit; the SCORE pass broadcasts
+    (queries × m × n_codes) LUTs and streams the codes; the only shuffle is
+    the final per-query top-k window. ``refine > 0`` re-ranks the top
+    ``refine`` PQ candidates per query with exact cosine (needs one join
+    back to raw vectors) — the standard recall-restoring tail.
+
+    Seeded sampled-fit internals → rows-only correctness; recall vs brute
+    force and determinism are pytest-verified (tests/test_approx_ops.py)."""
+    books = _fit_pq_codebooks(
+        embeddings, vec_col, m, n_codes, fit_sample, max_iter, seed
+    )
+    sub = books.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms > 0, norms, 1.0)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # ‖xs-c‖² = ‖xs‖² - 2·xs·c + ‖c‖²; row term constant per row
+                d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({"cid": pdf["cid"], "code": list(codes)})
+
+    corpus = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .select(F.col(key_col).alias("cid"), as_double(vec_col).alias("__v"))
+        .mapInPandas(encode, "cid bigint, code array<int>")
+    )
+
+    q = embeddings if query_filter is None else embeddings.where(query_filter)
+    qrows = [
+        (r["qid"], np.asarray(r["qv"], dtype=np.float64))
+        for r in q.where(F.col(vec_col).isNotNull())
+        .select(F.col(key_col).alias("qid"), as_double(vec_col).alias("qv"))
+        .collect()
+    ]
+    # per-query LUT: lut[q][j][c] = q_sub[j] · books[j][c]  (cosine ADC)
+    qids = np.array([qid for qid, _ in qrows])
+    qx = np.vstack([v for _, v in qrows])
+    qn = np.linalg.norm(qx, axis=1, keepdims=True)
+    qx = qx / np.where(qn > 0, qn, 1.0)
+    luts = np.stack(
+        [qx[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )  # (n_queries, m, n_codes)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["code"].to_numpy())  # (b, m)
+            # approx_sim[b, q] = Σ_j luts[q, j, codes[b, j]]
+            sims = np.zeros((len(codes), len(qids)))
+            for j in range(m):
+                sims += luts[:, j, :][:, codes[:, j]].T  # (b, n_queries)
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, len(codes)),
+                    "cid": np.tile(pdf["cid"].to_numpy(), len(qids)),
+                    "sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+            yield out
+
+    scored = corpus.mapInPandas(score, "qid bigint, cid bigint, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= (refine if refine > k else k))
+        .drop("rn")
+    )
+    if refine > k:
+        # exact re-rank of the PQ candidates: join back to raw vectors
+        cvecs = embeddings.select(
+            F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+        qvecs = q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv"))
+        exact = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+        w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+        topk = (
+            topk.drop("sim")
+            .join(cvecs, "cid")
+            .join(F.broadcast(qvecs), "qid")
+            .select("qid", "cid", exact.alias("sim"))
+            .withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+    return topk.select("qid", "cid", "sim")
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int,
@@ -231,6 +410,7 @@ def lsh_ann_topk(
     query_filter=None,
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
+    max_distance: float = 2.0,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate NN via random-projection LSH on normalized vectors.
@@ -238,7 +418,14 @@ def lsh_ann_topk(
     Euclidean distance d on unit vectors maps to cosine = 1 - d²/2, so
     bucketing by projected euclidean distance preserves cosine order.
     Seeded-murmur internals → rows-only correctness; recall is pytest-checked
-    against brute force."""
+    against brute force.
+
+    ``max_distance`` prunes candidates AFTER the bucket join (unit-sphere
+    distances span [0, 2]; 2.0 = keep every bucket collision). Tightening it
+    trades recall for candidate volume on top of the bucket structure —
+    e.g. 1.0 keeps only cosine ≥ 0.5 candidates. Top-k output can shrink
+    below k when the radius excludes true neighbors; that is the explicit
+    recall/cost dial, measured in tests/test_similarity.py."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -258,7 +445,7 @@ def lsh_ann_topk(
     q = hashed
     if query_filter is not None:
         q = q.where(query_filter)
-    joined = model.approxSimilarityJoin(q, hashed, 2.0, distCol="__dist")
+    joined = model.approxSimilarityJoin(q, hashed, max_distance, distCol="__dist")
     w = Window.partitionBy("qid").orderBy(F.asc("__dist"), F.asc("cid"))
     return (
         joined.select(

@@ -100,13 +100,24 @@ class VersionedParquetTable:
     def current_version(self) -> int:
         return int(self._read_manifest()["current"])
 
+    @staticmethod
+    def _next_version(m: dict) -> int:
+        """Next unused version number. Allocated off the MAX ever committed,
+        not ``current + 1`` — after ``rollback(to)`` the pointer moves back
+        but earlier snapshot dirs still exist, and ``current + 1`` would
+        collide with one of them (errorifexists raise / duplicate manifest
+        entry). Rollback-then-repair must be able to commit."""
+        if not m["versions"]:
+            return 1
+        return max(int(v["version"]) for v in m["versions"]) + 1
+
     def history(self) -> list[dict]:
         return list(self._read_manifest()["versions"])
 
     def write(self, df: DataFrame, op: str = "overwrite") -> int:
         """Commit ``df`` as the next full snapshot; returns its version."""
         m = self._read_manifest()
-        n = int(m["current"]) + 1
+        n = self._next_version(m)
         df.write.mode("errorifexists").parquet(self._vdir(n))
         m["versions"].append({"version": n, "op": op, "paths": [self._vdir(n)]})
         m["current"] = n
@@ -123,7 +134,7 @@ class VersionedParquetTable:
         for v in m["versions"]:
             if v["version"] == cur:
                 prev_paths = list(v["paths"])
-        n = cur + 1
+        n = self._next_version(m)
         df.write.mode("errorifexists").parquet(self._vdir(n))
         m["versions"].append(
             {"version": n, "op": op, "paths": prev_paths + [self._vdir(n)]}

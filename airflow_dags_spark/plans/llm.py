@@ -8,6 +8,8 @@ register rows-only and are verified in pytest against exact references.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -263,9 +265,12 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness vs a global numpy brute-force of the same rule is
     pytest-checked (tests/test_clustering.py)."""
     from airflow_dags_spark.operators.clustering import semantic_dedup
+    from airflow_dags_spark.sources.tables import parquet_row_count
 
     emb = read_table(spark, sf_dir, "embeddings")
-    marked = semantic_dedup(emb, 0.15)  # auto-scaled cluster count
+    # footer-metadata row count: sizes n_clusters with zero Spark jobs
+    n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    marked = semantic_dedup(emb, 0.15, approx_count=n)  # auto-scaled k, capped
     return (
         marked.groupBy("cluster")
         .agg(

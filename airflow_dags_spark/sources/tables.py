@@ -53,6 +53,38 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hadoop_path))
 
 
+def parquet_row_count(spark: SparkSession, path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side file
+    listing + footer read, ZERO Spark jobs (``df.count()`` schedules a full
+    scan stage; row-group headers already carry the answer).
+
+    Use for sizing decisions (e.g. semantic_dedup's n_clusters rule) where
+    the count is needed BEFORE any job runs. Works on any Hadoop FS path
+    (file://, s3a://, hdfs://). Directories are walked recursively;
+    non-parquet sidecars (_SUCCESS, manifests) are skipped."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    root = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = root.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            status.getPath(), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            total += int(reader.getRecordCount())
+        finally:
+            reader.close()
+    return total
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> None:

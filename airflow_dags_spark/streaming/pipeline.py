@@ -503,8 +503,15 @@ def ewma_tracker(
     Contract: per-key order ACROSS micro-batches follows arrival order
     (source-ordered feeds — the reference's dated landing files — satisfy
     this); within a batch rows are sorted by event time.
+
+    Eviction: each update arms an event-time timeout at (max event time seen
+    for the key + ``delay``); when the watermark passes it with no new data,
+    the timed-out invocation removes the state — so state is O(ACTIVE keys),
+    not O(all keys ever seen).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    delay_ms = _parse_ttl_ms(delay)
 
     out_schema = T.StructType(
         [
@@ -523,15 +530,31 @@ def ewma_tracker(
     def track(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # watermark passed (last event time + delay) with no new rows:
+            # evict — a later arrival simply restarts the fold from scratch
+            state.remove()
+            return
+            yield  # pragma: no cover — keeps this a generator function
+
         s, n = state.getOption if state.exists else (None, 0)
+        max_ts = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, "event_id"], kind="mergesort")
+            if len(pdf):
+                m = pdf[ts_col].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
             for x in pdf[value_col]:
                 if pd.isna(x):
                     continue
                 s = float(x) if s is None else alpha * float(x) + (1 - alpha) * s
                 n += 1
         state.update((s, int(n)))
+        if max_ts is not None:
+            ts_ms = int(pd.Timestamp(max_ts).value // 1_000_000) + delay_ms
+            # the engine rejects timestamps at/behind the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(ts_ms, wm + 1))
         yield pd.DataFrame({key_col: [key[0]], "ewma": [s], "n_seen": [n]})
 
     return (

@@ -55,6 +55,11 @@ HEADLINE = [
 ]
 
 
+# sampled at import, before the JVM/session spin-up inflates load1 with our
+# own startup burst — this approximates the load OTHER processes put on the box
+LOAD_AT_START = round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -107,6 +112,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # idle-run marker: bench numbers are contention-sensitive (a contended
+    # run measured 36 s vs 15 s idle for the same code). load1 is sampled
+    # BEFORE this process ramps up (captured at import-time below would race
+    # the JVM; here the session is warm but queries haven't run), so
+    # load1 >> cpus means something else was burning the box and the run
+    # should not be compared across rounds.
     print(
         json.dumps(
             {
@@ -115,6 +126,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_at_start": LOAD_AT_START,
+                "cpus": os.cpu_count(),
+                "idle_run": LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
             }
         )
     )

@@ -71,6 +71,10 @@ NAMES = [
     "scalar_conditional_functions",
     "scalar_math_functions",
     "outlier_kll_gate",
+    "regr_linear_functions",
+    "events_max_concurrency",
+    "gaps_islands_streaks",
+    "sim_ann_pq_topk",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -31,6 +31,7 @@ from airflow_dags_spark.operators.similarity import (
     embedding_near_dup,
     ivf_ann_topk,
     lsh_ann_topk,
+    pq_ann_topk,
 )
 from airflow_dags_spark.sources.tables import read_table
 
@@ -93,6 +94,77 @@ def test_embedding_near_dup_symmetric_bound(emb):
     # every vector is a near-dup of itself at threshold 1.0 → self-pairs are
     # excluded by a<b, so threshold 1.01 yields nothing
     assert embedding_near_dup(emb, 1.01, scope_filter=F.col("vec_id") < 50).count() == 0
+
+
+def test_pq_recall_vs_brute_force(emb):
+    """PQ codes + ADC scan with exact re-rank: recall@10 against brute
+    force must clear the bar; pure-PQ (no refine) is strictly coarser."""
+    qf = F.col("vec_id") < 5
+    exact = topk_map(brute_force_topk(emb, 10, query_filter=qf))
+    refined = topk_map(
+        pq_ann_topk(emb, 10, query_filter=qf, m=8, n_codes=32, refine=50)
+    )
+    recalls = [
+        len(set(exact[q]) & set(refined.get(q, []))) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_pq_refine_full_corpus_is_exact(emb):
+    """refine = corpus size degenerates to brute force: PQ only selects
+    candidates, the exact re-rank does the ranking — must match exactly."""
+    qf = F.col("vec_id") < 3
+    n = emb.count()
+    exact = topk_map(brute_force_topk(emb, 5, query_filter=qf))
+    full = topk_map(
+        pq_ann_topk(emb, 5, query_filter=qf, m=8, n_codes=32, refine=n)
+    )
+    assert full == exact
+
+
+def test_pq_deterministic(emb):
+    qf = F.col("vec_id") < 3
+    a = sorted(map(tuple, pq_ann_topk(emb, 5, query_filter=qf).collect()))
+    b = sorted(map(tuple, pq_ann_topk(emb, 5, query_filter=qf).collect()))
+    assert a == b
+
+
+def test_pq_indivisible_dim_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_ann_topk(emb, 5, query_filter=F.col("vec_id") < 2, m=7)
+
+
+def test_embedding_near_dup_unbounded_raises(emb):
+    """No scope = O(n²) all-pairs over the corpus — must be loud, not
+    silent: raises unless the caller owns it with allow_full_scan."""
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dup(emb, 0.5)
+    # explicit opt-in still works (known-small inputs)
+    small = emb.where(F.col("vec_id") < 20)
+    n = embedding_near_dup(small, -1.1, allow_full_scan=True).count()
+    assert n == 20 * 19 // 2  # every a<b pair at an always-true threshold
+
+
+def test_lsh_max_distance_prunes_candidates(emb):
+    """max_distance is a post-bucket recall/cost dial: a tighter radius
+    returns a subset of the wide-radius candidates, and d=2.0 (the whole
+    unit sphere) keeps every bucket collision."""
+    qf = F.col("vec_id") < 5
+    wide = topk_map(lsh_ann_topk(emb, 10, query_filter=qf, max_distance=2.0))
+    mid = topk_map(lsh_ann_topk(emb, 10, query_filter=qf, max_distance=1.0))
+    tight = topk_map(lsh_ann_topk(emb, 10, query_filter=qf, max_distance=0.05))
+    for q in wide:
+        # pruning only removes candidates: each tighter list ⊆ the wider one
+        assert set(mid.get(q, [])) <= set(wide[q])
+        assert set(tight.get(q, [])) <= set(mid.get(q, []))
+    # d=1.0 ⇔ cosine ≥ 0.5 — on random-ish embeddings that prunes hard
+    n_wide = sum(len(v) for v in wide.values())
+    n_tight = sum(len(v) for v in tight.values())
+    assert n_tight <= n_wide
+    # self-match survives any radius: distance 0 to itself
+    for q in wide:
+        assert q in tight.get(q, []) or q in mid.get(q, []) or q in wide[q]
 
 
 def test_minhash_lsh_pairs_find_known_duplicates(spark):

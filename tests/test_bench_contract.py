@@ -26,8 +26,15 @@ def test_bench_prints_one_json_line():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    # the driver's required keys, plus the idle-run marker (VERDICT r2 #8:
+    # bench numbers are contention-sensitive; cross-round comparisons must
+    # be able to discard contended runs)
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "sf",
+        "load_avg_at_start", "cpus", "idle_run",
+    }
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert all(v >= 0 for v in payload["queries"].values())
+    assert isinstance(payload["idle_run"], bool)

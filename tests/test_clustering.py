@@ -13,6 +13,7 @@ from airflow_dags_spark.operators.clustering import (
     assign_clusters,
     kmeans_fit,
     semantic_dedup,
+    semantic_dedup_two_level,
 )
 
 
@@ -129,6 +130,82 @@ def test_kmeans_more_clusters_than_points_no_crash(spark):
     assert centers.shape == (5, 8)
     out = assign_clusters(df, centers, "embedding")
     assert out.count() == 5
+
+
+def test_semantic_dedup_caps_cluster_count(spark):
+    """The n/target sizing rule must respect max_clusters: k×dim centers
+    live on the driver and broadcast to every task, so an uncapped rule is
+    a driver bomb at corpus scale (50 B docs → k≈50 M → ~300 GB)."""
+    x, _ = _blobs(seed=3, n_per=30, noise=0.3)
+    df = _df_from(spark, x)
+    # claim a huge corpus: without the cap the rule would ask for 10^6 cells
+    marked = semantic_dedup(
+        df, 0.98, approx_count=10**9, target_cluster_size=1000, max_clusters=4
+    ).collect()
+    assert len(marked) == len(x)
+    assert {r["cluster"] for r in marked} <= set(range(4))
+
+
+def test_semantic_dedup_approx_count_sizing_matches_counted(spark):
+    """approx_count short-circuits the count() job but must produce the
+    same dedup decisions as the counted path at the same scale."""
+    x, _ = _blobs(seed=13, n_per=25, noise=0.3)
+    full = np.vstack([x, x[10][None, :]])
+    df = _df_from(spark, full)
+    a = semantic_dedup(df, 0.98, seed=6).collect()
+    b = semantic_dedup(df, 0.98, approx_count=len(full), seed=6).collect()
+    assert sorted((r["vec_id"], r["kept"]) for r in a) == sorted(
+        (r["vec_id"], r["kept"]) for r in b
+    )
+
+
+def test_two_level_splits_oversized_cells(spark):
+    """One dominant blob forces an oversized coarse cell; the second level
+    must split it (more final cells than coarse cells) while every final
+    cell honors the within-cell min-key dedup rule exactly."""
+    rng = np.random.RandomState(21)
+    big = _unit(rng.randn(1, 8) + 0.25 * rng.randn(120, 8))  # one fat blob
+    q, _ = np.linalg.qr(rng.randn(8, 8))
+    small_a = _unit(q[3] + 0.05 * rng.randn(10, 8))
+    small_b = _unit(q[4] + 0.05 * rng.randn(10, 8))
+    full = np.vstack([big, small_a, small_b])
+    df = _df_from(spark, full)
+    marked = semantic_dedup_two_level(
+        df,
+        0.995,
+        coarse_clusters=3,
+        target_cluster_size=20,
+        split_factor=2,  # cells > 40 rows split
+        seed=8,
+    ).collect()
+    assert len(marked) == len(full)
+    clusters = {}
+    for r in marked:
+        clusters.setdefault(r["cluster"], []).append(r)
+    assert len(clusters) > 3  # the fat cell was split
+    assert max(len(v) for v in clusters.values()) < 120  # no 120-row cell left
+    # invariant: inside EVERY final cell, kept == min-key-wins brute force
+    xu = _unit(full)
+    for members in clusters.values():
+        ids = sorted(r["vec_id"] for r in members)
+        sims = np.round(xu[ids] @ xu[ids].T, 6)
+        for pos, r in enumerate(sorted(members, key=lambda r: r["vec_id"])):
+            want_kept = not any(sims[pos, j] >= 0.995 for j in range(pos))
+            assert r["kept"] == want_kept
+
+
+def test_two_level_no_split_matches_single_level(spark):
+    """With no oversized cells, the two-level form must reduce to plain
+    semantic_dedup on the same coarse quantizer — identical flags."""
+    x, _ = _blobs(seed=17, n_per=20, noise=0.3)
+    df = _df_from(spark, x)
+    a = semantic_dedup(df, 0.98, n_clusters=3, seed=5).collect()
+    b = semantic_dedup_two_level(
+        df, 0.98, coarse_clusters=3, target_cluster_size=1000, seed=5
+    ).collect()
+    assert sorted((r["vec_id"], r["kept"], r["cluster"]) for r in a) == sorted(
+        (r["vec_id"], r["kept"], r["cluster"]) for r in b
+    )
 
 
 def test_semantic_dedup_null_vectors_excluded(spark):

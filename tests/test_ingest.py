@@ -75,6 +75,41 @@ def test_batch_internal_dups_first_wins(spark, tmp_path):
     assert got == {1: "keep", 2: "x"}
 
 
+def _sdf(spark, *keys):
+    return spark.createDataFrame(
+        [(k, f"v_{k}") for k in keys], "id string, v string"
+    )
+
+
+def test_case_insensitive_table_screens_normalized_key(spark, tmp_path):
+    """The Bloom must hash lower(key) when the table compares lower(key):
+    a case-variant duplicate ('ABC' vs stored 'abc') is a TRUE duplicate to
+    insert_if_absent and must probe maybe-present, not definitely-absent."""
+    t = ParquetTable(spark, str(tmp_path / "t"), "id", case_insensitive=True)
+    bloom_screened_insert_if_absent(t, _sdf(spark, "abc", "def"), ["id"])
+    stats = bloom_screened_insert_if_absent(t, _sdf(spark, "ABC", "DeF", "new"), ["id"])
+    # both case variants flagged maybe → exact join rejects them
+    assert stats["n_maybe"] >= 2
+    assert stats["n_inserted"] == 1
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("abc", "v_abc"), ("def", "v_def"), ("new", "v_new")]
+
+
+def test_case_insensitive_matches_plain_insert_if_absent(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "a"), "id", case_insensitive=True)
+    p = ParquetTable(spark, str(tmp_path / "b"), "id", case_insensitive=True)
+    first = _sdf(spark, "k1", "K2", "k3")
+    second = _sdf(spark, "K1", "k2", "K4")
+    for tbl in (t,):
+        bloom_screened_insert_if_absent(tbl, first, ["id"])
+        bloom_screened_insert_if_absent(tbl, second, ["id"])
+    p.insert_if_absent(first, ["id"])
+    p.insert_if_absent(second, ["id"])
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    want = sorted((r["id"], r["v"]) for r in p.read().collect())
+    assert got == want  # bit-identical-to-K3 contract, case-insensitive form
+
+
 def test_multi_key_table_rejected(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"), ["a", "b"])
     with pytest.raises(ValueError, match="single-key"):

@@ -35,6 +35,31 @@ def test_execution_metrics_per_operator(spark):
     assert 0 < m["Filter"]["number of output rows"] < 6000
 
 
+def test_rows_out_reads_through_aqe_root(spark):
+    """With AQE on, the executed-plan root is AdaptiveSparkPlan (no row
+    metric of its own) — rows_out must descend to the first real operator
+    and read ITS metric, not a name-keyed map entry (always-0 bug)."""
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    n = df.count()
+    df.collect()
+    s = scan_summary(df)
+    assert s["rows_out"] == n > 0
+
+
+def test_parquet_row_count_matches_scan(spark):
+    """Footer-metadata row count (sources/tables.py) == a full count() —
+    without scheduling any Spark job (it never touches the scheduler)."""
+    import os
+
+    from airflow_dags_spark.sources.tables import parquet_row_count, read_table
+
+    for name in ("lineitem", "embeddings"):
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        assert parquet_row_count(spark, path) == read_table(
+            spark, SF_DIR, name
+        ).count()
+
+
 def test_broadcast_join_query_shuffles_little(spark):
     """q3 joins orders⋈lineitem⋈customer with broadcast dims: shuffle
     traffic must stay far below the scanned volume."""

@@ -441,3 +441,34 @@ def test_null_split_join_bypasses_exchange_for_null_keys(spark):
         "ShuffledHashJoin"
     )
     assert joins == 1, plan
+
+
+def test_regr_sweep_single_aggregate_pruned_scan(spark):
+    """All regr_* are moment combinations: ONE partial+final hash agg pair,
+    one exchange; the scan reads only the 3 referenced columns."""
+    plan = plan_of(spark, "regr_linear_functions")
+    assert "partial_regr" in plan or "partial_" in plan
+    # one hash-agg exchange + the final orderBy range exchange, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_shipdate"):
+        assert col not in read_schema
+    # median needs the sort-based percentile agg but still no extra shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_gaps_islands_no_self_join(spark):
+    """The islands rewrite replaces the classic self-join: no join operator
+    anywhere; one window + grouped aggs sharing the user_id exchange."""
+    plan = plan_of(spark, "gaps_islands_streaks")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert "Window" in plan
+
+
+def test_max_concurrency_is_union_window_no_join(spark):
+    plan = plan_of(spark, "events_max_concurrency")
+    assert "Union" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan

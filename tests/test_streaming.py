@@ -517,6 +517,46 @@ def test_cms_sink_streaming_heavy_hitters(spark, tmp_path):
         assert r["cms_est"] >= r["true_cnt"]
 
 
+def test_ewma_tracker_evicts_idle_keys_past_watermark(spark, tmp_path):
+    """Event-time timeout: a key idle past (last event + delay) is evicted
+    when the watermark passes it — a later arrival restarts the fold from
+    scratch (n_seen resets) instead of continuing stale state."""
+    from airflow_dags_spark.streaming.pipeline import ewma_tracker
+
+    landing = land(
+        tmp_path, "b1.json", [event(1, "2026-01-01 10:00:00", user_id=7, value=10.0)]
+    )
+    out = str(tmp_path / "ewma_ttl")
+
+    def drain():
+        q = (
+            ewma_tracker(read_event_stream(spark, landing), alpha=0.5, delay="1 hour")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_ewma_ttl"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # advance the watermark far past user 7's (10:00 + 1h) timeout…
+    land(tmp_path, "b2.json", [event(2, "2026-01-05 10:00:00", user_id=8, value=1.0)])
+    drain()
+    # …then one more batch: user 7 has no data but HAS timed out → evicted
+    land(tmp_path, "b3.json", [event(3, "2026-01-06 10:00:00", user_id=8, value=2.0)])
+    drain()
+    # user 7 returns: state must have been removed, so the fold restarts
+    land(tmp_path, "b4.json", [event(4, "2026-01-06 11:00:00", user_id=7, value=40.0)])
+    drain()
+    u7 = {(r["ewma"], r["n_seen"]) for r in spark.read.parquet(out).collect()
+          if r["user_id"] == 7}
+    assert (40.0, 1) in u7  # fresh fold after eviction, NOT 0.5*40 + 0.5*10
+    assert (25.0, 2) not in u7  # the continued-from-stale-state result
+
+
 def test_ewma_tracker_state_survives_batches(spark, tmp_path):
     """Streaming EWMA: the recursion continues across micro-batches from
     stored state, matching the batch recursion on the full series."""

@@ -46,6 +46,33 @@ def test_rollback_is_pointer_only(spark, tmp_path):
     assert [r["v"] for r in t.read().collect()] == [2]
 
 
+def test_write_after_rollback_allocates_fresh_version(spark, tmp_path):
+    """Disaster-recovery path: rollback(to) then commit a repair. Version
+    numbers must come from max-ever-committed + 1, not current + 1 — the
+    latter collides with the still-existing v2 snapshot dir."""
+    t = _t(spark, tmp_path)
+    t.write(_df(spark, 1))  # v1
+    t.write(_df(spark, 2))  # v2 (the "bad merge")
+    t.rollback(1)
+    v3 = t.write(_df(spark, 7))  # the repair commit must not collide with v2
+    assert v3 == 3
+    assert t.current_version() == 3
+    assert [r["v"] for r in t.read().collect()] == [7]
+    # full history retained: the bad v2 is still time-travelable
+    assert [r["v"] for r in t.read(version=2).collect()] == [2]
+    assert sorted(v["version"] for v in t.history()) == [1, 2, 3]
+
+
+def test_write_incremental_after_rollback(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.write(_df(spark, 1))  # v1
+    t.write_incremental(_df(spark, 2))  # v2 = v1+v2
+    t.rollback(1)
+    v3 = t.write_incremental(_df(spark, 9))  # builds on CURRENT (v1), id 3
+    assert v3 == 3
+    assert sorted(r["v"] for r in t.read().collect()) == [1, 9]
+
+
 def test_rollback_to_missing_version_raises(spark, tmp_path):
     t = _t(spark, tmp_path)
     t.write(_df(spark, 1))
