@@ -54,3 +54,83 @@ def ewma_per_row(
         return pdf[cols + [out_col]]
 
     return df.groupBy(key_col).applyInPandas(smooth, out_schema)
+
+
+def lttb_downsample(
+    df,
+    n_out: int,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013, "Downsampling Time Series for Visual Representation") — keep
+    ``n_out`` points per series that preserve the visual shape (spikes,
+    trend reversals) far better than uniform striding.
+
+    Distributed shape: one shuffle on ``key_col`` (applyInPandas), each
+    series processed independently with the O(n) single-pass algorithm —
+    a series is dashboard-sized by contract (per-key, not the corpus), so
+    per-task memory is bounded by the largest single series; series count
+    scales horizontally. First/last points are always retained (the
+    algorithm's anchor invariant).
+
+    Output: key, ts, value, pt_index (0-based position in the downsample).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ts_field = df.schema[ts_col]
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            ts_field,
+            df.schema[value_col],
+            T.StructField("pt_index", T.IntegerType()),
+        ]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf[pdf[value_col].notna()].reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pdf.assign(pt_index=pd.Series([], dtype="int32"))[
+                [key_col, ts_col, value_col, "pt_index"]
+            ]
+        if n <= n_out:
+            out = pdf.copy()
+            out["pt_index"] = np.arange(n, dtype="int32")
+            return out[[key_col, ts_col, value_col, "pt_index"]]
+        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket boundaries over the interior points (anchors excluded)
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
+        chosen = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo, nhi = hi, bounds[i + 2] if i + 2 < len(bounds) else n
+            # average of the NEXT bucket is the third triangle vertex
+            avg_x = x[nlo:nhi].mean() if nhi > nlo else x[-1]
+            avg_y = y[nlo:nhi].mean() if nhi > nlo else y[-1]
+            # max triangle area between anchor a, candidate, next-avg
+            area = np.abs(
+                (x[a] - avg_x) * (y[lo:hi] - y[a])
+                - (x[a] - x[lo:hi]) * (avg_y - y[a])
+            )
+            a = lo + int(np.argmax(area))
+            chosen.append(a)
+        chosen.append(n - 1)
+        out = pdf.iloc[chosen].copy()
+        out["pt_index"] = np.arange(len(chosen), dtype="int32")
+        return out[[key_col, ts_col, value_col, "pt_index"]]
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(per_key, out_schema)
+    )

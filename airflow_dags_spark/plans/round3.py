@@ -171,6 +171,282 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- one-pass data-quality expectations --------------------------------------
+
+DQ_EXPECT_ORACLE = """
+WITH m AS (
+    SELECT
+        ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) + 0.0
+            AS complete_custkey,
+        ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) + 0.0
+            AS unique_orderkey,
+        ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) + 0.0 AS min_price,
+        ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) + 0.0
+            AS in_set_status,
+        ROUND(AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                       THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS regex_prio,
+        ROUND(CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS n_rows
+    FROM orders
+)
+SELECT 'complete(o_custkey)' AS "constraint", complete_custkey AS observed,
+       complete_custkey >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'unique(o_orderkey)', unique_orderkey, unique_orderkey >= 1.0 FROM m
+UNION ALL
+SELECT 'min(o_totalprice)>=0.0', min_price, min_price >= 0.0 FROM m
+UNION ALL
+SELECT 'in_set(o_orderstatus,[O,F,P])', in_set_status, in_set_status >= 1.0 FROM m
+UNION ALL
+SELECT 'regex(o_orderpriority)', regex_prio, regex_prio >= 1.0 FROM m
+UNION ALL
+SELECT 'row_count', n_rows, n_rows >= 1 FROM m
+ORDER BY "constraint"
+"""
+
+
+@register("dq_expectations", DQ_EXPECT_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality audit (functions/quality.py): six constraints —
+    completeness, uniqueness, bound, set membership, regex, row count —
+    compiled into ONE aggregation pass (plan-gated: a single exchange; adding
+    constraints adds agg columns, never jobs). The lakehouse stand-in for
+    the reference's Postgres DDL constraints."""
+    from airflow_dags_spark.functions.quality import Expectations
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        Expectations()
+        .expect_complete("o_custkey")
+        .expect_unique("o_orderkey")
+        .expect_min("o_totalprice", 0.0)
+        .expect_in_set("o_orderstatus", ["O", "F", "P"])
+        .expect_regex("o_orderpriority", r"^[1-5]-[A-Z ]+$")
+        .expect_row_count(1)
+        .run(orders)
+        .orderBy("constraint")
+    )
+
+
+# --- array higher-order-function sweep ---------------------------------------
+
+ARRAY_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0))                  AS n_pos,
+       len(list_filter(embedding, x -> x > 0.5)) > 0            AS any_large,
+       len(list_filter(embedding, x -> abs(x) >= 10)) = 0       AS all_bounded,
+       ROUND(CAST(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) + 0.0
+                                                                AS self_dot,
+       ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4) + 0.0  AS second_min
+FROM embeddings
+"""
+
+
+@register("array_hof_functions", ARRAY_HOF_ORACLE)
+def array_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (§2.6 continuation): filter / exists /
+    forall / zip_with+aggregate (dot product) / array_sort — the lambda
+    forms the vector operators build on. All evaluate inside the scan
+    stage's projection; zero shuffles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def r4(col):
+        return (F.round(col, 4) + F.lit(0.0)).alias
+
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 0.5).alias("any_large"),
+        F.forall("embedding", lambda x: F.abs(x) < 10).alias("all_bounded"),
+        r4(
+            F.aggregate(
+                F.zip_with(as_dbl, as_dbl, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )("self_dot"),
+        r4(F.sort_array("embedding").getItem(1).cast("double"))("second_min"),
+    )
+
+
+# --- argmax/argmin via struct aggregation (window-free top-1 per group) ------
+
+ARGMAX_ORACLE = """
+WITH ranked_hi AS (
+    SELECT l_returnflag, l_extendedprice, l_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rn
+    FROM lineitem
+), ranked_lo AS (
+    SELECT l_returnflag, l_extendedprice, l_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn
+    FROM lineitem
+)
+SELECT h.l_returnflag,
+       ROUND(h.l_extendedprice, 2) AS top_price,
+       h.l_orderkey                AS top_orderkey,
+       ROUND(l.l_extendedprice, 2) AS low_price,
+       l.l_orderkey                AS low_orderkey
+FROM ranked_hi h JOIN ranked_lo l
+  ON h.l_returnflag = l.l_returnflag AND h.rn = 1 AND l.rn = 1
+ORDER BY h.l_returnflag
+"""
+
+
+@register("agg_argmax_struct", ARGMAX_ORACLE)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window sort: ``max(struct(value, key))``
+    is a plain hash aggregate — partial max per partition, one exchange of
+    one struct per group — where the window form sorts every partition.
+    At 100 TB this is the difference between an agg over the scan and a
+    full sort of the fact table; ties break lexicographically on the
+    struct (value, then key), deterministic on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    hi = F.max(F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k")))
+    lo = F.min(F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k")))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(hi.alias("hi"), lo.alias("lo"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("hi.p"), 2).alias("top_price"),
+            F.col("hi.k").alias("top_orderkey"),
+            F.round(F.col("lo.p"), 2).alias("low_price"),
+            F.col("lo.k").alias("low_orderkey"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- error-tolerant (try_*) scalar functions ---------------------------------
+
+TRY_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE ROUND(o_totalprice / (o_custkey % 7), 4) END     AS div_or_null,
+       ROUND([o_totalprice, CAST(o_custkey AS DOUBLE)][5], 4)     AS oob_elem,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)             AS prio_num,
+       TRY_CAST(o_orderpriority AS INT)                           AS bad_int,
+       STRFTIME(try_strptime(o_comment_date, '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S')
+                                                                  AS parsed_date
+FROM (
+    SELECT o_orderkey, o_totalprice, o_custkey, o_orderpriority,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+                ELSE '2024-01-15' END AS o_comment_date
+    FROM orders
+) t
+ORDER BY o_orderkey
+LIMIT 5000
+"""
+
+
+@register("scalar_try_functions", TRY_FUNCS_ORACLE)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar family (§2.3 P5/P6/P15 continuation):
+    try_divide / try_element_at / try_cast / try_to_timestamp — NULL on
+    bad input instead of a failed task, the lake-scale version of the
+    reference's per-row try/except parse quarantine
+    (dags/monthly_price_paid_data.py:120-141). All evaluate in the scan
+    stage; DuckDB mirrors each with CASE/TRY_CAST/try_strptime."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_comment_date",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-date")).otherwise(
+            F.lit("2024-01-15")
+        ),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7), 4
+            ).alias("div_or_null"),
+            F.round(
+                F.try_element_at(
+                    F.array(F.col("o_totalprice"), F.col("o_custkey").cast("double")),
+                    F.lit(5),
+                ),
+                4,
+            ).alias("oob_elem"),
+            F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+            F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+            F.date_format(
+                F.try_to_timestamp(F.col("o_comment_date"), F.lit("yyyy-MM-dd")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("parsed_date"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5000)
+    )
+
+
+# --- LTTB downsampling (rows-only: shape-preserving, not SQL-expressible) ----
+
+
+@register("timeseries_lttb", None)  # triangle-area selection → rows-only
+def timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to 50 points per user —
+    the shape-preserving reduction a dashboard/inspection layer runs over
+    raw event series. Exactness vs a pure-python reference implementation
+    is pytest-verified (tests/test_timeseries.py)."""
+    from airflow_dags_spark.functions.timeseries import lttb_downsample
+
+    ev = read_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, 50)
+
+
+# --- ORC format parity -------------------------------------------------------
+
+ORC_SCAN_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                       AS n,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("source_orc_scan", ORC_SCAN_ORACLE)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange parity (S-family widening): lineitem staged to ORC,
+    re-read, aggregated — hash-identical to the same aggregate over the
+    parquet original, proving the columnar round trip loses nothing
+    (types, nulls, values). The filter runs on the ORC read: ORC carries
+    the same predicate-pushdown/column-pruning contract as parquet."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from airflow_dags_spark.sources.formats import read_table_fmt, write_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    d = tempfile.mkdtemp(prefix="orc_parity_")
+    try:
+        path = _os.path.join(d, "lineitem_orc")
+        write_table(li, path, "orc")
+        back = read_table_fmt(spark, path, "orc").where(F.col("l_quantity") > 10)
+        out = (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+            # materialize BEFORE the tempdir is removed
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 # --- PQ ANN + two-level semantic dedup (rows-only: seeded-fit internals) -----
 
 
@@ -199,7 +475,8 @@ def dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     marked = semantic_dedup_two_level(
-        emb, 0.15, coarse_clusters=4, target_cluster_size=100, split_factor=2
+        emb, 0.15, coarse_clusters=4, target_cluster_size=200,
+        split_factor=2, max_iter=5,
     )
     return (
         marked.groupBy("cluster")

@@ -52,6 +52,11 @@ HEADLINE = [
     "sketch_bloom_membership",
     "timeseries_ewma_final",
     "window_trailing_distinct_users",
+    # round-3: regression aggs, one-pass DQ, window-free argmax, islands
+    "regr_linear_functions",
+    "dq_expectations",
+    "agg_argmax_struct",
+    "gaps_islands_streaks",
 ]
 
 

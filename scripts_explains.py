@@ -75,6 +75,10 @@ NAMES = [
     "events_max_concurrency",
     "gaps_islands_streaks",
     "sim_ann_pq_topk",
+    "dq_expectations",
+    "array_hof_functions",
+    "agg_argmax_struct",
+    "scalar_try_functions",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

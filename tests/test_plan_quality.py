@@ -472,3 +472,37 @@ def test_max_concurrency_is_union_window_no_join(spark):
     assert "Union" in plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_dq_expectations_single_aggregation_pass(spark):
+    """Six constraints must compile to ONE aggregate (+ the distinct-count
+    expand), not six jobs: no join, a single hash-agg exchange pair."""
+    plan = plan_of(spark, "dq_expectations")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    # count_distinct rewrites to expand + two-phase agg; still one exchange
+    # pair over the scan (plus the tiny final sort for ORDER BY constraint)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_array_hof_sweep_zero_shuffle(spark):
+    plan = plan_of(spark, "array_hof_functions")
+    assert "Exchange" not in plan, plan
+
+
+def test_argmax_struct_is_hash_agg_not_window_sort(spark):
+    """The whole point of the struct-max rewrite: top-1-per-group must be
+    a partial+final aggregate, never a per-partition sort + Window."""
+    plan = plan_of(spark, "agg_argmax_struct")
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_min" in plan
+    # only the agg exchange + the final ORDER BY; no join, no big sort net
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_try_functions_stay_in_scan_stage(spark):
+    plan = plan_of(spark, "scalar_try_functions")
+    assert "Exchange hashpartitioning" not in plan  # projection + top-k only
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan

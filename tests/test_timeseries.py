@@ -88,3 +88,103 @@ def test_ewma_null_values_keep_state(spark):
     assert out[1] == 10.0
     assert out[2] is None  # null row labeled null...
     assert out[3] == 15.0  # ...but state survives: 0.5*20 + 0.5*10
+
+
+# --- LTTB downsampling --------------------------------------------------------
+
+
+def _lttb_reference(x, y, n_out):
+    """Straight-from-the-paper reference implementation (pure python)."""
+    import numpy as np
+
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
+    chosen = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo = hi
+        nhi = bounds[i + 2] if i + 2 < len(bounds) else n
+        avg_x = x[nlo:nhi].mean() if nhi > nlo else x[-1]
+        avg_y = y[nlo:nhi].mean() if nhi > nlo else y[-1]
+        best, best_area = lo, -1.0
+        for c in range(lo, hi):
+            area = abs(
+                (x[a] - avg_x) * (y[c] - y[a]) - (x[a] - x[c]) * (avg_y - y[a])
+            )
+            if area > best_area:
+                best, best_area = c, area
+        a = best
+        chosen.append(a)
+    chosen.append(n - 1)
+    return chosen
+
+
+def test_lttb_matches_reference_per_key(spark):
+    import numpy as np
+
+    from airflow_dags_spark.functions.timeseries import lttb_downsample
+
+    ev = _events(spark).where(F.col("value").isNotNull())
+    got = lttb_downsample(ev, 40).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["user_id"], []).append(r)
+
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        x = g["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = g["value"].to_numpy(dtype=np.float64)
+        idx = _lttb_reference(x, y, 40)
+        want = [(g["ts"][i], g["value"][i]) for i in idx]
+        rows = sorted(by_key[uid], key=lambda r: r["pt_index"])
+        assert len(rows) == len(want), uid
+        for r, (wts, wv) in zip(rows, want):
+            assert r["ts"] == wts and r["value"] == wv, uid
+
+
+def test_lttb_keeps_anchors_and_bounds(spark):
+    from airflow_dags_spark.functions.timeseries import lttb_downsample
+
+    ev = _events(spark).where(F.col("value").isNotNull())
+    got = lttb_downsample(ev, 25).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["user_id"], []).append(r)
+    firsts_lasts = {
+        r["user_id"]: (r["first_ts"], r["last_ts"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for uid, rows in by_key.items():
+        rows = sorted(rows, key=lambda r: r["pt_index"])
+        first_ts, last_ts, n = firsts_lasts[uid]
+        assert len(rows) == min(25, n)
+        assert rows[0]["ts"] == first_ts  # anchor invariant
+        assert rows[-1]["ts"] == last_ts
+        ts_seq = [r["ts"] for r in rows]
+        assert ts_seq == sorted(ts_seq)  # monotone output
+
+
+def test_lttb_partitioning_invariant(spark):
+    from airflow_dags_spark.functions.timeseries import lttb_downsample
+
+    ev = _events(spark).where(F.col("value").isNotNull())
+    a = sorted(map(tuple, lttb_downsample(ev, 30).collect()))
+    b = sorted(map(tuple, lttb_downsample(ev.repartition(17), 30).collect()))
+    assert a == b
+
+
+def test_lttb_short_series_passthrough(spark):
+    from airflow_dags_spark.functions.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)], "user_id bigint, ts bigint, value double"
+    )
+    got = sorted(lttb_downsample(df, 50).collect(), key=lambda r: r["pt_index"])
+    assert [(r["ts"], r["value"]) for r in got] == [(i, float(i)) for i in range(5)]
