@@ -37,8 +37,11 @@ from airflow_dags_spark.operators.clustering import (
     semantic_dedup_two_level,
 )
 from airflow_dags_spark.operators.skipping import (
+    collect_file_blooms,
     collect_file_stats,
+    point_lookup,
     prune_files,
+    prune_files_bloom,
     read_with_skipping,
 )
 from airflow_dags_spark.operators.multimodal import (
@@ -87,8 +90,11 @@ __all__ = [
     "kmeans_fit",
     "semantic_dedup",
     "semantic_dedup_two_level",
+    "collect_file_blooms",
     "collect_file_stats",
+    "point_lookup",
     "prune_files",
+    "prune_files_bloom",
     "read_with_skipping",
     "attach_payload_metadata",
     "decode_payload",

@@ -68,6 +68,98 @@ def prune_files(
     return [r["file_path"] for r in stats.where(cond).select("file_path").collect()]
 
 
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Per-file Bloom index over ``col``: ``(file_path, word_idx, word)``.
+
+    Zone maps answer RANGE predicates; point lookups on a high-cardinality
+    non-layout column (needle-in-100TB: one doc_id, one order, one user)
+    need value-level evidence. Delta/Iceberg record per-file Bloom filters
+    for exactly this; here the index is a table of ≤ m/32 bit-words per
+    file — one pass, one shuffle keyed by (file, word). A 16 Kbit filter
+    is 64 longs/file: the whole index for 100k files is ~6M rows, a
+    broadcastable planning table."""
+    from airflow_dags_spark.functions.probabilistic import _h, _word_mask
+
+    df = spark.read.parquet(path)
+    c = F.col(col)
+    pos = df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.explode(F.array(*[_h(c, i, m_bits) for i in range(k)])).alias("__h"),
+    )
+    word_idx, mask = _word_mask(F.col("__h"))
+    return (
+        pos.select("file_path", word_idx, mask)
+        .groupBy("file_path", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def prune_files_bloom(
+    blooms: DataFrame,
+    col: str,
+    value: Any,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> list[str]:
+    """Files that MIGHT contain ``value`` (no false negatives: a file not
+    returned definitely lacks it). Runs on the index table only.
+
+    The k probe positions are LITERALS (same md5|salt recipe as the build
+    side's ``_h``, computed driver-side — Spark casts the key to string
+    before hashing, so ``str(value)`` must match that cast: int and string
+    keys do; avoid float keys), so pruning is one aggregation over the
+    index with constant predicates — no hashing job at all."""
+    import hashlib
+
+    probes = []
+    for i in range(k):
+        h = int(
+            hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:8], 16
+        ) % m_bits
+        probes.append((h // 32, 1 << (h % 32)))
+    # a file survives iff EVERY probe bit is set in its filter
+    flags = [
+        F.max(
+            (
+                (F.col("word_idx") == w)
+                & (F.col("word").bitwiseAND(F.lit(m)) != 0)
+            ).cast("int")
+        ).alias(f"__p{j}")
+        for j, (w, m) in enumerate(probes)
+    ]
+    hits = blooms.groupBy("file_path").agg(*flags)
+    cond = F.lit(True)
+    for j in range(len(probes)):
+        cond = cond & (F.col(f"__p{j}") == 1)
+    return [r["file_path"] for r in hits.where(cond).select("file_path").collect()]
+
+
+def point_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value: Any,
+    blooms: DataFrame | None = None,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Exact point lookup that opens only Bloom-surviving files. False
+    positives cost an extra file read; the residual equality filter keeps
+    the result exact either way."""
+    if blooms is None:
+        blooms = collect_file_blooms(spark, path, col, m_bits, k)
+    files = prune_files_bloom(blooms, col, value, m_bits, k)
+    if not files:
+        return spark.createDataFrame([], spark.read.parquet(path).schema)
+    return spark.read.parquet(*files).where(F.col(col) == value)
+
+
 def read_with_skipping(
     spark: SparkSession,
     path: str,

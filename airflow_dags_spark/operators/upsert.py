@@ -311,6 +311,93 @@ class ParquetTable:
         remaining = scoped.join(keys, self._join_cond(scoped, keys), "left_anti")
         self._rewrite_touched_partitions(remaining, touched)
 
+    # -- deletion vectors (logical delete) ----------------------------------
+
+    def _dv_path(self) -> str:
+        return f"{self.path}.dv"
+
+    def logical_delete(self, keys_df: DataFrame) -> int:
+        """O(batch) DELETE: record the keys in a deletion-vector sidecar
+        (``<path>.dv``) instead of rewriting any data file — the
+        Delta/Iceberg merge-on-read pattern. ``read_current()`` subtracts
+        the vector; ``compact_dv()`` later applies it physically in one
+        touched-partition rewrite and clears the sidecar.
+
+        Why it matters at 100 TB: ``delete_keys`` costs a rewrite of every
+        touched partition PER BATCH — for a steady drip of small deletes
+        (GDPR erasure queues) that is the dominant write amplification.
+        The vector makes each delete O(|keys|) append-only; the rewrite
+        cost is paid ONCE at compaction for all accumulated deletes.
+
+        Contract: deletes are by KEY, table-scoped (not file-scoped like
+        Delta's DVs — plain parquet has no stable file identity across
+        rewrites). Re-inserting a deleted key requires ``restore_keys``
+        (or ``compact_dv`` first); a plain ``append`` of a vectored key
+        stays hidden from ``read_current`` by design. Returns the number
+        of distinct keys recorded."""
+        keys = keys_df.select(
+            *[
+                self._norm_key(keys_df, k).alias(k) if self.case_insensitive
+                else F.col(k)
+                for k in self.keys
+            ]
+        ).distinct()
+        for k in self.keys:
+            keys = keys.where(F.col(k).isNotNull())
+        n = keys.count()
+        if n:
+            keys.write.mode("append").parquet(self._dv_path())
+        return n
+
+    def _dv(self) -> DataFrame | None:
+        from airflow_dags_spark.sources.tables import table_exists
+
+        if not table_exists(self.spark, self._dv_path()):
+            return None
+        return self.spark.read.parquet(self._dv_path()).distinct()
+
+    def read_current(self) -> DataFrame:
+        """``read()`` minus logically-deleted keys. The vector is small by
+        contract (deletes-since-last-compaction) → broadcast anti-join:
+        the scan itself is untouched, pushdown/pruning intact."""
+        tgt = self.read()
+        dv = self._dv()
+        if dv is None:
+            return tgt
+        return tgt.join(F.broadcast(dv), self._join_cond(tgt, dv), "left_anti")
+
+    def restore_keys(self, keys_df: DataFrame) -> None:
+        """Remove keys from the deletion vector (un-delete / pre-reinsert)."""
+        dv = self._dv()
+        if dv is None:
+            return
+        keys = keys_df.select(
+            *[
+                self._norm_key(keys_df, k).alias(k) if self.case_insensitive
+                else F.col(k)
+                for k in self.keys
+            ]
+        ).distinct()
+        remaining = dv.join(keys, self._join_cond(dv, keys), "left_anti")
+        ParquetTable(self.spark, self._dv_path(), self.keys)._atomic_overwrite(
+            remaining
+        )
+
+    def compact_dv(self) -> int:
+        """Apply the deletion vector physically (one touched-partition
+        rewrite for ALL accumulated deletes) and clear the sidecar.
+        Afterwards ``read() == read_current()``. Returns keys applied."""
+        dv = self._dv()
+        if dv is None:
+            return 0
+        dv = dv.localCheckpoint(eager=True)  # survive the sidecar removal
+        n = dv.count()
+        if n:
+            self.delete_keys(dv)
+        jvm, fs = self._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(self._dv_path()), True)
+        return n
+
     def _rewrite_touched_partitions(self, remaining: DataFrame, touched) -> None:
         """Stage → dynamic overwrite of partitions that still have rows;
         partitions the operation left EMPTY get their directories removed

@@ -447,6 +447,105 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Bloom-index point lookup + deletion-vector logical delete ---------------
+
+POINT_LOOKUP_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_orderkey = 1000
+ORDER BY l_linenumber
+"""
+
+
+@register("point_lookup_bloom_index", POINT_LOOKUP_ORACLE)
+def point_lookup_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-the-lake point lookup: lineitem staged as 8 range-sharded
+    files, a per-file Bloom index built once, then the lookup opens ONLY
+    Bloom-surviving files (typically one). Result is exact either way (the
+    residual equality filter catches Bloom FPs) and must hash-match a plain
+    WHERE on the original table. Zone maps answer ranges; this is the
+    value-level evidence path for high-cardinality non-layout columns."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from airflow_dags_spark.operators.skipping import point_lookup
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    d = tempfile.mkdtemp(prefix="bloom_idx_")
+    try:
+        path = _os.path.join(d, "li_sharded")
+        li.repartitionByRange(8, "l_orderkey").write.parquet(path)
+        out = (
+            point_lookup(spark, path, "l_orderkey", 1000)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                F.round(F.col("l_extendedprice"), 2).alias("price"),
+            )
+            .orderBy("l_linenumber")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+DV_DELETE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT)                       AS n,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2)    AS total
+FROM orders
+WHERE o_orderkey % 97 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("k7b_deletion_vector", DV_DELETE_ORACLE)
+def k7b_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 continuation — merge-on-read DELETE: orders staged as a keyed
+    table, every 97th key logically deleted into the deletion-vector
+    sidecar (ZERO data files rewritten), then read_current() aggregates.
+    Must hash-match a plain WHERE NOT on the original — proving the
+    vectored read is exactly DELETE semantics at O(|keys|) write cost."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from airflow_dags_spark.operators.upsert import ParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="dv_")
+    try:
+        t = ParquetTable(spark, _os.path.join(d, "orders"), "o_orderkey")
+        t.create_if_not_exists(orders)
+        t.logical_delete(
+            orders.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+        )
+        out = (
+            t.read_current()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 # --- PQ ANN + two-level semantic dedup (rows-only: seeded-fit internals) -----
 
 

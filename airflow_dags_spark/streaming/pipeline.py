@@ -568,3 +568,53 @@ def ewma_tracker(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def quality_monitor_sink(
+    df: DataFrame,
+    expectations,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    on_violation=None,
+) -> StreamingQuery:
+    """Streaming data-quality monitor: run a ``functions.quality
+    .Expectations`` suite over EVERY micro-batch and append the per-batch
+    report (batch_id, constraint, observed, passed) to a quality-history
+    table — the continuous form of the batch DQ audit, playing the role of
+    the reference's failure callbacks (SURVEY §2.8 U4) but with observable
+    metrics instead of a log line.
+
+    ``on_violation(batch_id, failed_rows)`` fires when any constraint
+    fails (wire ``jobs/notify.py`` here for the webhook path); the report
+    row is written either way, so alert delivery failures never lose the
+    audit trail. Exactly-once: foreachBatch + checkpoint make each batch's
+    report idempotent under replay (overwrite by batch_id partition)."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure import)
+
+    def audit_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = expectations.run(batch).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        rows = report.collect()  # bounded: one row per constraint
+        spark = batch.sparkSession
+        out = spark.createDataFrame(rows, report.schema)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        failed = [r for r in rows if not r["passed"]]
+        if failed and on_violation is not None:
+            on_violation(batch_id, failed)
+
+    writer = df.writeStream.foreachBatch(audit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

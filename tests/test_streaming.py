@@ -597,3 +597,62 @@ def test_ewma_tracker_state_survives_batches(spark, tmp_path):
         if r["user_id"] not in latest or r["n_seen"] > latest[r["user_id"]][1]:
             latest[r["user_id"]] = (r["ewma"], r["n_seen"])
     assert latest[7] == (25.0, 3)  # 0.5*35 + 0.5*15 — continued, not reset
+
+
+def test_quality_monitor_sink_reports_per_batch(spark, tmp_path):
+    """Streaming DQ: each micro-batch gets a constraint report row-set;
+    violations fire the callback but never block the audit write."""
+    from airflow_dags_spark.functions.quality import Expectations
+    from airflow_dags_spark.streaming.pipeline import quality_monitor_sink
+
+    landing = land(
+        tmp_path,
+        "b1.json",
+        [
+            event(1, "2026-01-01 10:00:00", user_id=7, value=5.0),
+            event(2, "2026-01-01 10:01:00", user_id=8, value=-1.0),  # violates min
+        ],
+    )
+    out = str(tmp_path / "dq_history")
+    alerts = []
+
+    def on_violation(batch_id, failed):
+        alerts.append((batch_id, [r["constraint"] for r in failed]))
+
+    exp = (
+        Expectations()
+        .expect_complete("user_id")
+        .expect_min("value", 0.0)
+        .expect_row_count(1)
+    )
+    q = quality_monitor_sink(
+        read_event_stream(spark, landing),
+        exp,
+        out,
+        str(tmp_path / "ckpt_dq"),
+        on_violation=on_violation,
+    )
+    q.awaitTermination(120)
+
+    hist = spark.read.parquet(out).collect()
+    by = {r["constraint"]: r for r in hist}
+    assert by["min(value)>=0.0"]["passed"] is False
+    assert by["min(value)>=0.0"]["observed"] == -1.0
+    assert by["complete(user_id)"]["passed"] is True
+    assert alerts and alerts[0][1] == ["min(value)>=0.0"]
+
+    # second batch: clean data → new report rows under a new batch_id
+    land(tmp_path, "b2.json", [event(3, "2026-01-01 11:00:00", user_id=9, value=2.0)])
+    q2 = quality_monitor_sink(
+        read_event_stream(spark, landing),
+        exp,
+        out,
+        str(tmp_path / "ckpt_dq"),
+        on_violation=on_violation,
+    )
+    q2.awaitTermination(120)
+    hist2 = spark.read.parquet(out)
+    assert hist2.select("batch_id").distinct().count() == 2
+    clean = hist2.where("batch_id = 1").collect()
+    assert all(r["passed"] for r in clean)
+    assert len(alerts) == 1  # no new violation
