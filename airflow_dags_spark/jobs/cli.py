@@ -96,6 +96,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("table_path")
     p.add_argument("--key", default="id")
 
+    p = sub.add_parser("dq-audit")
+    p.add_argument("table_path")
+    p.add_argument("--complete", default="", help="comma-separated columns")
+    p.add_argument("--unique", default="", help="comma-separated columns")
+    p.add_argument("--min-rows", type=int, default=1)
+
+    p = sub.add_parser("point-lookup")
+    p.add_argument("table_path")
+    p.add_argument("column")
+    p.add_argument("value")
+
     args = parser.parse_args(argv)
 
     from airflow_dags_spark.session import get_spark
@@ -150,6 +161,29 @@ def main(argv: list[str] | None = None) -> None:
         )
         for r in manifest.collect():
             print(r["tar_path"], r["n_samples"], r["tar_bytes"])
+    elif args.cmd == "dq-audit":
+        from airflow_dags_spark.functions.quality import Expectations
+
+        exp = Expectations().expect_row_count(args.min_rows)
+        for c in [c for c in args.complete.split(",") if c]:
+            exp = exp.expect_complete(c)
+        for c in [c for c in args.unique.split(",") if c]:
+            exp = exp.expect_unique(c)
+        report = exp.run(spark.read.parquet(args.table_path))
+        failed = 0
+        for r in report.collect():
+            print(r["constraint"], r["observed"], "PASS" if r["passed"] else "FAIL")
+            failed += 0 if r["passed"] else 1
+        if failed:
+            raise SystemExit(2)  # nonzero for the orchestration layer
+    elif args.cmd == "point-lookup":
+        from airflow_dags_spark.operators.skipping import point_lookup
+
+        df = spark.read.parquet(args.table_path)
+        dtype = dict(df.dtypes).get(args.column)
+        value = int(args.value) if dtype in ("bigint", "int") else args.value
+        for r in point_lookup(spark, args.table_path, args.column, value).collect():
+            print(r)
     elif args.cmd == "semantic-dedup":
         from airflow_dags_spark.operators.clustering import semantic_dedup
 

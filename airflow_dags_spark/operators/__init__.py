@@ -59,6 +59,7 @@ from airflow_dags_spark.operators.similarity import (
     lsh_ann_topk,
     pq_ann_topk,
 )
+from airflow_dags_spark.operators.hidden_partitioning import HiddenPartitionTable
 from airflow_dags_spark.operators.temporal import asof_join, range_join
 from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
 from airflow_dags_spark.operators.versioning import VersionedParquetTable
@@ -107,6 +108,7 @@ __all__ = [
     "ivf_ann_topk",
     "lsh_ann_topk",
     "pq_ann_topk",
+    "HiddenPartitionTable",
     "asof_join",
     "range_join",
     "ParquetTable",

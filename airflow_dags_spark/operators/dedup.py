@@ -125,6 +125,41 @@ def ngram_jaccard(
     ).drop("__ta", "__tb", "__sa", "__sb")
 
 
+def ngram_containment(
+    pairs: DataFrame, left_text: str, right_text: str, n_shingle: int = 3
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs: |A∩B| / |A| and / |B|.
+
+    Jaccard misses SUBSET duplication — a document quoted whole inside a
+    10× larger one scores J ≈ 0.1 (kept) while containment_a = 1.0 (the
+    small doc adds nothing new). The standard curation rule drops a doc
+    when its own containment exceeds the threshold; this returns BOTH
+    directions plus Jaccard so callers pick the policy. Same staging shape
+    as ``ngram_jaccard`` (tokenize once per side, JVM array intersects),
+    same candidates-only contract: run after banding/LSH, never all-pairs."""
+    staged = pairs.withColumns(
+        {"__ta": tokens(left_text), "__tb": tokens(right_text)}
+    ).withColumns(
+        {
+            "__sa": shingles_from_tokens(F.col("__ta"), n_shingle),
+            "__sb": shingles_from_tokens(F.col("__tb"), n_shingle),
+        }
+    )
+    # shingles_from_tokens already emits distinct-element arrays
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    size_a = F.size(F.col("__sa"))
+    size_b = F.size(F.col("__sb"))
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 6)).otherwise(
+        F.lit(None)
+    )
+    return (
+        staged.withColumn("containment_a", safe(inter, size_a))
+        .withColumn("containment_b", safe(inter, size_b))
+        .withColumn("jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6))
+        .drop("__ta", "__tb", "__sa", "__sb")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

@@ -155,6 +155,30 @@ class VersionedParquetTable:
             f"{[v['version'] for v in m['versions']]})"
         )
 
+    def diff(
+        self,
+        keys: list[str] | str,
+        from_version: int,
+        to_version: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDC between two retained versions: what changed from
+        ``from_version`` to ``to_version`` (default: current) as
+        (keys, change_type insert/delete/update, old_*/new_*) rows —
+        time travel composed with the engine's table_diff, so an incident
+        review answers "what did the bad merge actually do" from the
+        version history alone, no external change log.
+
+        Same scale shape as table_diff: ONE full-outer shuffle over
+        keys + compare columns; both snapshot scans are plain parquet
+        (pushdown intact)."""
+        from airflow_dags_spark.operators.maintenance import table_diff
+
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        return table_diff(old, new, keys, compare_cols)
+
     def rollback(self, to: int) -> None:
         """Point the table back at a prior version — O(1), no data moved."""
         m = self._read_manifest()

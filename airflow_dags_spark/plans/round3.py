@@ -447,6 +447,49 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- n-gram containment (asymmetric subset-duplication check) ----------------
+
+
+def _containment_oracle() -> str:
+    # reuse llm.py's shingle macro so both checks share ONE normalization
+    from airflow_dags_spark.plans.llm import _SHINGLES
+
+    return f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+  CASE WHEN len(a.s) > 0
+       THEN ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+       END AS containment_a,
+  CASE WHEN len(b.s) > 0
+       THEN ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6)
+       END AS containment_b,
+  ROUND(
+    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+         THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s)))
+         ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@register("dedup_ngram_containment", _containment_oracle())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on candidate pairs: |A∩B|/|A| and /|B| catch
+    SUBSET duplication (a doc quoted whole inside a 10× larger one scores
+    Jaccard ≈ 0.1 but containment_a = 1.0 — the standard curation drop
+    rule). Consecutive doc_ids stand in for LSH candidates, as in
+    dedup_ngram_jaccard, keeping the check linear."""
+    from airflow_dags_spark.operators.dedup import ngram_containment
+
+    d = read_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("key_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("key_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    return ngram_containment(pairs, "text_a", "text_b", n_shingle=3).select(
+        "key_a", "key_b", "containment_a", "containment_b", "jaccard"
+    )
+
+
 # --- Bloom-index point lookup + deletion-vector logical delete ---------------
 
 POINT_LOOKUP_ORACLE = """
@@ -539,6 +582,67 @@ def k7b_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("total"),
             )
             .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+# --- hidden partitioning -----------------------------------------------------
+
+HIDDEN_PART_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)                    AS n,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2)        AS total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-04 23:59:59'
+  AND user_id IN (3, 4, 5)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("hidden_partition_scan", HIDDEN_PART_ORACLE)
+def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning end-to-end: events staged under
+    days(ts) × bucket(8, user_id) transforms, then scanned with predicates
+    on the DATA columns only — the engine derives static PartitionFilters
+    (plan-gated in tests/test_hidden_partitioning.py) and the aggregate
+    must hash-match a plain WHERE on the original table."""
+    import datetime
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from airflow_dags_spark.operators.hidden_partitioning import (
+        HiddenPartitionTable,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    d = tempfile.mkdtemp(prefix="hidden_part_")
+    try:
+        t = HiddenPartitionTable(
+            spark,
+            _os.path.join(d, "events_hp"),
+            [("p_day", "day", "ts", None), ("p_bucket", "bucket", "user_id", 8)],
+        )
+        t.write(ev)
+        lo = datetime.datetime(2024, 1, 2, 0, 0, 0)
+        hi = datetime.datetime(2024, 1, 4, 23, 59, 59)
+        out = (
+            t.scan({"ts": (lo, hi), "user_id": [3, 4, 5]})
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .orderBy("user_id")
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
     finally:

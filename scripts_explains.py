@@ -79,6 +79,7 @@ NAMES = [
     "array_hof_functions",
     "agg_argmax_struct",
     "scalar_try_functions",
+    "dedup_ngram_containment",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

@@ -190,3 +190,31 @@ def test_cli_wds_export_and_semantic_dedup_and_vacuum(spark, tmp_path, monkeypat
     os.makedirs(table + ".stage-dead")
     cli_main(["vacuum", table])
     assert not os.path.exists(table + ".stage-dead")
+
+
+def test_cli_dq_audit_and_point_lookup(spark, tmp_path, monkeypatch, capsys):
+    import pytest as _pytest
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    monkeypatch.setattr(
+        "airflow_dags_spark.session.get_spark", lambda **kw: spark
+    )
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None)], "id bigint, v string"
+    ).write.parquet(p)
+
+    # dq-audit: uniqueness + completeness violated → exit 2, report printed
+    with _pytest.raises(SystemExit) as ex:
+        cli_main(["dq-audit", p, "--complete", "v", "--unique", "id"])
+    assert ex.value.code == 2
+    out = capsys.readouterr().out
+    assert "FAIL" in out and "complete(v)" in out
+
+    clean = str(tmp_path / "c")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string").write.parquet(clean)
+    cli_main(["dq-audit", clean, "--complete", "id,v", "--unique", "id"])
+    assert "FAIL" not in capsys.readouterr().out
+
+    cli_main(["point-lookup", clean, "id", "2"])
+    assert "b" in capsys.readouterr().out

@@ -1,0 +1,126 @@
+"""Iceberg-style hidden partitioning (operators/hidden_partitioning.py):
+queries filter on DATA columns; partition predicates are derived and must
+reach the scan as static PartitionFilters."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.hidden_partitioning import HiddenPartitionTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = HiddenPartitionTable(
+        spark,
+        str(tmp_path / "hp"),
+        [
+            ("p_day", "day", "ts", None),
+            ("p_bucket", "bucket", "user_id", 8),
+        ],
+    )
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + i % 5, 10, 0, 0),
+            i % 50,
+            float(i),
+        )
+        for i in range(1000)
+    ]
+    t.write(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+    )
+    return t
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_columns_hidden_from_readers(table):
+    assert set(table.read().columns) == {"event_id", "ts", "user_id", "value"}
+    assert table.read().count() == 1000
+
+
+def test_day_range_scan_prunes_partitions_and_is_exact(spark, table):
+    lo = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 3, 23, 59, 59)
+    got = table.scan({"ts": (lo, hi)})
+    want = table.read().where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+    plan = _plan(got)
+    # the derived day predicate reached partition pruning, statically
+    assert "PartitionFilters: [" in plan
+    assert "p_day" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_bucket_equality_prunes_to_one_bucket(spark, table):
+    got = table.scan({"user_id": 7})
+    want = table.read().where(F.col("user_id") == 7)
+    assert got.count() == want.count() > 0
+    plan = _plan(got)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "p_bucket" in pf
+    # static literal, not a runtime subquery: the hash folded at planning
+    assert "dynamicpruning" not in pf.lower()
+
+
+def test_bucket_range_does_not_prune_but_stays_exact(table):
+    got = table.scan({"user_id": (10, 20)})
+    want = table.read().where(F.col("user_id").between(10, 20))
+    assert got.count() == want.count() > 0
+    pf = _plan(got).split("PartitionFilters:")[1].splitlines()[0]
+    assert "p_bucket" not in pf  # hash is not monotone — correctly skipped
+
+
+def test_in_list_prunes_multiple_buckets(table):
+    got = table.scan({"user_id": [3, 4]})
+    want = table.read().where(F.col("user_id").isin(3, 4))
+    assert got.count() == want.count() > 0
+
+
+def test_composed_filters_prune_both_dimensions(spark, table):
+    lo = datetime.datetime(2024, 1, 1)
+    got = table.scan({"ts": (lo, lo + datetime.timedelta(hours=23)), "user_id": 9})
+    want = table.read().where(
+        (F.col("ts") >= lo)
+        & (F.col("ts") <= lo + datetime.timedelta(hours=23))
+        & (F.col("user_id") == 9)
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+    pf = _plan(got).split("PartitionFilters:")[1].splitlines()[0]
+    assert "p_day" in pf and "p_bucket" in pf
+
+
+def test_truncate_transform_monotone_pruning(spark, tmp_path):
+    t = HiddenPartitionTable(
+        spark, str(tmp_path / "tr"), [("p_cc", "truncate", "code", 2)]
+    )
+    t.write(
+        spark.createDataFrame(
+            [(i, f"{c}{i:03d}") for i, c in enumerate(["AA", "AB", "BA", "BB"] * 25)],
+            "id bigint, code string",
+        )
+    )
+    got = t.scan({"code": ("AA000", "AB999")})
+    want = t.read().where(F.col("code").between("AA000", "AB999"))
+    assert got.count() == want.count() > 0
+    pf = _plan(got).split("PartitionFilters:")[1].splitlines()[0]
+    assert "p_cc" in pf
+
+
+def test_bad_transform_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown transform"):
+        HiddenPartitionTable(spark, str(tmp_path / "x"), [("p", "year", "ts", None)])
+    with pytest.raises(ValueError, match="bucket transform"):
+        HiddenPartitionTable(spark, str(tmp_path / "x"), [("p", "bucket", "id", 0)])

@@ -142,3 +142,35 @@ def test_parquettable_vacuum_orphans(spark, tmp_path):
     assert not os.path.exists(path + ".stage-deadbeef")
     assert os.path.exists(path)  # live table untouched
     assert [r["v"] for r in t.read().collect()] == [1]
+
+
+def test_version_diff_classifies_changes(spark, tmp_path):
+    """Time travel × CDC: diff(v1 → v2) reports exactly what the commit
+    did — the incident-review primitive after a bad merge."""
+    t = _t(spark, tmp_path)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        )
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "d")], "id bigint, val string"
+        )
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in t.diff("id", from_version=1, to_version=2).collect()
+    }
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+    # default to_version = current
+    same = {
+        r["id"]: r["change_type"] for r in t.diff("id", from_version=1).collect()
+    }
+    assert same == got
+    # reverse direction inverts insert/delete
+    rev = {
+        r["id"]: r["change_type"]
+        for r in t.diff("id", from_version=2, to_version=1).collect()
+    }
+    assert rev == {2: "update", 3: "insert", 4: "delete"}
