@@ -195,3 +195,31 @@ def cms_estimate(
         .groupBy(*key_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Inner-equi-join CARDINALITY estimate from two Count-Min sketches.
+
+    |A ⋈ B| = Σ_v fA(v)·fB(v), and each CMS row r estimates that sum as
+    Σ_b cntA[r,b]·cntB[r,b] (an over-estimate: colliding values add cross
+    terms); min over the depth rows is the standard AMS/CMS inner-product
+    estimator — always ≥ the true join size, tighter as width grows.
+
+    Why it matters: join-size estimation drives strategy choice (broadcast
+    vs shuffle, reorder) and a wrong guess is how 100 TB joins explode. Two
+    fixed-size counter tables answer it WITHOUT scanning either input again
+    — sketches persist alongside tables and merge under appends, so the
+    estimate is always current at planning cost ≈ depth·width row joins.
+
+    Returns one row: ``(est_join_size,)``; both sketches must share
+    depth/width/hash family (they do by construction here)."""
+    a = cms_a.select("r", "b", F.col("cnt").alias("cnt_a"))
+    b = cms_b.select("r", "b", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["r", "b"])  # inner: a missing (r,b) counter is zero
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").alias("est_join_size"))

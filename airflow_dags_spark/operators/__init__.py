@@ -43,6 +43,7 @@ from airflow_dags_spark.operators.skipping import (
     prune_files,
     prune_files_bloom,
     read_with_skipping,
+    update_file_stats,
 )
 from airflow_dags_spark.operators.multimodal import (
     attach_payload_metadata,
@@ -59,6 +60,7 @@ from airflow_dags_spark.operators.similarity import (
     lsh_ann_topk,
     pq_ann_topk,
 )
+from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
 from airflow_dags_spark.operators.hidden_partitioning import HiddenPartitionTable
 from airflow_dags_spark.operators.temporal import asof_join, range_join
 from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
@@ -97,6 +99,8 @@ __all__ = [
     "prune_files",
     "prune_files_bloom",
     "read_with_skipping",
+    "update_file_stats",
+    "bloom_filtered_join",
     "attach_payload_metadata",
     "decode_payload",
     "extract_features",

@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 
 
 def collect_file_stats(
-    spark: SparkSession, path: str, cols: Sequence[str]
+    spark: SparkSession, path: str | Sequence[str], cols: Sequence[str]
 ) -> DataFrame:
-    """Zone-map table: per data file, row count + min/max of ``cols``."""
-    df = spark.read.parquet(path)
+    """Zone-map table: per data file, row count + min/max of ``cols``.
+    ``path`` may be a table directory or an explicit file list (the
+    incremental-maintenance path)."""
+    df = spark.read.parquet(*([path] if isinstance(path, str) else list(path)))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -66,6 +68,29 @@ def prune_files(
     if hi is not None:
         cond = cond & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= hi))
     return [r["file_path"] for r in stats.where(cond).select("file_path").collect()]
+
+
+def update_file_stats(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    stats: DataFrame,
+) -> DataFrame:
+    """Incremental zone-map maintenance: stats for FILES NOT YET COVERED
+    are computed and unioned onto the existing table — an append of N new
+    files costs a scan of those N files, never the table. (Files are
+    immutable once written — ParquetTable's swap discipline — so existing
+    rows never go stale; vacuum/compact rewrites produce NEW paths which
+    show up here, and dropped paths are pruned.) Persist the result next
+    to the table; this is the manifest-update step every table format runs
+    at commit time."""
+    known = {r["file_path"] for r in stats.select("file_path").collect()}
+    current = set(spark.read.parquet(path).inputFiles())
+    new = sorted(current - known)
+    kept = stats.where(F.col("file_path").isin(list(current)))
+    if not new:
+        return kept
+    return kept.unionByName(collect_file_stats(spark, new, cols))
 
 
 def collect_file_blooms(

@@ -589,6 +589,168 @@ def k7b_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- single-reducer-killer window rewrites -----------------------------------
+
+BUCKETED_RUNSUM_ORACLE = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_sum
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_running_sum_bucketed", BUCKETED_RUNSUM_ORACLE)
+def window_running_sum_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running sum without Exchange SinglePartition: within-day
+    prefix sums in parallel + a |days|-row offset cascade broadcast back —
+    prefix-sum composition over a bucket expression monotone in the order
+    (to_date(ts) under (ts, event_id) order). Hash-identical to the plain
+    global window (the oracle); the plan gate asserts the table-sized
+    single-partition exchange is gone. This is the rewrite
+    events_max_concurrency's scale note promises."""
+    from airflow_dags_spark.functions.scalable_windows import bucketed_running_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    out = bucketed_running_sum(
+        ev.select("event_id", "ts", "value"),
+        "value",
+        ["ts", "event_id"],
+        F.to_date("ts"),
+    )
+    return out.select(
+        "event_id", F.round("running_sum", 2).alias("running_sum")
+    ).orderBy("event_id")
+
+
+SALTED_TOPN_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(value, 2) AS value
+FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+) t WHERE rn <= 3
+ORDER BY user_id, value DESC, event_id
+"""
+
+
+@register("window_topn_salted", SALTED_TOPN_ORACLE)
+def window_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-3 with HOT keys split across 16 salted reducers: local
+    top-3 per (key, salt), then top-3 of the ≤48 survivors per key — the
+    second window's per-key input is bounded no matter how skewed the key.
+    Hash-identical to the plain window top-N (total order: value desc,
+    event_id asc)."""
+    from airflow_dags_spark.functions.scalable_windows import salted_topn_per_key
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = salted_topn_per_key(
+        ev,
+        "user_id",
+        [F.col("value").desc(), F.col("event_id").asc()],
+        3,
+        salt_src="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 2).alias("value")
+    ).orderBy("user_id", F.col("value").desc(), "event_id")
+
+
+# --- CMS join-size estimation + Bloom-filtered join --------------------------
+
+_CMS_H3 = (
+    "(('0x' || substr(md5(CAST({salt} AS VARCHAR) || '|' || "
+    "CAST({col} AS VARCHAR)), 1, 8))::BIGINT % 2048)"
+)
+
+CMS_JOIN_SIZE_ORACLE = f"""
+WITH cms_o AS (
+  SELECT r, b, count(*) AS cnt FROM (
+    SELECT t.i AS r, {_CMS_H3.format(salt='t.i', col='o_custkey')} AS b
+    FROM orders CROSS JOIN range(4) t(i)
+  ) GROUP BY r, b
+),
+cms_c AS (
+  SELECT r, b, count(*) AS cnt FROM (
+    SELECT t.i AS r, {_CMS_H3.format(salt='t.i', col='c_custkey')} AS b
+    FROM customer CROSS JOIN range(4) t(i)
+  ) GROUP BY r, b
+),
+dots AS (
+  SELECT a.r, SUM(a.cnt * b.cnt) AS dot
+  FROM cms_o a JOIN cms_c b ON a.r = b.r AND a.b = b.b
+  GROUP BY a.r
+)
+SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots
+"""
+
+
+@register("sketch_cms_join_size", CMS_JOIN_SIZE_ORACLE)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches (AMS inner
+    product: |A⋈B| = Σ fA(v)·fB(v), estimated as min over depth rows of
+    the counter dot product — always ≥ truth). Drives broadcast-vs-shuffle
+    and reorder decisions from two FIXED-SIZE counter tables that persist
+    and merge under appends — planning never rescans the lake. Exact
+    collision pattern oracle-checked, not a tolerance."""
+    from airflow_dags_spark.functions.probabilistic import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    est = cms_join_size_estimate(
+        cms_build(orders, "o_custkey"), cms_build(customer, "c_custkey")
+    )
+    return est.select(F.col("est_join_size").cast("bigint").alias("est_join_size"))
+
+
+BLOOM_JOIN_ORACLE = """
+SELECT l.l_orderkey,
+       CAST(COUNT(*) AS BIGINT)                    AS n_lines,
+       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey
+ORDER BY l.l_orderkey
+"""
+
+
+@register("join_bloom_reduced", BLOOM_JOIN_ORACLE)
+def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: the fact side is pre-filtered by a Bloom of the
+    selective dim's keys BEFORE any exchange (Arrow-batched scan-stage
+    test, no shuffle, no join), then joined exactly — hash-identical to
+    the plain join because the join absorbs Bloom false positives. The
+    shuffle carries only maybe-matching rows; at 100 TB with a 0.1%
+    selective dim that is a ~1000× exchange reduction."""
+    from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sel = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    joined = bloom_filtered_join(li, sel, "l_orderkey")
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 # --- hidden partitioning -----------------------------------------------------
 
 HIDDEN_PART_ORACLE = """

@@ -135,3 +135,90 @@ def test_point_lookup_exact_and_bounded(spark, sharded):
     missing = point_lookup(spark, sharded, "id", 10_000_000)
     assert missing.count() == 0
     assert missing.columns == ["id", "v"]
+
+
+# --- bloom-filtered join ------------------------------------------------------
+
+
+def test_bloom_filtered_join_identical_to_plain_join(spark):
+    from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
+
+    fact = spark.createDataFrame(
+        [(i % 100, float(i)) for i in range(2000)], "k bigint, v double"
+    )
+    dim = spark.createDataFrame([(3,), (7,), (None,)], "k bigint")
+    got = sorted(map(tuple, bloom_filtered_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and len(got) == 40  # 2 live keys × 20 rows each
+
+
+def test_bloom_filtered_join_reduces_shuffle(spark):
+    """The point of the operator: the exchange must carry only
+    maybe-matching fact rows, not the whole fact table."""
+    from airflow_dags_spark.functions.metrics import scan_summary
+    from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
+
+    fact = spark.createDataFrame(
+        [(i, float(i)) for i in range(20_000)], "k bigint, v double"
+    ).repartition(8)
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k bigint").repartition(7)
+
+    # force a shuffle join so the exchange is observable
+    plain = fact.join(dim.hint("merge"), "k")
+    plain.collect()
+    s_plain = scan_summary(plain)
+
+    reduced = bloom_filtered_join(fact, dim.hint("merge"), "k")
+    reduced.collect()
+    s_reduced = scan_summary(reduced)
+
+    assert s_reduced["shuffle_records_written"] < s_plain["shuffle_records_written"] / 10
+    assert reduced.count() == plain.count() == 50
+
+
+def test_bloom_filtered_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with _pytest.raises(ValueError, match="only inner/left_semi"):
+        bloom_filtered_join(df, df, "k", how="left")
+
+
+# --- incremental zone-map maintenance -----------------------------------------
+
+
+def test_update_file_stats_scans_only_new_files(spark, tmp_path):
+    from airflow_dags_spark.operators.skipping import (
+        collect_file_stats,
+        update_file_stats,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(i,) for i in range(100)], "x bigint").coalesce(
+        2
+    ).write.parquet(p)
+    # freeze the pre-append stats as a PERSISTED table would be (a lazily
+    # cached frame over the live directory would see appended files)
+    live = collect_file_stats(spark, p, ["x"])
+    stats = spark.createDataFrame(live.collect(), live.schema)
+    n0 = stats.count()
+
+    # append new files; update must ADD rows for them, keep old rows as-is
+    spark.createDataFrame([(i,) for i in range(100, 200)], "x bigint").coalesce(
+        1
+    ).write.mode("append").parquet(p)
+    updated = update_file_stats(spark, p, ["x"], stats).cache()
+    assert updated.count() == n0 + 1
+    old_rows = sorted(map(tuple, stats.collect()))
+    kept_rows = sorted(
+        t for t in map(tuple, updated.collect()) if t in set(old_rows)
+    )
+    assert kept_rows == old_rows  # old entries untouched
+    new_row = [r for r in updated.collect() if tuple(r) not in set(old_rows)]
+    assert len(new_row) == 1 and new_row[0]["min_x"] == 100 and new_row[0]["max_x"] == 199
+
+    # idempotent when nothing changed
+    again = update_file_stats(spark, p, ["x"], updated)
+    assert again.count() == updated.count()

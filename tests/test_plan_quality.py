@@ -506,3 +506,27 @@ def test_try_functions_stay_in_scan_stage(spark):
     assert "Exchange hashpartitioning" not in plan  # projection + top-k only
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_bucketed_running_sum_no_table_sized_single_partition(spark):
+    """The rewrite's contract: the only SinglePartition exchange feeds the
+    |buckets|-row offset window, never the table. Assert the full-table
+    window (partitionBy __bucket) exists and that a broadcast joins the
+    offsets back."""
+    plan = plan_of(spark, "window_running_sum_bucketed")
+    assert "BroadcastHashJoin" in plan  # offsets come back via broadcast
+    # the within-bucket window partitions by the bucket — parallel
+    assert "Window" in plan
+    # final orderBy is a range exchange; the offset cascade is the only
+    # SinglePartition and is fed by a HashAggregate (bucket totals),
+    # never a raw table scan
+    seg = plan.split("Exchange SinglePartition")
+    for s in seg[1:]:
+        below = s.split("Exchange")[0]
+        assert "HashAggregate" in below or "AQEShuffleRead" in below, plan
+
+
+def test_salted_topn_two_bounded_windows(spark):
+    plan = plan_of(spark, "window_topn_salted")
+    assert plan.count("Window") >= 2  # phase 1 (key,salt) + phase 2 (key)
+    assert "Exchange SinglePartition" not in plan

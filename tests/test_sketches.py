@@ -193,3 +193,27 @@ def test_kll_outlier_gate_close_to_exact(spark):
     n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     sym = len(exact ^ approx)
     assert sym <= max(3, 0.02 * n), (len(exact), len(approx), sym)
+
+
+def test_cms_join_size_estimate_upper_bound_and_exactness(spark):
+    """AMS inner-product estimator: always ≥ the true equi-join size;
+    exact when the width is large enough that no two keys collide."""
+    from airflow_dags_spark.functions.probabilistic import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i % 20,) for i in range(400)], "k bigint")
+    b = spark.createDataFrame([(i % 30,) for i in range(300)], "k bigint")
+    truth = a.join(b, "k").count()
+
+    est = cms_join_size_estimate(
+        cms_build(a, "k"), cms_build(b, "k")
+    ).first()["est_join_size"]
+    assert est >= truth  # CMS never underestimates an inner product
+
+    # wide sketch ⇒ 50 distinct keys can't collide in 2^20 buckets (w.h.p.)
+    wide_a = cms_build(a, "k", width=1 << 20)
+    wide_b = cms_build(b, "k", width=1 << 20)
+    exact = cms_join_size_estimate(wide_a, wide_b).first()["est_join_size"]
+    assert exact == truth
