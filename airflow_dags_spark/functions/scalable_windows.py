@@ -57,7 +57,9 @@ def bucketed_running_sum(
                     Window.unboundedPreceding, -1
                 )
             ),
-            F.lit(0.0),
+            # integer 0: coalesce widens to the sum's own type (bigint for
+            # int inputs, double for double) instead of forcing double
+            F.lit(0),
         ),
     ).select("__bucket", "__offset")
     return (

@@ -96,28 +96,29 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     max per day. Ends sort before starts at equal timestamps (delta asc) —
     half-open intervals, consistently on both engines.
 
-    Scale note: the running sum is a GLOBAL order — inherently one ordered
-    pass. Spark executes it as a range-partitioned sort (no single-node
-    bottleneck until the final per-partition prefix merge, which AQE handles
-    with a tiny cumulative-offset exchange); at 100 TB you'd bucket by
-    coarse time range first and sweep within buckets, carrying bucket
-    offsets — same rewrite window_cumulative_distinct documents."""
+    Scale shape: the global running sum uses the prefix-sum composition
+    (functions/scalable_windows.bucketed_running_sum, bucketed by
+    to_date(t) — monotone in the (t, delta) order): within-day sweeps run
+    in parallel, only the |days|-row offset cascade is globally ordered.
+    The naive global-window form measured 3.7× time at 10× data; this
+    form is ~1× (SCALE.md). Interval spans crossing midnight are handled
+    exactly — the day bucket partitions the DELTA STREAM, not the
+    intervals: an event ending tomorrow contributes +1 today and its −1
+    lands in tomorrow's bucket, carried by the offset."""
+    from airflow_dags_spark.functions.scalable_windows import bucketed_running_sum
+
     ev = read_table(spark, sf_dir, "events")
     starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
     ends = ev.select(
         F.expr("ts + make_interval(0,0,0,0,0, CAST(FLOOR(value) AS INT), 0)").alias("t"),
         F.lit(-1).alias("delta"),
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = bucketed_running_sum(
+        starts.unionByName(ends), "delta", ["t", "delta"], F.to_date("t"), "live"
     )
-    running = starts.unionByName(ends).withColumn("live", F.sum("delta").over(w))
     return (
         running.groupBy(F.date_format("t", "yyyy-MM-dd").alias("day"))
-        .agg(F.max("live").alias("max_concurrent"))
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
         .orderBy("day")
     )
 

@@ -80,6 +80,10 @@ NAMES = [
     "agg_argmax_struct",
     "scalar_try_functions",
     "dedup_ngram_containment",
+    "window_running_sum_bucketed",
+    "window_topn_salted",
+    "join_bloom_reduced",
+    "sketch_cms_join_size",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries

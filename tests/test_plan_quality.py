@@ -467,11 +467,19 @@ def test_gaps_islands_no_self_join(spark):
     assert "Window" in plan
 
 
-def test_max_concurrency_is_union_window_no_join(spark):
+def test_max_concurrency_bucketed_sweep_shape(spark):
+    """Sweep line via prefix-sum composition: a Union of ±1 deltas, the
+    within-day window, and ONE broadcast join carrying the day offsets
+    back — no shuffle join, no table-sized SinglePartition exchange."""
     plan = plan_of(spark, "events_max_concurrency")
     assert "Union" in plan
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+    assert plan.count("BroadcastHashJoin") == 1  # the offsets come back
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert j not in plan
+    seg = plan.split("Exchange SinglePartition")
+    for s in seg[1:]:
+        below = s.split("Exchange")[0]
+        assert "HashAggregate" in below or "AQEShuffleRead" in below, plan
 
 
 def test_dq_expectations_single_aggregation_pass(spark):
