@@ -376,12 +376,15 @@ def pq_ann_topk(
 
     scored = corpus.mapInPandas(score, "qid bigint, cid bigint, sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    # any refine > 0 triggers the exact re-rank; the candidate pool is at
+    # least k wide so the re-rank can only refine, never shrink below k
+    n_cand = max(refine, k) if refine > 0 else k
     topk = (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= (refine if refine > k else k))
+        .where(F.col("rn") <= n_cand)
         .drop("rn")
     )
-    if refine > k:
+    if refine > 0:
         # exact re-rank of the PQ candidates: join back to raw vectors
         cvecs = embeddings.select(
             F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")

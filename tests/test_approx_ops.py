@@ -123,6 +123,21 @@ def test_pq_refine_full_corpus_is_exact(emb):
     assert full == exact
 
 
+def test_pq_small_refine_still_reranks_exactly(emb):
+    """refine ≤ k must still trigger the exact re-rank (regression: it was
+    silently ignored): the returned sims are exact cosines, not ADC
+    approximations — identical values to brute force for shared cids."""
+    qf = F.col("vec_id") < 3
+    exact = {
+        (r["qid"], r["cid"]): r["sim"]
+        for r in brute_force_topk(emb, 50, query_filter=qf).collect()
+    }
+    got = pq_ann_topk(emb, 5, query_filter=qf, refine=1).collect()
+    assert len({r["qid"] for r in got}) == 3
+    for r in got:
+        assert r["sim"] == pytest.approx(exact[(r["qid"], r["cid"])], abs=1e-6)
+
+
 def test_pq_deterministic(emb):
     qf = F.col("vec_id") < 3
     a = sorted(map(tuple, pq_ann_topk(emb, 5, query_filter=qf).collect()))
