@@ -590,6 +590,112 @@ def k7b_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- timezone scalar sweep ---------------------------------------------------
+
+TZ_FUNCS_ORACLE = """
+WITH base AS (
+    -- the events span January only; the +68d copy crosses the US March-10
+    -- DST transition so the offset genuinely takes two values
+    SELECT event_id, ts, ts + INTERVAL 68 DAY AS ts2 FROM events
+), conv AS (
+    SELECT event_id, ts, ts2,
+           CAST(ts  AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York' AS ny,
+           CAST(ts2 AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York' AS ny2,
+           CAST(ts  AS TIMESTAMPTZ) AT TIME ZONE 'Asia/Tokyo'       AS tokyo
+    FROM base
+)
+SELECT event_id,
+       STRFTIME(ny, '%Y-%m-%d %H:%M:%S')                          AS ny_wall,
+       CAST(EXTRACT(hour FROM tokyo) AS INT)                      AS tokyo_hour,
+       CAST(CAST((ny AT TIME ZONE 'America/New_York') AS TIMESTAMP) = ts
+            AS BOOLEAN)                                           AS roundtrip_ok,
+       CAST((EXTRACT(epoch FROM ny) - EXTRACT(epoch FROM ts)) / 3600
+            AS INT)                                               AS ny_offset_h,
+       CAST((EXTRACT(epoch FROM ny2) - EXTRACT(epoch FROM ts2)) / 3600
+            AS INT)                                               AS ny_offset_h_spring
+FROM conv
+ORDER BY event_id
+LIMIT 5000
+"""
+
+
+@register("scalar_timezone_functions", TZ_FUNCS_ORACLE)
+def scalar_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion sweep (§2.6 continuation): from/to_utc_timestamp
+    wall-clock conversion, the round-trip law to_utc(from_utc(ts)) == ts,
+    and DST-aware offsets — the raw events sit in January (EST, −5) and a
+    +68-day shifted copy crosses the March-10 US transition, so
+    ny_offset_h_spring takes BOTH −5 and −4 and the engines must agree at
+    the switch instants. Spark's from_utc_timestamp ≡ DuckDB's
+    ``TIMESTAMPTZ AT TIME ZONE`` naive result under a UTC session."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.expr("ts + make_interval(0,0,0,68,0,0,0)")
+    )
+    ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    ny2 = F.from_utc_timestamp(F.col("ts2"), "America/New_York")
+    tokyo = F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo")
+
+    def _off(conv, src):
+        return (
+            (F.unix_timestamp(conv) - F.unix_timestamp(F.col(src).cast("timestamp")))
+            / 3600
+        ).cast("int")
+
+    return (
+        ev.select(
+            "event_id",
+            F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+            F.hour(tokyo).cast("int").alias("tokyo_hour"),
+            (
+                F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")
+            ).alias("roundtrip_ok"),
+            # ts is TIMESTAMP_NTZ — no direct long cast; unix_timestamp
+            # interprets both sides in the (UTC) session zone
+            _off(ny, "ts").alias("ny_offset_h"),
+            _off(ny2, "ts2").alias("ny_offset_h_spring"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+# --- two-phase distinct (expand-free COUNT DISTINCT under group skew) --------
+
+TWOPHASE_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT)                AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_count_distinct_twophase", TWOPHASE_DISTINCT_ORACLE)
+def agg_count_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) as two plain aggregations: groupBy(key, value) →
+    groupBy(key). Semantically identical to count_distinct (the oracle),
+    physically different where it matters: mixing count_distinct with
+    other aggregates makes Spark EXPAND every row (one replica per
+    aggregate), and a hot group's distinct set still converges on one
+    reducer — the two-phase form partial-aggregates (key, value) pairs
+    map-side, so the wire carries distinct pairs and the hot group's
+    work spreads across reducers in phase 1. The row count rides along
+    via a per-pair count summed in phase 2 — still no second scan."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("__n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- single-reducer-killer window rewrites -----------------------------------
 
 BUCKETED_RUNSUM_ORACLE = """
