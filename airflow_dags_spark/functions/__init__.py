@@ -14,12 +14,14 @@ from airflow_dags_spark.functions.json_extract import (
     extract_balanced_json,
     balanced_json_udf,
 )
+from airflow_dags_spark.functions.privacy import k_anonymize
 from airflow_dags_spark.functions.quality import Expectations
 from airflow_dags_spark.functions.sampling import deterministic_sample
 from airflow_dags_spark.functions.skew import salted_agg, salted_join
 
 __all__ = [
     "Expectations",
+    "k_anonymize",
     "salted_agg",
     "salted_join",
     "strip_braces",

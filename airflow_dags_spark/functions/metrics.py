@@ -128,3 +128,32 @@ def _root_rows(plan) -> int:
             return 0
         node = ch.head()  # wrappers (WholeStageCodegen, …) are single-child
     return 0
+
+
+def with_observation(df: DataFrame, name: str, **aggs):
+    """Attach named aggregate metrics to ``df`` via Spark's Observation
+    API: the metrics are computed DURING the next action on the returned
+    frame — zero extra pass, exactly-once per action (unlike reading
+    SQLMetrics, no plan walking, and it works the same under AQE).
+
+    Returns ``(df_with_observe, observation)``; read
+    ``observation.get`` AFTER an action. Use for per-job row counts /
+    quality tallies a pipeline wants to log without re-scanning —
+    the engine analog of the reference's row-count log lines
+    (dags/pull_new_sales_list.py logging).
+
+    Example::
+
+        df2, obs = with_observation(df, "load",
+                                    n=F.count(F.lit(1)),
+                                    nulls=F.sum(F.col("k").isNull().cast("int")))
+        df2.write.parquet(path)
+        print(obs.get)   # {'n': ..., 'nulls': ...}
+    """
+    from pyspark.sql import Observation
+
+    if not aggs:
+        raise ValueError("provide at least one named aggregate")
+    obs = Observation(name)
+    observed = df.observe(obs, *[expr.alias(alias) for alias, expr in aggs.items()])
+    return observed, obs

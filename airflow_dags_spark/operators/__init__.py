@@ -62,7 +62,7 @@ from airflow_dags_spark.operators.similarity import (
 )
 from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
 from airflow_dags_spark.operators.hidden_partitioning import HiddenPartitionTable
-from airflow_dags_spark.operators.temporal import asof_join, range_join
+from airflow_dags_spark.operators.temporal import asof_join, asof_join_cogrouped, range_join
 from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
 from airflow_dags_spark.operators.versioning import VersionedParquetTable
 from airflow_dags_spark.operators.upsert import (
@@ -114,6 +114,7 @@ __all__ = [
     "pq_ann_topk",
     "HiddenPartitionTable",
     "asof_join",
+    "asof_join_cogrouped",
     "range_join",
     "ParquetTable",
     "VersionedParquetTable",

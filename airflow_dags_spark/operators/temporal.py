@@ -127,3 +127,60 @@ def range_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
     )
     return joined.drop("__bucket")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    *,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``asof_join`` via ``cogroup().applyInPandas`` — the per-key
+    imperative form of the same contract (right's most recent value_cols
+    at ``right.ts <= left.ts``, per key, null when none).
+
+    When to prefer which: the union-window form (``asof_join``) stays
+    JVM-side — always faster for plain as-of. The cogrouped form exists
+    for matching logic SQL can't express (per-key interpolation, custom
+    staleness rules, model scoring against a timeline): both sides of a
+    key arrive in ONE Python function as two pandas frames after a single
+    co-partitioned shuffle each — the escape hatch with the same
+    distribution shape. Equality with the declarative form is
+    pytest-verified (tests/test_temporal.py), which is exactly the
+    pattern for validating any custom cogrouped operator: prove the
+    SQL-expressible core first, then extend."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"{c}{suffix}", right.schema[c].dataType, True)
+        for c in value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l):
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        l = l.sort_values(ts, kind="mergesort")
+        r = r.sort_values(ts, kind="mergesort")
+        merged = pd.merge_asof(
+            l,
+            r[[ts, *value_cols]].rename(
+                columns={c: f"{c}{suffix}" for c in value_cols}
+            ),
+            on=ts,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        return merged[[*left_cols, *[f"{c}{suffix}" for c in value_cols]]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.select(key, ts, *value_cols).groupBy(key))
+        .applyInPandas(merge, out_schema)
+    )

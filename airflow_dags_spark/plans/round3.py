@@ -696,6 +696,56 @@ def agg_count_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-anonymity release gate ------------------------------------------------
+
+K_ANON_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           user_id // 10 AS user_decade,
+           value
+    FROM events
+), sized AS (
+    SELECT *, COUNT(*) OVER (
+        PARTITION BY event_type, hour_of_day, user_decade
+    ) AS gs FROM g
+)
+SELECT event_type, hour_of_day, user_decade,
+       CAST(COUNT(*) AS BIGINT)                 AS n,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2)     AS total_value
+FROM sized WHERE gs >= 5
+GROUP BY event_type, hour_of_day, user_decade
+ORDER BY event_type, hour_of_day, user_decade
+"""
+
+
+@register("privacy_k_anonymize", K_ANON_ORACLE)
+def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (functions/privacy.py): generalize the
+    quasi-identifiers (hour-of-day, user decade), suppress combinations
+    shared by fewer than k=5 rows, aggregate the released rows. One window
+    shuffle over the quasi columns; every released group is ≥ k by
+    construction — the property the oracle re-derives independently."""
+    from airflow_dags_spark.functions.privacy import k_anonymize
+
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.expr("user_id div 10").alias("user_decade"),
+        "value",
+    )
+    anon = k_anonymize(g, ["event_type", "hour_of_day", "user_decade"], 5)
+    return (
+        anon.groupBy("event_type", "hour_of_day", "user_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "hour_of_day", "user_decade")
+    )
+
+
 # --- single-reducer-killer window rewrites -----------------------------------
 
 BUCKETED_RUNSUM_ORACLE = """

@@ -84,6 +84,9 @@ NAMES = [
     "window_topn_salted",
     "join_bloom_reduced",
     "sketch_cms_join_size",
+    "scalar_timezone_functions",
+    "agg_count_distinct_twophase",
+    "privacy_k_anonymize",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
