@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("table_path")
     p.add_argument("--key", default="id")
 
+    p = sub.add_parser("curate-full")
+    p.add_argument("docs_path")
+    p.add_argument("output_path")
+    p.add_argument("--embeddings-path", default=None)
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+
     p = sub.add_parser("dq-audit")
     p.add_argument("table_path")
     p.add_argument("--complete", default="", help="comma-separated columns")
@@ -161,6 +170,26 @@ def main(argv: list[str] | None = None) -> None:
         )
         for r in manifest.collect():
             print(r["tar_path"], r["n_samples"], r["tar_bytes"])
+    elif args.cmd == "curate-full":
+        from airflow_dags_spark.jobs.curate_full import curate_full
+
+        emb = (
+            spark.read.parquet(args.embeddings_path)
+            if args.embeddings_path
+            else None
+        )
+        out = curate_full(
+            spark,
+            spark.read.parquet(args.docs_path),
+            embeddings=emb,
+            out_path=args.output_path,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            n_shards=args.n_shards,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        for s_ in out["funnel"]:
+            print(s_["stage"], s_["rows_in"], "->", s_["rows_out"])
     elif args.cmd == "dq-audit":
         from airflow_dags_spark.functions.quality import Expectations
 

@@ -1,0 +1,84 @@
+"""End-to-end curation pipeline (jobs/curate_full.py): the COMPOSITION of
+individually-verified operators — funnel accounting, stage semantics on
+crafted duplicates, shard export round trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.jobs.curate_full import curate_full
+from airflow_dags_spark.sources.tables import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_full_funnel_on_real_tables(spark, tmp_path):
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = read_table(spark, SF_DIR, "embeddings").withColumnRenamed(
+        "vec_id", "vec_id"
+    )
+    out = curate_full(
+        spark,
+        docs,
+        embeddings=emb,
+        out_path=str(tmp_path / "shards"),
+        n_shards=4,
+        semantic_threshold=0.95,
+    )
+    funnel = out["funnel"]
+    stages = [s["stage"] for s in funnel]
+    assert stages == ["quality_gate", "exact_dedup", "near_dedup", "semantic_dedup"]
+    # funnel is consistent and monotone: each stage consumes the previous
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+    for s in funnel:
+        assert s["rows_out"] <= s["rows_in"]
+        assert s["dropped"] == s["rows_in"] - s["rows_out"]
+    # the language gate actually bites on this multilingual corpus
+    assert funnel[0]["dropped"] > 0
+    # final frame row count matches the last stage and the shard export
+    n_final = out["result"].count()
+    assert n_final == funnel[-1]["rows_out"] > 0
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    assert shards.count() == n_final
+
+
+def test_pipeline_drops_crafted_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest of the north and the hills beyond"
+    )
+    rows = [
+        (1, base),
+        (2, base),                     # exact duplicate → exact_dedup
+        (3, base + " tonight"),        # near duplicate → near_dedup
+        (4, "the completely different english document about query engines "
+            "and the many ways of joining tables in the modern warehouse"),
+        (5, "der und das kurze deutsche text"),  # language gate
+        (6, "the tiny one"),                      # min_tokens gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curate_full(spark, docs, jaccard_threshold=0.5, min_tokens=5)
+    kept = sorted(r["doc_id"] for r in out["result"].collect())
+    assert kept == [1, 4]  # min key of the dup chain survives
+    by = {s["stage"]: s for s in out["funnel"]}
+    assert by["quality_gate"]["dropped"] == 2   # de text + tiny text
+    assert by["exact_dedup"]["dropped"] == 1    # doc 2
+    assert by["near_dedup"]["dropped"] == 1     # doc 3
+
+
+def test_cli_curate_full(spark, tmp_path, monkeypatch, capsys):
+    from airflow_dags_spark.jobs.cli import main as cli_main
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    monkeypatch.setattr(
+        "airflow_dags_spark.session.get_spark", lambda **kw: spark
+    )
+    docs = str(tmp_path / "docs")
+    read_table(spark, SF_DIR, "documents").write.parquet(docs)
+    out = str(tmp_path / "out")
+    cli_main(["curate-full", docs, out, "--n-shards", "2"])
+    printed = capsys.readouterr().out
+    assert "quality_gate" in printed and "near_dedup" in printed
+    assert spark.read.parquet(out).count() > 0
