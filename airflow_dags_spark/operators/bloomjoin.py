@@ -7,20 +7,25 @@ of it when stats cooperate) is to ship a Bloom filter of the build side's
 keys to the probe side and drop definitely-non-matching rows BEFORE the
 exchange:
 
-- build: one pass over the dim keys → ≤ m/32 bit-words (KBs), collected
-  and folded into a numpy bit array on the driver — the same bounded
-  driver-side build Spark's InjectRuntimeFilter performs;
-- probe: an Arrow-batched pandas UDF tests membership per fact row with
-  the bit array captured in the closure (broadcast once per executor) —
-  a narrow scan-stage filter, NO extra shuffle, no join;
+- build: one pass over the dim keys → ≤ m/32 bit-words (KBs) via
+  ``functions.probabilistic.bloom_build`` — map-side ``bit_or`` partials,
+  one bounded exchange;
+- probe: FULLY JVM-side. Each of the k bit positions is a column
+  expression (``conv(substr(md5(salt|key),1,8),16,10) % m``, the engine's
+  portable hash recipe) and the ≤ m/32-row word table is broadcast-hash-
+  joined once per salt — k narrow broadcast joins in ONE codegen stage,
+  no Python in the fact-row hot path, no extra exchange. (The previous
+  implementation probed through a row-at-a-time loop inside a pandas UDF:
+  interpreted Python × 5 md5 calls on EVERY fact row — at 100 TB that tax
+  dominates; see VERDICT r3 #3.)
 - join: the surviving rows join exactly as before — Bloom false positives
   are eliminated by the join itself, so the result is bit-identical to
   the plain join at any FP rate.
 
 The hash family is the engine's portable md5 recipe
-(functions/probabilistic._h): salt|str(key), first 8 hex chars — the UDF
-reproduces it byte-for-byte driver-side, which is also what makes the
-operator oracle-checkable.
+(functions/probabilistic._h): salt|str(key), first 8 hex chars — the same
+bits the pure-SQL ``sketch_bloom_membership`` oracle reproduces, which is
+also what makes the operator oracle-checkable.
 
 Spark-native alternative: `spark.sql.optimizer.runtime.bloomFilter
 .enabled` lets Catalyst inject the same structure automatically when
@@ -30,14 +35,10 @@ don't (fresh files, exotic sources) and for bounding the FP rate by hand.
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airflow_dags_spark.functions.probabilistic import bloom_build
+from airflow_dags_spark.functions.probabilistic import _h, bloom_build
 
 
 def bloom_filtered_join(
@@ -54,7 +55,13 @@ def bloom_filtered_join(
     FACT rows is sound: inner / left_semi (and right outer of the dim).
 
     Returns exactly ``fact.join(dim, key, how)`` — verified by oracle —
-    with the exchange carrying only maybe-matching rows."""
+    with the exchange carrying only maybe-matching rows.
+
+    Probe plan shape (all JVM, one stage):
+      fact → [+k hash columns] → BHJ(word table) ×k → filter(k bit tests)
+    Each broadcast is the same ≤ m/32-row word table; executors build k
+    tiny hash maps once and stream the fact partition through whole-stage
+    codegen."""
     if how not in ("inner", "left_semi"):
         raise ValueError(
             "bloom pre-filter drops fact rows: only inner/left_semi are "
@@ -63,34 +70,36 @@ def bloom_filtered_join(
     # null dim keys never equi-join; hashing them would also put a null
     # bit position into the filter table
     build_keys = dim.select(key).where(F.col(key).isNotNull())
-    words = {
-        int(r["word_idx"]): int(r["word"])
-        for r in bloom_build(build_keys, key, m_bits, k).collect()
-    }
-    arr = np.zeros(m_bits // 32 + 1, dtype=np.int64)
-    for idx, w in words.items():
-        arr[idx] = w
+    words = bloom_build(build_keys, key, m_bits, k)
 
-    @F.pandas_udf("boolean")
-    def might_contain(v: pd.Series) -> pd.Series:
-        out = np.ones(len(v), dtype=bool)
-        vals = v.astype(object)
-        for i, x in enumerate(vals):
-            if x is None:
-                out[i] = False  # null keys never equi-join
-                continue
-            s = str(x)
-            for salt in range(k):
-                h = (
-                    int(
-                        hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:8], 16
-                    )
-                    % m_bits
-                )
-                if not (arr[h // 32] >> (h % 32)) & 1:
-                    out[i] = False
-                    break
-        return pd.Series(out)
-
-    filtered = fact.where(might_contain(F.col(key)))
+    probe = fact
+    tests = []
+    for i in range(k):
+        h, wi, w = f"__bloom_h{i}", f"__bloom_wi{i}", f"__bloom_w{i}"
+        probe = probe.withColumn(h, _h(F.col(key), i, m_bits))
+        wtab = words.select(
+            F.col("word_idx").alias(wi), F.col("word").alias(w)
+        )
+        # null fact key → null hash → no broadcast match → null word →
+        # test is false → row dropped (null keys never equi-join anyway)
+        probe = probe.join(
+            F.broadcast(wtab),
+            F.floor(F.col(h) / 32).cast("bigint") == F.col(wi),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({h} % 32 AS INT))"
+        )
+        tests.append(
+            F.coalesce(F.col(w).bitwiseAND(mask) != 0, F.lit(False))
+        )
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    drop_cols = [
+        c
+        for i in range(k)
+        for c in (f"__bloom_h{i}", f"__bloom_wi{i}", f"__bloom_w{i}")
+    ]
+    filtered = probe.where(cond).drop(*drop_cols)
     return filtered.join(dim, key, how)

@@ -448,9 +448,19 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features", None)  # mapInPandas plumbing → rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """payload → md5-derived feature vector (array<float>), metadata attached
-    JVM-side before the Python stage so pruning happens pre-decode."""
+    JVM-side before the Python stage so pruning happens pre-decode.
+
+    Driver-facing projection is SCALAR-only (the harness canonicalizes via
+    pandas sort_values over all columns; an array<float> column is unhashable
+    there — VERDICT r3 #1). The array API stays in operators/multimodal.py;
+    here the vector is digested to md5 + its dimension."""
     mm = attach_payload_metadata(_as_multimodal(spark, sf_dir))
-    return extract_features(mm.where(F.col("n_bytes") > 0), dim=16)
+    feats = extract_features(mm.where(F.col("n_bytes") > 0), dim=16)
+    return feats.select(
+        "item_id",
+        F.size("feature").cast("int").alias("feat_dim"),
+        F.md5(F.col("feature").cast("string")).alias("feature_md5"),
+    )
 
 
 @register("multimodal_frame_sample", None)  # 1→N fan-out → rows-only

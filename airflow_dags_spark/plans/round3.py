@@ -882,11 +882,12 @@ ORDER BY l.l_orderkey
 @register("join_bloom_reduced", BLOOM_JOIN_ORACLE)
 def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join reduction: the fact side is pre-filtered by a Bloom of the
-    selective dim's keys BEFORE any exchange (Arrow-batched scan-stage
-    test, no shuffle, no join), then joined exactly — hash-identical to
-    the plain join because the join absorbs Bloom false positives. The
-    shuffle carries only maybe-matching rows; at 100 TB with a 0.1%
-    selective dim that is a ~1000× exchange reduction."""
+    selective dim's keys BEFORE any exchange (k JVM-side md5 bit tests via
+    broadcast word-table joins — no Python, no shuffle), then joined
+    exactly — hash-identical to the plain join because the join absorbs
+    Bloom false positives. The shuffle carries only maybe-matching rows;
+    at 100 TB with a 0.1% selective dim that is a ~1000× exchange
+    reduction."""
     from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
 
     li = read_table(spark, sf_dir, "lineitem").select(

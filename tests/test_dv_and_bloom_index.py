@@ -158,9 +158,14 @@ def test_bloom_filtered_join_reduces_shuffle(spark):
     from airflow_dags_spark.functions.metrics import scan_summary
     from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
 
-    fact = spark.createDataFrame(
-        [(i, float(i)) for i in range(20_000)], "k bigint, v double"
-    ).repartition(8)
+    # shuffle-free fact lineage (range → project): the measured exchanges
+    # are then exactly the join's own. (A .repartition here would add a
+    # 20k-record exchange to BOTH sides of the comparison and, since the
+    # probe is a broadcast join rather than a pushable scalar filter, it
+    # cannot be pushed below that artificial shuffle.)
+    fact = spark.range(0, 20_000, 1, 8).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
     dim = spark.createDataFrame([(i,) for i in range(50)], "k bigint").repartition(7)
 
     # force a shuffle join so the exchange is observable

@@ -36,9 +36,11 @@ def test_all_queries_run_on_smoke_sf(spark):
 
 
 def test_driver_window_self_rotates():
-    """With CORRECTNESS_r01.json present, the first-50 window must contain
-    exactly the 3 green sentinels plus 47 not-yet-verified queries, and
-    _ordered_names must be a permutation of the registry."""
+    """Rotation invariants (not exact counts — once fewer than 47 queries
+    remain unverified, green names legitimately backfill the 50-window):
+    sentinels lead, every unverified query sits inside the window (until
+    there are more than 47 of them), and the ordering is a duplicate-free
+    permutation of the registry."""
     names = list(_entry_mod.queries())
     verified = _entry_mod._verified_names()
     assert len(names) == len(set(names))
@@ -49,10 +51,17 @@ def test_driver_window_self_rotates():
     if not verified:  # fresh clone without driver artifacts
         return
     window = names[:50]
-    already = [n for n in window if n in verified]
-    assert already == [
+    sentinels = [
         "q1_pricing_summary",
         "p4_regexp_strip",
         "join_anti_customers_without_orders",
     ]
-    assert all(n not in verified for n in window if n not in already)
+    assert window[:3] == sentinels
+    unverified = [n for n in names if n not in verified]
+    # all unverified names must be fronted into the driver's window
+    # (when ≤47 remain they must ALL be there; otherwise the window after
+    # the sentinels must be unverified-only)
+    if len(unverified) <= 47:
+        assert set(unverified).issubset(set(window))
+    else:
+        assert all(n not in verified for n in window[3:])
