@@ -13,8 +13,12 @@ Stages (each optional, each observable):
 5. shard export      — deterministic hash shards via
                        operators/export.write_training_shards
 
-Every stage is counted through ONE Observation per materialization (no
-re-scan), and the job returns the funnel —
+Funnel accounting is single-pass: boundary counts come from Observations
+embedded in the lineage plus carried-forward counts (stage N's rows_in IS
+stage N-1's rows_out), the stage-2 output is DISK_ONLY-persisted for
+stage 3's four-way reuse, and the input therefore streams through the
+pipeline exactly once (tests/test_curate_full.py::
+test_funnel_is_single_pass). The job returns the funnel —
 ``[{stage, rows_in, rows_out, dropped}, ...]`` — the number the reference
 prints into task logs (dags/pull_new_sales_list.py logging), made a
 first-class result. The stage operators are individually oracle- or
@@ -60,6 +64,7 @@ def curate_full(
     """Run the curation funnel; returns ``{"funnel": [...], "result": df}``
     (plus ``"shards"`` when ``out_path`` is given). ``embeddings`` enables
     the semantic stage (joined on ``key_col == emb_key``)."""
+    from airflow_dags_spark.functions.metrics import with_observation
     from airflow_dags_spark.operators.clustering import semantic_dedup
     from airflow_dags_spark.operators.dedup import (
         minhash_candidate_pairs,
@@ -68,12 +73,18 @@ def curate_full(
 
     funnel: list[dict] = []
 
-    def count_stage(name: str, before: DataFrame, after: DataFrame):
-        n_in, n_out = before.count(), after.count()
+    def record(name: str, n_in: int, n_out: int):
         funnel.append(
             {"stage": name, "rows_in": n_in, "rows_out": n_out,
              "dropped": n_in - n_out}
         )
+
+    # Funnel accounting is SINGLE-PASS: boundary counts come from
+    # Observations embedded in the lineage (computed while rows stream
+    # through during the stage actions below) plus carried-forward counts
+    # (stage N's rows_in IS stage N-1's rows_out) — no stage ever
+    # re-executes upstream lineage just to count it.
+    docs, obs_docs = with_observation(docs, "curate_docs", n=F.count(F.lit(1)))
 
     # 1 — quality gate (scan-stage projections, zero shuffle)
     q = quality_columns(text_col)
@@ -90,7 +101,9 @@ def curate_full(
         .where(F.col("__tok") >= min_tokens)
         .drop("__lang", "__stop", "__punct", "__tok")
     )
-    count_stage("quality_gate", docs, gated)
+    gated, obs_gated = with_observation(
+        gated, "curate_gated", n=F.count(F.lit(1))
+    )
 
     # 2 — exact dedup (one md5 shuffle, first-key-wins)
     hashed = gated.withColumn("__h", F.md5(normalized(text_col)))
@@ -102,7 +115,20 @@ def curate_full(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__h")
     )
-    count_stage("exact_dedup", gated, exact)
+    # Stage 3 consumes `exact` FOUR times (banding, two text joins, the
+    # anti-join base). Persisting it (a) makes those reuses read a local
+    # copy instead of re-running stages 1-2 four times and (b) freezes the
+    # observation values above. DISK_ONLY: the deduped corpus must not
+    # compete with executor heap at 100 TB — it spills to local shuffle
+    # disks exactly like an exchange would.
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.DISK_ONLY)
+    n_exact = exact.count()  # ONE action executes stages 1-2, fills cache
+    n_docs = int(obs_docs.get["n"])
+    n_gated = int(obs_gated.get["n"])
+    record("quality_gate", n_docs, n_gated)
+    record("exact_dedup", n_gated, n_exact)
 
     # 3 — near dedup: banding candidates → exact verify, min-key survives
     cands = minhash_candidate_pairs(exact, text_col, key_col)
@@ -123,25 +149,38 @@ def curate_full(
         F.greatest("key_a", "key_b").alias(key_col)
     ).distinct()
     near = exact.join(losers, key_col, "left_anti")
-    count_stage("near_dedup", exact, near)
 
     # 4 — semantic dedup (optional): SemDeDup kept-flags joined back
     result = near
+    obs_near = None
     if embeddings is not None:
+        near, obs_near = with_observation(
+            near, "curate_near", n=F.count(F.lit(1))
+        )
         marked = semantic_dedup(
             embeddings, semantic_threshold, key_col=emb_key
         ).where(F.col("kept"))
         result = near.join(
             marked.select(F.col(emb_key).alias(key_col)), key_col, "left_semi"
         )
-        count_stage("semantic_dedup", near, result)
 
     out: dict = {"funnel": funnel, "result": result}
 
-    # 5 — shard export (optional)
+    # The FINAL action both finishes the funnel and (optionally) ships the
+    # shards: stages 3-4 execute exactly once, off the stage-2 cache.
     if out_path is not None:
         from airflow_dags_spark.operators.export import write_training_shards
 
         stats = write_training_shards(result, out_path, [key_col], n_shards)
         out["shards"] = stats
+        n_final = stats["rows"]
+    else:
+        n_final = result.count()
+    if obs_near is not None:
+        n_near = int(obs_near.get["n"])
+        record("near_dedup", n_exact, n_near)
+        record("semantic_dedup", n_near, n_final)
+    else:
+        record("near_dedup", n_exact, n_final)
+    exact.unpersist(blocking=False)
     return out

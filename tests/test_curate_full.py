@@ -82,3 +82,29 @@ def test_cli_curate_full(spark, tmp_path, monkeypatch, capsys):
     printed = capsys.readouterr().out
     assert "quality_gate" in printed and "near_dedup" in printed
     assert spark.read.parquet(out).count() > 0
+
+
+def test_funnel_is_single_pass(spark):
+    """The funnel must not re-execute lineage to count it: the raw docs
+    input streams through the pipeline exactly ONCE however many stages
+    run (observations + carried-forward counts + the stage-2 cache do the
+    accounting). Counted with an accumulator-tapped UDF on the input."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(s):
+        acc.add(1)
+        return s
+
+    tap_udf = F.udf(tap, "string")
+    rows = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog and "
+            f"keeps running through the english countryside for a while")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", tap_udf("text").alias("text")
+    )
+    out = curate_full(spark, docs, min_tokens=5)
+    assert out["funnel"][0]["rows_in"] == 200
+    # one streaming of 200 input rows — not 2× per stage
+    assert acc.value == 200
