@@ -297,6 +297,126 @@ def _dedup_within_clusters(
     return assigned.groupBy("cluster").applyInPandas(per_cluster, out_schema)
 
 
+def _batched_sub_kmeans(
+    cells_df: DataFrame,
+    sizes: dict[int, int],
+    oversized: list[int],
+    vec_col: str,
+    key_col: str,
+    *,
+    target_cluster_size: int,
+    seed: int,
+    max_iter: int,
+    tol: float = 1e-6,
+    init_sample: int = 4096,
+) -> dict[int, np.ndarray]:
+    """Fit one sub-quantizer PER oversized coarse cell with ALL cells
+    advancing together: every Lloyd round is ONE Arrow-batched pass over
+    the combined frame keyed by cell (per-task partials bounded by
+    Σ k₂ rows), folded on the driver in a total order per (cell, cluster).
+    Same init recipe as ``kmeans_fit`` (seeded draw from the md5-ordered
+    per-cell head — here computed for every cell in ONE window job).
+    Converged cells drop out of later rounds; the loop ends when all
+    converge or ``max_iter`` is hit."""
+    from pyspark.sql import Window as W
+
+    md5k = F.md5(F.col(key_col).cast("string"))
+    head = (
+        cells_df.select(
+            "cluster", md5k.alias("__m"), as_double(vec_col).alias("__v")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("cluster").orderBy("__m")),
+        )
+        .where(F.col("__rn") <= init_sample)
+        .select("cluster", "__m", "__v")
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in sorted(head, key=lambda r: (r["cluster"], r["__m"])):
+        by_cell.setdefault(int(r["cluster"]), []).append(r["__v"])
+    centers: dict[int, np.ndarray] = {}
+    for c in sorted(oversized):
+        k2 = max(2, int(sizes[c] / max(target_cluster_size, 1)) + 1)
+        x0 = _unit(np.asarray(by_cell[c], dtype=np.float64))
+        rng = np.random.RandomState(seed + 1 + c)
+        centers[c] = x0[
+            rng.choice(len(x0), size=min(k2, len(x0)), replace=False)
+        ].copy()
+
+    partial_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("cluster", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+        ]
+    )
+    vecs = cells_df.select(
+        F.col("cluster").alias("cell"), as_double(vec_col).alias("v")
+    )
+    active = set(centers)
+    for _ in range(max_iter):
+        cmap = {c: centers[c] for c in active}  # this round's snapshot
+
+        def partials(
+            batches: Iterator[pd.DataFrame], cmap=cmap
+        ) -> Iterator[pd.DataFrame]:
+            counts: dict[tuple[int, int], int] = {}
+            sums: dict[tuple[int, int], np.ndarray] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for c, grp in pdf.groupby("cell"):
+                    cc = cmap.get(int(c))
+                    if cc is None:  # converged cell: frozen, skip
+                        continue
+                    x = _unit(np.vstack(grp["v"].to_numpy()).astype(np.float64))
+                    assign = np.argmax(x @ cc.T, axis=1)
+                    for j in np.unique(assign):
+                        m = x[assign == j]
+                        key = (int(c), int(j))
+                        if key in counts:
+                            counts[key] += len(m)
+                            sums[key] += m.sum(axis=0)
+                        else:
+                            counts[key] = len(m)
+                            sums[key] = m.sum(axis=0)
+            if counts:
+                out = [
+                    (c, j, counts[(c, j)], sums[(c, j)].tolist())
+                    for c, j in sorted(counts)
+                ]
+                yield pd.DataFrame(
+                    out, columns=["cell", "cluster", "cnt", "vsum"]
+                )
+
+        rows = vecs.mapInPandas(partials, partial_schema).collect()
+        sums_d = {c: np.zeros_like(centers[c]) for c in active}
+        cnts_d = {c: np.zeros(len(centers[c])) for c in active}
+        # total-order driver fold: deterministic for any collect order
+        for r in sorted(
+            rows,
+            key=lambda r: (r["cell"], r["cluster"], r["cnt"], tuple(r["vsum"])),
+        ):
+            sums_d[r["cell"]][r["cluster"]] += np.asarray(r["vsum"])
+            cnts_d[r["cell"]][r["cluster"]] += r["cnt"]
+        done = []
+        for c in sorted(active):
+            new = centers[c].copy()
+            nz = cnts_d[c] > 0
+            new[nz] = _unit(sums_d[c][nz] / cnts_d[c][nz, None])
+            shift = 1.0 - np.min(np.sum(new * centers[c], axis=1))
+            centers[c] = new
+            if shift < tol:
+                done.append(c)
+        active -= set(done)
+        if not active:
+            break
+    return centers
+
+
 def semantic_dedup_two_level(
     embeddings: DataFrame,
     threshold: float,
@@ -345,25 +465,48 @@ def semantic_dedup_two_level(
         out = assigned
         if oversized:
             keep = assigned.where(~F.col("cluster").isin(oversized))
-            parts = [keep]
+            cells_frame = assigned.where(F.col("cluster").isin(oversized))
+            # ALL oversized cells advance one Lloyd round per Spark job
+            # (batched: a sequential per-cell kmeans_fit loop costs
+            # |oversized| × max_iter driver round trips; this costs
+            # ≤ 1 + max_iter)
+            sub_centers = _batched_sub_kmeans(
+                cells_frame,
+                sizes,
+                oversized,
+                vec_col,
+                key_col,
+                target_cluster_size=target_cluster_size,
+                seed=seed,
+                max_iter=max_iter,
+            )
             # final ids: unsplit cells keep coarse id; split cells get ids
             # above the coarse range, disjoint per (coarse, sub)
+            bases: dict[int, int] = {}
             next_base = len(centers)
-            for c in oversized:
-                cell = assigned.where(F.col("cluster") == c).drop("cluster")
-                k2 = max(2, int(sizes[c] / max(target_cluster_size, 1)) + 1)
-                sub_centers = kmeans_fit(
-                    cell, vec_col, k2, key_col=key_col,
-                    seed=seed + 1 + c, max_iter=max_iter,
-                )
-                sub = assign_clusters(cell, sub_centers, vec_col).withColumn(
-                    "cluster", (F.col("cluster") + F.lit(next_base)).cast("int")
-                )
-                next_base += len(sub_centers)
-                parts.append(sub)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            for c in sorted(oversized):
+                bases[c] = next_base
+                next_base += len(sub_centers[c])
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _final_cell(cell: pd.Series, v: pd.Series) -> pd.Series:
+                res = np.empty(len(cell), dtype=np.int32)
+                cells_arr = cell.to_numpy()
+                for c in np.unique(cells_arr):
+                    idx = np.flatnonzero(cells_arr == c)
+                    cc = sub_centers[int(c)]
+                    x = _unit(np.vstack(v.iloc[idx].to_numpy()).astype(np.float64))
+                    # ties break to the lowest sub id (first argmax), as in
+                    # assign_clusters
+                    res[idx] = bases[int(c)] + np.argmax(x @ cc.T, axis=1)
+                return pd.Series(res)
+
+            sub = cells_frame.withColumn(
+                "cluster", _final_cell(F.col("cluster"), as_double(vec_col))
+            )
+            out = keep.unionByName(sub)
         # the exact phase runs AFTER the union so Spark schedules all final
         # cells in one stage; materialize (off-heap safe: DISK_ONLY) so the
         # cached assignment can be released before returning

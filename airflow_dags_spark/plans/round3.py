@@ -997,8 +997,11 @@ def dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_dags_spark.operators.clustering import semantic_dedup_two_level
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # target 50 / split-at-100: with ~4 coarse cells over the 500-vector
+    # test corpus the oversized cells really do split, so the driver row
+    # exercises the batched sub-fit path, not just the unsplit fall-through
     marked = semantic_dedup_two_level(
-        emb, 0.15, coarse_clusters=4, target_cluster_size=200,
+        emb, 0.15, coarse_clusters=4, target_cluster_size=50,
         split_factor=2, max_iter=5,
     )
     return (

@@ -102,19 +102,30 @@ def main() -> None:
         _warm(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: single-run numbers on this box show rare one-off
-    # stalls (10-20 s on a random query, not reproducible in isolation —
-    # VM/GC hiccups, not plans); min-of-N is the standard way to measure the
-    # plan instead of the noise.
+    # median-of-5 with one discarded warm-up per query: consecutive idle
+    # runs of this harness differ by ~13% run-to-run (judge-measured, r3),
+    # which swamps most per-query effects a single number would be used to
+    # argue about. The median resists the rare one-off stalls (10-20 s
+    # VM/GC hiccups) AND, unlike min-of-N, doesn't systematically
+    # understate; per-query relative spread (max-min)/median is reported so
+    # round-over-round comparisons can ignore deltas inside the noise band.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(n_runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        med = runs[len(runs) // 2] if n_runs % 2 else (
+            (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
+        )
+        timings[name] = round(med, 3)
+        spreads[name] = round((runs[-1] - runs[0]) / med, 3) if med > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
     # idle-run marker: bench numbers are contention-sensitive (a contended
@@ -130,6 +141,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spreads,
+                "bench_runs_per_query": n_runs,
                 "sf": sf,
                 "load_avg_at_start": LOAD_AT_START,
                 "cpus": os.cpu_count(),
