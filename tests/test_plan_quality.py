@@ -128,7 +128,15 @@ def test_salted_join_no_broadcast_of_big_side(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q1_pricing_summary", "agg_global_stats", "text_quality_stats"]
+    "name",
+    [
+        "q1_pricing_summary",
+        "agg_global_stats",
+        "text_quality_stats",
+        # r4: the Bloom probe is JVM-side (md5 position columns + broadcast
+        # word joins) — a Python node reappearing here is the regression
+        "join_bloom_reduced",
+    ],
 )
 def test_hot_paths_have_no_python_udfs(spark, name):
     """Scalar pipelines must stay JVM-side — Python only where declared
