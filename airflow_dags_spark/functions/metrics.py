@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _walk(node, visit, seen: set[int]) -> None:
@@ -157,3 +158,30 @@ def with_observation(df: DataFrame, name: str, **aggs):
     obs = Observation(name)
     observed = df.observe(obs, *[expr.alias(alias) for alias, expr in aggs.items()])
     return observed, obs
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None):
+    """Order-insensitive, engine-portable table fingerprint: per-row md5
+    over a canonical '|'-joined rendering of ``cols`` (NULL → a sentinel
+    that cannot collide with data), split into two 32-bit words, summed
+    as decimals + a row count. Any engine with md5 reproduces it — the
+    tool for validating a 100 TB migration WITHOUT moving or sorting
+    either side: compare three numbers, not n rows.
+
+    One pass, partial-aggregated map-side (the sums combine), no shuffle
+    beyond the single-row final. Sums in DECIMAL(38,0): 2^32-bounded
+    words never overflow it below ~10^28 rows. Caller renders
+    floats/timestamps deterministically BEFORE calling when the table has
+    them (engines differ in raw float formatting)."""
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL")) for c in cols]
+    )
+    h = F.md5(canon)
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(20,0)")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("decimal(20,0)")
+    return df.agg(
+        F.sum(w1).cast("decimal(38,0)").alias("checksum_hi"),
+        F.sum(w2).cast("decimal(38,0)").alias("checksum_lo"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -223,3 +223,88 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
     )
     return per_row.agg(F.min("dot").alias("est_join_size"))
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, min_share: float
+) -> DataFrame:
+    """EXACT heavy hitters in two passes (Misra-Gries candidates → exact
+    recount): every non-null value whose count exceeds ``min_share · n``
+    (n = non-null rows), with its exact count. Unlike
+    ``sketch_cms_heavy_hitters`` (bounded-memory ESTIMATES), the output
+    here is exact — the classic mergeable-summaries result (Misra & Gries
+    1982; Agarwal et al. PODS'12 mergeability).
+
+    Pass 1: each task folds its whole partition into ≤ k counters
+    (k = ⌈1/min_share⌉) with the batched MG decrement — when the table
+    exceeds k entries, the (k+1)-th largest count is subtracted from all
+    (one decrement of d absorbs ≥ d·(k+1) mass, so total decremented mass
+    per partition ≤ n_p/(k+1)). Any value with global count
+    > n/(k+1) ≤ min_share·n therefore survives in ≥ 1 partition summary
+    (pigeonhole over partitions) — the candidate set is a guaranteed
+    superset. Wire cost: ≤ partitions × (k+1) rows, never data rows.
+
+    Pass 2: exact counts of candidates only — broadcast semi-join +
+    hash aggregate; n rides along from pass 1 (a NULL-valued tally row
+    per partition), so the input is scanned exactly twice and counted
+    exhaustively never."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not (0.0 < min_share < 1.0):
+        raise ValueError(f"min_share must be in (0, 1), got {min_share}")
+    k = int(np.ceil(1.0 / min_share))
+    val_type = df.schema[col].dataType
+    # private column names: the probed frame may itself have a "value"
+    # column (events does) — ambiguity would break the recount join
+    schema = StructType(
+        [StructField("__hh_value", val_type), StructField("__hh_cnt", LongType())]
+    )
+
+    def mg(batches):
+        acc = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            s = pdf[col].dropna()
+            n_part += len(s)
+            if not len(s):
+                continue
+            acc = acc.add(s.value_counts(), fill_value=0)
+            if len(acc) > k:
+                d = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - d
+                acc = acc[acc > 0]
+        out = pd.DataFrame(
+            {"__hh_value": acc.index, "__hh_cnt": acc.to_numpy("int64")}
+        )
+        tally = pd.DataFrame({"__hh_value": [None], "__hh_cnt": [n_part]})
+        yield pd.concat([out, tally], ignore_index=True)
+
+    summaries = df.select(col).mapInPandas(mg, schema).persist()
+    try:
+        n = summaries.where(F.col("__hh_value").isNull()).agg(
+            F.sum("__hh_cnt").alias("n")
+        ).first()["n"] or 0
+        cand = (
+            summaries.where(F.col("__hh_value").isNotNull())
+            .select("__hh_value")
+            .distinct()
+        )
+        exact = (
+            df.where(F.col(col).isNotNull())
+            .join(
+                F.broadcast(cand),
+                F.col(col) == F.col("__hh_value"),
+                "left_semi",
+            )
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > min_share * n)
+        )
+        # materialize before unpersist so the candidate broadcast is built
+        # off the live summaries (DISK-cheap: ≤ |candidates| rows)
+        exact = exact.localCheckpoint(eager=True)
+    finally:
+        summaries.unpersist()
+    return exact

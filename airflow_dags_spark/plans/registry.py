@@ -57,8 +57,10 @@ def load_all() -> None:
         tpch,
         advanced,
         sketches,
-        # round3 must import LAST: its queries append AFTER every earlier
-        # registration so the driver's self-rotating 50-query window is
-        # not displaced mid-round (see plans/round3.py docstring)
+        # round3/round4 must import LAST (in round order): their queries
+        # append AFTER every earlier registration so the driver's
+        # self-rotating 50-query window is not displaced mid-round (see
+        # plans/round3.py docstring)
         round3,
+        round4,
     )

@@ -1,0 +1,389 @@
+"""Round-4 registry additions: exact set-similarity join (prefix filter),
+exact heavy hitters, inverted-index search, time-series gap fill,
+portable table checksum, equi-depth binning, MAD outliers, weighted
+median, correlated-subquery sweep.
+
+Registered LAST (after plans/round3 in registry.load_all) so these append
+AFTER every existing query in the driver's self-rotating verification
+window — new names must never displace the queued unverified queries of
+the current round (driver checks only the first 50 of ``queries()``).
+
+Like §2.10, these go beyond the reference's literal surface: they are
+standard warehouse / LLM-curation operations the engine needs for parity
+with what the reference's Postgres could express, each with a DuckDB
+oracle where SQL can express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+
+# --- exact set-similarity self-join via prefix filtering ----------------------
+
+PREFIX_JACCARD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+)
+SELECT key_a, key_b, ROUND(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.95
+ORDER BY key_a, key_b
+"""
+
+
+@register("dedup_prefix_jaccard", PREFIX_JACCARD_ORACLE)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold Jaccard self-join (SSJoin/PPJoin prefix filter):
+    unlike MinHash banding (probabilistic recall) or ngram_jaccard
+    (candidates-only contract), this returns EVERY qualifying pair — the
+    prefix-filter theorem guarantees completeness while the equi-join on
+    rare-first prefix tokens keeps candidates far below all-pairs. The
+    oracle IS the brute-force all-pairs join, so the hash match proves
+    the pruning lossless."""
+    from airflow_dags_spark.operators.dedup import prefix_jaccard_join
+
+    d = read_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(d, "text", "doc_id", 0.95).orderBy(
+        "key_a", "key_b"
+    )
+
+
+# --- exact heavy hitters (two-pass Misra-Gries) -------------------------------
+
+HEAVY_HITTERS_ORACLE = """
+SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(*) > 0.004 * (
+  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL
+)
+ORDER BY value
+"""
+
+
+@register("agg_exact_heavy_hitters", HEAVY_HITTERS_ORACLE)
+def agg_exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters without an exhaustive per-value count shuffle:
+    bounded Misra-Gries partials per task (≤ ⌈1/share⌉ counters — a
+    guaranteed candidate superset for count > share·n), then an exact
+    recount of candidates only via broadcast semi-join. The oracle is the
+    exhaustive GROUP BY ... HAVING — the hash match proves the bounded
+    pass drops no qualifying value."""
+    from airflow_dags_spark.functions.probabilistic import heavy_hitters_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    hh = heavy_hitters_exact(ev, "user_id", 0.004)
+    return hh.select(
+        F.col("user_id").alias("value"), F.col("cnt")
+    ).orderBy("value")
+
+
+# --- inverted-index conjunctive text search -----------------------------------
+
+INVERTED_ORACLE = f"""
+SELECT doc_id AS doc
+FROM documents
+WHERE list_contains(string_split({_NORM}, ' '), 'vector')
+  AND list_contains(string_split({_NORM}, ' '), 'merge')
+  AND list_contains(string_split({_NORM}, ' '), 'stream')
+ORDER BY doc
+"""
+
+
+@register("text_inverted_search", INVERTED_ORACLE)
+def text_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search through a (token, doc) posting table: the
+    index is filtered to the query terms BEFORE any aggregation, so the
+    shuffle carries postings of three tokens, not the corpus; the count-
+    matching aggregate is the posting-list intersection. Oracle scans
+    every document with per-term membership tests — same semantics, the
+    shape the index exists to avoid."""
+    from airflow_dags_spark.operators.inverted import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, "text", "doc_id")
+    return search_all_terms(idx, ["vector", "merge", "stream"]).orderBy("doc")
+
+
+# --- bitmap-aggregate exact COUNT DISTINCT ------------------------------------
+
+BITMAP_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_bitmap_distinct", BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT via Spark's bitmap aggregates: phase 1 folds
+    each (group, 32k-id bucket) into a fixed 4 KB bitmap map-side
+    (``bitmap_construct_agg``), phase 2 sums ``bitmap_count`` per group —
+    the wire carries bitmaps, never ids. The third strategy in the
+    engine's distinct family next to expand-based COUNT DISTINCT and the
+    two-phase groupBy (``agg_count_distinct_twophase``): best when ids
+    are dense integers, because the shuffle volume is bounded by
+    groups × (id_range/32768) bitmaps regardless of row count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("__bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("__bm"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(__bm)")).cast("bigint").alias("n_parts"),
+            F.sum("__n").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- portable order-insensitive table checksum --------------------------------
+
+CHECKSUM_ORACLE = """
+WITH canon AS (
+  SELECT concat_ws('|',
+    coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL'),
+    coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL'),
+    coalesce(o_orderstatus, chr(1) || 'NULL'),
+    coalesce(o_orderpriority, chr(1) || 'NULL'),
+    coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1) || 'NULL')
+  ) AS c
+  FROM orders
+)
+SELECT CAST(CAST(SUM(('0x' || substr(md5(c), 1, 8))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_hi,
+       CAST(CAST(SUM(('0x' || substr(md5(c), 9, 8))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM canon
+"""
+
+
+@register("table_fingerprint_checksum", CHECKSUM_ORACLE)
+def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table fingerprint (functions/metrics.py:
+    table_checksum): three numbers that validate a cross-engine copy of
+    any size without sorting or moving rows — the md5-word sums combine
+    map-side, so the plan is one partial+final aggregate over the scan.
+    The DuckDB oracle recomputes the same fingerprint from the same
+    recipe — the hash match IS the cross-engine validation story."""
+    from airflow_dags_spark.functions.metrics import table_checksum
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_d"),
+    )
+    sums = table_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_d"]
+    )
+    return sums.select(
+        F.col("checksum_hi").cast("string").alias("checksum_hi"),
+        F.col("checksum_lo").cast("string").alias("checksum_lo"),
+        "n_rows",
+    )
+
+
+# --- equi-depth binning (per-group ntile) -------------------------------------
+
+EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT o_orderpriority, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM t
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("agg_equidepth_buckets", EQUIDEPTH_ORACLE)
+def agg_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) binning per priority group: ntile over a
+    PARTITIONED window — per-group sorts parallelize across the cluster
+    (no global single-reducer order; the global-table form of this is the
+    KLL sketch path, sketch_kll_price_quantiles). Deterministic via the
+    (price, orderkey) tie-break; both engines share the SQL-standard
+    ntile remainder rule (first n%k buckets one row larger)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+# --- robust outliers via median absolute deviation ----------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       ROUND(MAX(d.med), 6) AS med,
+       ROUND(MAX(m2.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN m2.mad > 0 AND ABS(d.value - d.med) > 3 * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("events_mad_outliers", MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per event type — the
+    data-quality gate that survives the outliers it hunts (mean/stddev
+    z-scores are dragged by the very tails). Two exact-median aggregates
+    with broadcast joins back (the per-group frames are |groups| rows);
+    flag |x − med| > 3·MAD."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- weighted median per group ------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS p,
+    SUM(l_quantity) OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, ROUND(MIN(p), 2) AS weighted_median
+FROM w
+WHERE cw >= tw / 2.0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("agg_weighted_median", WEIGHTED_MEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag: the
+    lowest price whose cumulative weight reaches half the group total —
+    per-group ordered cumulative sum (windows parallel across groups) +
+    one aggregate; no per-group value collection. Integer-valued weights
+    keep the double cumsum exact, so the boundary row is engine-identical."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("p"),
+            F.sum("l_quantity").over(wc).alias("cw"),
+            F.sum("l_quantity").over(wt).alias("tw"),
+        )
+        .where(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("p"), 2).alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- correlated-subquery semantics sweep --------------------------------------
+
+SUBQUERY_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND c.c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+  AND c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_mktsegment = c.c_mktsegment)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("subquery_patterns", SUBQUERY_SQL)
+def subquery_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery sweep through Catalyst's decorrelation: EXISTS
+    (→ left-semi join), NOT IN (→ null-aware anti join — the classic
+    three-valued-logic trap, explicitly guarded here with IS NOT NULL),
+    and a correlated scalar aggregate (→ per-group aggregate + join).
+    The SAME SQL text runs on both engines — the dialect-shared subset —
+    so this is a direct SQL-surface parity check, not a translation."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SUBQUERY_SQL)
