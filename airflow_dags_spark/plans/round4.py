@@ -387,3 +387,204 @@ def subquery_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(SUBQUERY_SQL)
+
+
+# --- round-4 batch 2 (queued for the r5 window behind the 46 pending) ---------
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH occ AS (
+  SELECT u.t AS token
+  FROM documents, UNNEST(string_split({_NORM}, ' ')) AS u(t)
+  WHERE u.t <> ''
+),
+counts AS (SELECT token, COUNT(*) AS c FROM occ GROUP BY 1),
+vocab AS (
+  SELECT token FROM counts ORDER BY c DESC, token LIMIT 20
+)
+SELECT CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN c ELSE 0 END)
+            AS BIGINT) AS covered_occurrences,
+       ROUND(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE), 6) AS coverage,
+       ROUND(1.0 - SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+FROM counts
+"""
+
+
+@register("text_vocab_coverage", VOCAB_COVERAGE_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-V vocabulary by
+    occurrence count (deterministic (count DESC, token) tie-break) and
+    measure what share of ALL token occurrences it covers — the number
+    that decides a tokenizer's OOV behavior before anyone trains with it.
+    One explode + one count agg; the top-V select is a bounded sort of
+    |vocab| count rows, broadcast back as a semi-joinable set."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), "token").limit(20).select("token")
+    flagged = counts.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(True))), "token", "left"
+    )
+    covered = F.sum(
+        F.when(F.col("__in_vocab"), F.col("c")).otherwise(F.lit(0))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.sum("c").cast("bigint").alias("n_occurrences"),
+        covered.cast("bigint").alias("covered_occurrences"),
+        F.round(covered / F.sum("c").cast("double"), 6).alias("coverage"),
+        F.round(
+            F.lit(1.0) - covered / F.sum("c").cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM documents
+),
+bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(ts) - 1, 0))) AS u(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(c) AS cw1 FROM bc GROUP BY 1)
+SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS c,
+       ROUND(bc.c / CAST(uc.cw1 AS DOUBLE), 6) AS p_w2_given_w1
+FROM bc JOIN uc USING (w1)
+ORDER BY c DESC, bc.w1, bc.w2
+LIMIT 30
+"""
+
+
+@register("text_bigram_stats", BIGRAM_ORACLE)
+def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics with conditional probability P(w2|w1) —
+    the n-gram-LM / repeated-template diagnostic (a template-generated
+    corpus shows up as near-1.0 conditionals on high-count bigrams).
+    Bigrams via a length-1 token slide (zip of ts with its own tail,
+    JVM arrays_zip — no Python), one count agg, unigram totals re-derived
+    from the bigram counts (no second corpus pass)."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    return (
+        bc.join(uc, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            F.round(F.col("c") / F.col("cw1").cast("double"), 6).alias(
+                "p_w2_given_w1"
+            ),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(30)
+    )
+
+
+ROBUST_SCALE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5)  AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(CASE WHEN s.iqr > 0 THEN (e.value - s.med) / s.iqr END, 6)
+         AS value_scaled
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL AND e.user_id < 5
+ORDER BY e.event_id
+"""
+
+
+@register("features_robust_scale", ROBUST_SCALE_ORACLE)
+def features_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling (median/IQR) per group — the normalization
+    that survives the outliers mean/stddev scaling absorbs. Exact
+    quantiles per group (one sort-agg over |groups| buffers), broadcast
+    back, scan-stage arithmetic; NULL where IQR is degenerate."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("value", F.lit(0.75))
+            - F.percentile("value", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    return (
+        ev.where(F.col("user_id") < 5)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(
+                    F.col("iqr") > 0,
+                    (F.col("value") - F.col("med")) / F.col("iqr"),
+                ),
+                6,
+            ).alias("value_scaled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+BEST_SURVIVOR_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5({_NORM}) AS grp FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, grp,
+         ROW_NUMBER() OVER (
+           PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS group_size
+  FROM h
+)
+SELECT doc_id, CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact_best_survivor", BEST_SURVIVOR_ORACLE)
+def dedup_exact_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: instead of min-key-wins,
+    each exact-duplicate group keeps its HIGHEST-QUALITY member (here:
+    longest, tie → lowest id) — what a curation pipeline actually wants
+    when duplicates differ in truncation or cleanup state. Same single
+    md5-shuffle shape as dedup_exact; the survivor rule is the window
+    order."""
+    from pyspark.sql import Window as W
+
+    from airflow_dags_spark.functions.text import normalized
+
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "n_chars", F.md5(normalized("text")).alias("grp"))
+    w = W.partitionBy("grp").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(W.partitionBy("grp")))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("group_size").cast("bigint").alias("group_size"))
+        .orderBy("doc_id")
+    )

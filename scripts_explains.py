@@ -83,6 +83,11 @@ NAMES = [
     "window_running_sum_bucketed",
     "window_topn_salted",
     "join_bloom_reduced",
+    "dedup_prefix_jaccard",
+    "agg_exact_heavy_hitters",
+    "text_inverted_search",
+    "agg_bitmap_distinct",
+    "table_fingerprint_checksum",
     "sketch_cms_join_size",
     "scalar_timezone_functions",
     "agg_count_distinct_twophase",
