@@ -181,6 +181,18 @@ def test_table_checksum_null_vs_literal(spark):
 # --- bitmap distinct plan shape -----------------------------------------------
 
 
+def test_prefix_jaccard_plan_no_cartesian_no_python(spark):
+    """The candidate stage must stay an equi-join (the whole point of the
+    prefix filter) and the verify must stay JVM array ops."""
+    from airflow_dags_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_prefix_jaccard"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bitmap_distinct_no_expand(spark):
     """The bitmap strategy must not fall back to Expand (the expand-based
     COUNT DISTINCT shape) — two hash aggregates over bitmaps only."""
