@@ -331,30 +331,28 @@ ORDER BY 1
 
 @register("agg_weighted_median", WEIGHTED_MEDIAN_ORACLE)
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted median (price weighted by quantity) per return flag: the
-    lowest price whose cumulative weight reaches half the group total —
-    per-group ordered cumulative sum (windows parallel across groups) +
-    one aggregate; no per-group value collection. Integer-valued weights
-    keep the double cumsum exact, so the boundary row is engine-identical."""
+    """Weighted median (price weighted by quantity) per return flag via
+    the bucketed two-phase refinement (functions/scalable_windows.py:
+    weighted_median_bucketed): with only 3 heavy groups, the naive
+    per-group cumulative window serializes the whole table through 3
+    tasks (measured 8× at 10× data); the bucketed form aggregates a
+    (group, bucket) weight histogram in parallel, locates the half-weight
+    bucket on the driver, and windows ONLY inside that bucket — hash-
+    identical to the window-form oracle because integer-valued weights
+    accumulate exactly."""
+    from airflow_dags_spark.functions.scalable_windows import (
+        weighted_median_bucketed,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    wm = weighted_median_bucketed(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        ["l_orderkey", "l_linenumber"],
     )
-    wt = Window.partitionBy("l_returnflag")
-    return (
-        li.select(
-            "l_returnflag",
-            F.col("l_extendedprice").alias("p"),
-            F.sum("l_quantity").over(wc).alias("cw"),
-            F.sum("l_quantity").over(wt).alias("tw"),
-        )
-        .where(F.col("cw") >= F.col("tw") / 2.0)
-        .groupBy("l_returnflag")
-        .agg(F.round(F.min("p"), 2).alias("weighted_median"))
-        .orderBy("l_returnflag")
-    )
+    return wm.select(
+        "l_returnflag",
+        F.round("weighted_median", 2).alias("weighted_median"),
+    ).orderBy("l_returnflag")
 
 
 # --- correlated-subquery semantics sweep --------------------------------------

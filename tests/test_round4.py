@@ -202,3 +202,59 @@ def test_bitmap_distinct_no_expand(spark):
     df = registry.QUERIES["agg_bitmap_distinct"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+# --- bucketed weighted median -------------------------------------------------
+
+
+def test_weighted_median_bucketed_equals_window_form(spark):
+    """The bucketed refinement must pick the IDENTICAL crossing row as the
+    full per-group cumulative window, including under ties and repeated
+    values."""
+    from pyspark.sql import Window as W
+
+    from airflow_dags_spark.functions.scalable_windows import (
+        weighted_median_bucketed,
+    )
+
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(400):
+            rows.append((g, float((i * 7) % 50), float(1 + i % 5), i))
+    # degenerate group: single repeated value
+    rows += [("d", 3.0, 2.0, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double, w double, tie bigint")
+    got = {
+        (r["g"], r["weighted_median"])
+        for r in weighted_median_bucketed(df, "g", "v", "w", ["tie"], 16).collect()
+    }
+    wc = W.partitionBy("g").orderBy("v", "tie").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("g")
+    want = {
+        (r["g"], r["wm"])
+        for r in df.select(
+            "g",
+            F.col("v"),
+            F.sum("w").over(wc).alias("cw"),
+            F.sum("w").over(wt).alias("tw"),
+        )
+        .where(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("g")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    }
+    assert got == want and len(got) == 4
+
+
+def test_weighted_median_bucketed_ignores_nulls(spark):
+    from airflow_dags_spark.functions.scalable_windows import (
+        weighted_median_bucketed,
+    )
+
+    rows = [("a", 1.0, 1.0, 0), ("a", None, 5.0, 1), ("a", 9.0, None, 2),
+            ("a", 2.0, 1.0, 3), ("a", 3.0, 1.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, w double, tie bigint")
+    got = weighted_median_bucketed(df, "g", "v", "w", ["tie"], 4).collect()
+    assert [(r["g"], r["weighted_median"]) for r in got] == [("a", 2.0)]
