@@ -57,6 +57,12 @@ HEADLINE = [
     "dq_expectations",
     "agg_argmax_struct",
     "gaps_islands_streaks",
+    # round-4: exact heavy hitters, bitmap distinct, bucketed weighted
+    # median, portable checksum
+    "agg_exact_heavy_hitters",
+    "agg_bitmap_distinct",
+    "agg_weighted_median",
+    "table_fingerprint_checksum",
 ]
 
 

@@ -88,6 +88,7 @@ NAMES = [
     "text_inverted_search",
     "agg_bitmap_distinct",
     "table_fingerprint_checksum",
+    "agg_weighted_median",
     "sketch_cms_join_size",
     "scalar_timezone_functions",
     "agg_count_distinct_twophase",
