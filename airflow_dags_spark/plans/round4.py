@@ -586,3 +586,101 @@ def dedup_exact_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("group_size").cast("bigint").alias("group_size"))
         .orderBy("doc_id")
     )
+
+
+AQP_ORACLE = """
+WITH s AS (
+  SELECT o_totalprice
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        < CAST(0.1 * 4294967296 AS BIGINT)
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+         AVG(o_totalprice) AS m,
+         stddev_samp(o_totalprice) / sqrt(COUNT(*)) AS se
+  FROM s
+)
+SELECT n_sample,
+       ROUND(m, 4) AS mean_est,
+       ROUND(m - 1.96 * se, 4) AS ci_lo,
+       ROUND(m + 1.96 * se, 4) AS ci_hi,
+       ROUND((SELECT AVG(o_totalprice) FROM orders), 4) AS mean_exact,
+       ((SELECT AVG(o_totalprice) FROM orders) >= m - 1.96 * se AND
+        (SELECT AVG(o_totalprice) FROM orders) <= m + 1.96 * se)
+         AS ci_contains_truth
+FROM est
+"""
+
+
+@register("aqp_sample_mean_ci", AQP_ORACLE)
+def aqp_sample_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling: a 10%
+    md5-threshold sample (a scan-stage FILTER — no global sort, no
+    shuffle, unlike orderBy(md5).limit) estimates the mean with a CLT
+    95% interval; the exact mean rides along to show calibration. At
+    100 TB the sample predicate prunes 90% of the work at the scan while
+    the error bar quantifies what that bought — the engine-portable md5
+    recipe makes the SAMPLE itself oracle-identical, so the whole
+    estimate hash-matches."""
+    o = read_table(spark, sf_dir, "orders")
+    thresh = int(0.1 * 4294967296)
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        < thresh
+    )
+    s = o.where(in_sample)
+    est = s.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.avg("o_totalprice").alias("m"),
+        (F.stddev_samp("o_totalprice") / F.sqrt(F.count(F.lit(1)))).alias("se"),
+    )
+    exact = o.agg(F.avg("o_totalprice").alias("me"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sample",
+        F.round("m", 4).alias("mean_est"),
+        F.round(F.col("m") - 1.96 * F.col("se"), 4).alias("ci_lo"),
+        F.round(F.col("m") + 1.96 * F.col("se"), 4).alias("ci_hi"),
+        F.round("me", 4).alias("mean_exact"),
+        (
+            (F.col("me") >= F.col("m") - 1.96 * F.col("se"))
+            & (F.col("me") <= F.col("m") + 1.96 * F.col("se"))
+        ).alias("ci_contains_truth"),
+    )
+
+
+KEYSET_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d, o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '1995-06-15 00:00:00'
+   OR (o_orderdate = TIMESTAMP '1995-06-15 00:00:00' AND o_orderkey > 1000)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+@register("keyset_pagination", KEYSET_ORACLE)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the next page is a RANGE PREDICATE on
+    the sort key after the last-seen row, not an OFFSET — OFFSET n scans
+    and discards n rows per page (deep pages cost O(pages²) total), while
+    the keyset predicate pushes to the scan (PushedFilters on
+    o_orderdate) and each page costs one bounded top-k. The disjunctive
+    form (d > D OR (d = D AND k > K)) is deliberately index/pushdown-
+    friendly on both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    cursor_d = F.lit("1995-06-15 00:00:00").cast("timestamp_ntz")
+    page = o.where(
+        (F.col("o_orderdate") > cursor_d)
+        | ((F.col("o_orderdate") == cursor_d) & (F.col("o_orderkey") > 1000))
+    )
+    return (
+        page.orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            "o_totalprice",
+        )
+    )
