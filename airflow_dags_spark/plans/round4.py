@@ -684,3 +684,239 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+EQUIDEPTH_GLOBAL_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("agg_equidepth_global", EQUIDEPTH_GLOBAL_ORACLE)
+def agg_equidepth_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact equi-depth (octile) binning WITHOUT the global-window
+    single reducer: global rank = bucketed prefix-sum of row counts
+    (range-bucket by price → within-bucket row_number in parallel +
+    |buckets|-row offset cascade — the bucketed_running_sum composition
+    over a count of 1), then the SQL-standard ntile remainder formula
+    applied arithmetically to the rank. Hash-identical to the oracle's
+    ntile window because rank and formula are both exact integers; the
+    only SinglePartition exchange in the plan is over the 512-row offsets
+    frame, never the table."""
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo, hi, n = rng["lo"], rng["hi"], int(rng["n"])
+    width = (hi - lo) / 512.0 or 1.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)), F.lit(511)
+    ).cast("int")
+    ranked = bucketed_running_sum(
+        o.withColumn("__one", F.lit(1)),
+        "__one",
+        ["o_totalprice", "o_orderkey"],
+        bucket,
+        "rnk",
+    )
+    k = 8
+    q, r = divmod(n, k)
+    # ntile remainder rule: first r buckets hold q+1 rows, the rest q
+    big_span = r * (q + 1)
+    bucket_id = (
+        F.when(F.col("rnk") <= big_span, F.floor((F.col("rnk") - 1) / (q + 1)))
+        .otherwise(r + F.floor((F.col("rnk") - big_span - 1) / q))
+        + 1
+    ).cast("int")
+    return (
+        ranked.withColumn("bucket", bucket_id)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), DATE '1998-12-31') AS rec_days,
+         COUNT(*) AS freq,
+         SUM(o_totalprice) AS money
+  FROM orders GROUP BY 1
+),
+qs AS (
+  SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2,
+         quantile_cont(rec_days, 0.75) AS r3,
+         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+         quantile_cont(freq, 0.75) AS f3,
+         quantile_cont(money, 0.25) AS m1, quantile_cont(money, 0.5) AS m2,
+         quantile_cont(money, 0.75) AS m3
+  FROM cust
+)
+SELECT
+  1 + CAST(rec_days > r1 AS INT) + CAST(rec_days > r2 AS INT)
+    + CAST(rec_days > r3 AS INT) AS r_score,
+  1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+    + CAST(freq > f3 AS INT) AS f_score,
+  1 + CAST(money > m1 AS INT) + CAST(money > m2 AS INT)
+    + CAST(money > m3 AS INT) AS m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  ROUND(AVG(money), 2) AS avg_money
+FROM cust, qs
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("customer_rfm_segments", RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartile scores, the
+    classic CRM analysis): customer aggregate → ONE nine-quantile
+    aggregate broadcast back → arithmetic scores (score 1-4 ascending in
+    the metric; r_score 4 = LONGEST since last order). No per-dimension
+    sort or ntile window — quartile boundaries come from the exact
+    percentile aggregate, so segment assignment is a scan-stage
+    comparison and the whole plan has two aggregates + one broadcast."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max("o_orderdate")
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("money"),
+    )
+    qs = cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("rec_days", "freq", "money")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c[0]}1")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}2")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}3")).cast("int")
+        )
+
+    return (
+        cust.crossJoin(F.broadcast(qs))
+        .select(
+            score("rec_days").alias("r_score"),
+            score("freq").alias("f_score"),
+            score("money").alias("m_score"),
+            "money",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("money"), 2).alias("avg_money"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+ABC_ORACLE = """
+WITH parts AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev) OVER () AS tot
+  FROM parts
+)
+SELECT CASE WHEN cum <= 0.80 * tot THEN 'A'
+            WHEN cum <= 0.95 * tot THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 4) AS share
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("part_abc_pareto", ABC_ORACLE)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification (A = parts covering the first 80% of
+    revenue, B to 95%, C the tail): the cumulative-revenue ranking uses
+    the bucketed prefix-sum (range-bucket on revenue DESC → parallel
+    within-bucket cumsum + tiny offset cascade) instead of a global
+    single-reducer window. DECIMAL revenue keeps every cumulative sum
+    EXACT in any accumulation order, so the 80%/95% boundary rows are
+    engine-identical — with doubles the bucketed fold and the oracle's
+    sequential window could disagree in the last ulp exactly at a class
+    boundary."""
+    from decimal import Decimal
+
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    rng = parts.agg(
+        F.min("rev").alias("lo"), F.max("rev").alias("hi"),
+        F.sum("rev").alias("tot"),
+    ).first()
+    lo, hi, tot = rng["lo"], rng["hi"], rng["tot"]
+    width = float(hi - lo) / 256.0 or 1.0
+    # monotone in (rev DESC): -rev ascending
+    bucket = F.least(
+        F.floor((F.lit(float(hi)) - F.col("rev").cast("double")) / F.lit(width)),
+        F.lit(255),
+    ).cast("int")
+    cum = bucketed_running_sum(
+        parts,
+        "rev",
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        bucket,
+        "cum",
+    )
+    t80 = F.lit(str(tot * Decimal("0.80"))).cast("decimal(38,4)")
+    t95 = F.lit(str(tot * Decimal("0.95"))).cast("decimal(38,4)")
+    cls = (
+        F.when(F.col("cum") <= t80, "A")
+        .when(F.col("cum") <= t95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.lit(float(tot)), 4
+            ).alias("share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -258,3 +258,19 @@ def test_weighted_median_bucketed_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v double, w double, tie bigint")
     got = weighted_median_bucketed(df, "g", "v", "w", ["tie"], 4).collect()
     assert [(r["g"], r["weighted_median"]) for r in got] == [("a", 2.0)]
+
+
+def test_equidepth_global_no_table_sized_single_partition(spark):
+    """Global exact ntile through bucketed ranks: the only SinglePartition
+    exchange feeds the |buckets|-row offset cascade (below it sits the
+    bucket-totals HashAggregate), never the orders table; the full-table
+    window partitions by bucket and the offsets come back via broadcast."""
+    from airflow_dags_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["agg_equidepth_global"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+    for s in plan.split("Exchange SinglePartition")[1:]:
+        below = s.split("Exchange")[0]
+        assert "HashAggregate" in below or "AQEShuffleRead" in below, plan
