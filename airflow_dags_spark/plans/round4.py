@@ -920,3 +920,156 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+_SHINGLES3 = f"""
+list_distinct(
+  list_transform(
+    generate_series(1, GREATEST(len(string_split({_NORM}, ' ')) - 2, 0)),
+    i -> string_split({_NORM}, ' ')[i] || ' ' ||
+         string_split({_NORM}, ' ')[i+1] || ' ' ||
+         string_split({_NORM}, ' ')[i+2]
+  )
+)
+"""
+
+REPEATED_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, u.s AS shingle
+  FROM documents, UNNEST({_SHINGLES3}) AS u(s)
+)
+SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY shingle
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, shingle
+LIMIT 50
+"""
+
+
+@register("dedup_repeated_ngram_spans", REPEATED_NGRAM_ORACLE)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram detection — the signal behind exact
+    SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": memorized spans repeat verbatim across
+    documents): every 3-token shingle present in more than one document,
+    hottest first. One explode + one two-phase distinct count (shingle →
+    doc set sizes); at 100 TB the same shape runs on shingle HASHES
+    (8 bytes instead of the text) and feeds span removal, not a report."""
+    from airflow_dags_spark.functions.text import shingles_from_tokens, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select("doc_id", F.explode(shingles_from_tokens(F.col("__toks"), 3)).alias("shingle"))
+    return (
+        staged.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "shingle")
+        .limit(50)
+    )
+
+
+TOKEN_ENTROPY_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, u.t AS token
+  FROM documents, UNNEST(string_split({_NORM}, ' ')) AS u(t)
+  WHERE u.t <> ''
+),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+dt AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY 1)
+SELECT tc.doc_id,
+       CAST(MAX(dt.n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(-SUM((tc.c / CAST(dt.n AS DOUBLE))
+                  * log2(tc.c / CAST(dt.n AS DOUBLE))), 4) AS entropy
+FROM tc JOIN dt USING (doc_id)
+GROUP BY tc.doc_id
+ORDER BY tc.doc_id
+"""
+
+
+@register("text_token_entropy", TOKEN_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the repetition/diversity
+    quality signal (boilerplate and degenerate generations sit at low
+    entropy; natural prose near log2 of its working vocabulary). Two
+    keyed aggregates, no window; entropy terms are p·log2 p summed per
+    document."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).where(F.col("token") != "")
+    tc = occ.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    dt = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tc.join(dt, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM documents
+),
+bi AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(ts) - 1, 0))) AS u(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(c) AS cw1 FROM bc GROUP BY 1)
+SELECT bi.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-log2(bc.c / CAST(uc.cw1 AS DOUBLE))), 4) AS avg_nll
+FROM bi
+JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+JOIN uc ON uc.w1 = bi.w1
+GROUP BY bi.doc_id
+ORDER BY bi.doc_id
+"""
+
+
+@register("text_perplexity_proxy", PERPLEXITY_ORACLE)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM score per document (avg negative
+    log2 conditional probability ≈ log-perplexity) — the CCNet/Gopher
+    style quality filter: template spam scores low (predictable), noise
+    scores high; both tails get cut. The bigram model is built FROM the
+    corpus in the same job (counts + conditionals), then each document's
+    bigrams join back against it — two aggregates and two broadcast-size
+    joins on (w1, w2); no UDF, no external model."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    nll = -F.log2(F.col("c") / F.col("cw1").cast("double"))
+    return (
+        bi.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
