@@ -630,14 +630,17 @@ def aqp_sample_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         < thresh
     )
-    s = o.where(in_sample)
-    est = s.agg(
-        F.count(F.lit(1)).alias("n_sample"),
-        F.avg("o_totalprice").alias("m"),
-        (F.stddev_samp("o_totalprice") / F.sqrt(F.count(F.lit(1)))).alias("se"),
+    # ONE conditional aggregate computes the sampled moments AND the exact
+    # mean in the same pass — no join, no second scan (the sampled
+    # aggregates see NULL outside the sample, which every agg skips)
+    sampled_price = F.when(in_sample, F.col("o_totalprice"))
+    est = o.agg(
+        F.count(sampled_price).alias("n_sample"),
+        F.avg(sampled_price).alias("m"),
+        (F.stddev_samp(sampled_price) / F.sqrt(F.count(sampled_price))).alias("se"),
+        F.avg("o_totalprice").alias("me"),
     )
-    exact = o.agg(F.avg("o_totalprice").alias("me"))
-    return est.crossJoin(F.broadcast(exact)).select(
+    return est.select(
         "n_sample",
         F.round("m", 4).alias("mean_est"),
         F.round(F.col("m") - 1.96 * F.col("se"), 4).alias("ci_lo"),

@@ -370,6 +370,8 @@ ALLOWED_NESTED_LOOP = {
     "timeseries_gap_fill",
     # 1-row percentile-fence broadcast ahead of the streamed gate:
     "outlier_iqr_gate",
+    # 1-row nine-quantile frame broadcast against the customer aggregate:
+    "customer_rfm_segments",
 }
 
 
