@@ -193,3 +193,44 @@ def weighted_median_bucketed(
         .groupBy(group_col)
         .agg(F.min(value_col).alias("weighted_median"))
     )
+
+
+def bucketed_prefix_min(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    bucket_expr: Column,
+    out_col: str = "prefix_min",
+    strict: bool = True,
+) -> DataFrame:
+    """Running MIN of ``value_col`` in ``order_cols`` order without an
+    Exchange SinglePartition — the min twin of ``bucketed_running_sum``
+    (min composes over the same monotone-bucket split because
+    ``min(A ∪ B) = least(min A, min B)``).
+
+    ``strict=True`` excludes the current row (prefix over STRICTLY earlier
+    rows — what dominance tests need): the within-bucket frame ends at
+    ``-1`` and prior-bucket mins are strictly earlier by monotonicity.
+    First row overall → NULL. ``F.least`` is null-skipping, which is
+    exactly the union semantics."""
+    b = df.withColumn("__bucket", bucket_expr)
+    end = -1 if strict else 0
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = b.withColumn("__in_min", F.min(value_col).over(w_in))
+    mins = b.groupBy("__bucket").agg(F.min(value_col).alias("__bmin"))
+    # global pass over |buckets| rows only
+    offsets = mins.withColumn(
+        "__prior",
+        F.min("__bmin").over(
+            Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select("__bucket", "__prior")
+    return (
+        within.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.least("__in_min", "__prior"))
+        .drop("__bucket", "__in_min", "__prior")
+    )

@@ -134,3 +134,45 @@ def lttb_downsample(
         .groupBy(key_col)
         .applyInPandas(per_key, out_schema)
     )
+
+
+def stitched_lead_ts(
+    df,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    bucket_expr,
+    out_col: str = "next_ts",
+):
+    """``lead(ts)`` per key WITHOUT a monolithic per-key window.
+
+    A plain ``lead() OVER (PARTITION BY key ORDER BY ts)`` serializes each
+    key onto one reducer — with a handful of keys (event types, symbols)
+    that is the whole table through a few tasks. This is the prefix-sum
+    trick applied to lead: compute lead WITHIN (key, bucket) in parallel,
+    then stitch bucket boundaries with the tiny per-(key, bucket) firsts
+    table — the next reading after the last row of bucket b is the first
+    reading of the key's next NON-EMPTY bucket, which one ordered lead over
+    the |keys|×|buckets| firsts table yields.
+
+    ``bucket_expr`` must be monotone in ``ts_col`` (e.g. ``to_date(ts)``).
+    Output is hash-identical to the plain window (oracle-checked by
+    events_twap). Ties on ts are broken by ``tie_col``; the stitch is
+    unaffected because equal timestamps share a bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.withColumn("__bucket", bucket_expr)
+    w_in = Window.partitionBy(key_col, "__bucket").orderBy(ts_col, tie_col)
+    within = b.withColumn("__lead_in", F.lead(ts_col).over(w_in))
+    firsts = b.groupBy(key_col, "__bucket").agg(F.min(ts_col).alias("__first"))
+    # |keys| partitions of |buckets| rows — the only cross-bucket pass
+    w_f = Window.partitionBy(key_col).orderBy("__bucket")
+    stitch = firsts.withColumn(
+        "__next_first", F.lead("__first").over(w_f)
+    ).select(key_col, "__bucket", "__next_first")
+    return (
+        within.join(F.broadcast(stitch), [key_col, "__bucket"])
+        .withColumn(out_col, F.coalesce("__lead_in", "__next_first"))
+        .drop("__bucket", "__lead_in", "__next_first")
+    )

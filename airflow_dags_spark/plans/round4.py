@@ -1076,3 +1076,218 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- time-weighted average price (TWAP) ---------------------------------------
+
+TWAP_ORACLE = """
+WITH nxt AS (
+  SELECT event_type, value, epoch_us(ts) AS t0,
+         epoch_us(LEAD(ts) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id)) AS t1
+  FROM events
+)
+SELECT event_type,
+       ROUND(SUM(value * (t1 - t0)) / CAST(SUM(t1 - t0) AS DOUBLE), 6) AS twap,
+       ROUND(AVG(value), 6)                                            AS simple_avg,
+       CAST(COUNT(*) AS BIGINT)                                        AS n_weighted
+FROM nxt WHERE t1 IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_twap", TWAP_ORACLE)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event_type: each reading is weighted
+    by the time until the NEXT reading of the same key (the standard TWAP /
+    sensor-resample aggregate; the last reading carries no weight).
+
+    Scale shape: the naive form is lead() over a per-key window — with a
+    handful of keys that serializes the table through |keys| reducers. This
+    uses functions/timeseries.stitched_lead_ts: lead within (key, day) in
+    parallel, bucket boundaries stitched via the broadcast per-(key, day)
+    firsts table. The oracle IS the monolithic window — the hash match
+    proves the stitch exact (including readings whose successor falls days
+    later)."""
+    from airflow_dags_spark.functions.timeseries import stitched_lead_ts
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    led = stitched_lead_ts(ev, "event_type", "ts", "event_id", F.to_date("ts"))
+    dt = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        led.where(F.col("next_ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * dt) / F.sum(dt).cast("double"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("simple_avg"),
+            F.count(F.lit(1)).alias("n_weighted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- OHLC bars (resampling to hourly candles) ---------------------------------
+
+OHLC_ORACLE = """
+SELECT event_type,
+       STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       FIRST(value ORDER BY ts, event_id)                    AS open,
+       MAX(value)                                            AS high,
+       MIN(value)                                            AS low,
+       LAST(value ORDER BY ts, event_id)                     AS close,
+       CAST(COUNT(*) AS BIGINT)                              AS n_obs,
+       ROUND(SUM(value), 2)                                  AS volume
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_ohlc_bars", OHLC_ORACLE)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) resampling per key — the market-
+    data candle aggregate. open/close are ORDERED firsts: min_by/max_by on
+    a (ts, event_id) struct computes them inside ONE partial+final hash
+    aggregate (no window, no per-bar sort — the struct comparator keeps
+    only the extremum per group map-side). The oracle uses DuckDB's ordered
+    FIRST/LAST aggregates; the hash match pins the tie rule."""
+    ev = read_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# --- interval union coverage (merge overlapping spans, midnight-clipped) ------
+
+COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + INTERVAL 1 MINUTE * CAST(FLOOR(value) AS INT) AS e
+  FROM events
+  WHERE value IS NOT NULL AND FLOOR(value) >= 1
+),
+days AS (
+  SELECT event_type, s, e,
+         UNNEST(generate_series(CAST(s AS DATE),
+                                CAST(e - INTERVAL 1 MICROSECOND AS DATE),
+                                INTERVAL 1 DAY)) AS d
+  FROM iv
+),
+clipped AS (
+  SELECT event_type, CAST(d AS DATE) AS day,
+         GREATEST(s, CAST(CAST(d AS DATE) AS TIMESTAMP))    AS cs,
+         LEAST(e, CAST(CAST(d AS DATE) + 1 AS TIMESTAMP))   AS ce
+  FROM days
+),
+flag AS (
+  SELECT event_type, day, cs, ce,
+         CASE WHEN cs > COALESCE(MAX(ce) OVER (
+                  PARTITION BY event_type, day ORDER BY cs, ce
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                TIMESTAMP '1900-01-01')
+              THEN 1 ELSE 0 END AS new_island
+  FROM clipped
+),
+isl AS (
+  SELECT event_type, day, cs, ce,
+         SUM(new_island) OVER (PARTITION BY event_type, day
+                               ORDER BY cs, ce ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+),
+cov AS (
+  SELECT event_type, day, island,
+         epoch_us(MAX(ce)) - epoch_us(MIN(cs)) AS cov_us
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(SUM(cov_us) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT)    AS n_islands
+FROM cov GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("interval_union_coverage", COVERAGE_ORACLE)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per (key, day) after MERGING overlapping spans —
+    the interval-union aggregate (uptime, occupancy, machine-busy time).
+    Each event spans [ts, ts + floor(value) minutes).
+
+    Scale shape: islands are inherently sequential, so intervals are first
+    CLIPPED to day boundaries (coverage is additive across disjoint day
+    windows — an explode of at most ⌈span/1d⌉ pieces); the sweep-line
+    (strictly-preceding running max of span ends → island ids → per-island
+    extent) then runs independently per (key, day) partition: thousands of
+    parallel sweeps, none global. Semantics: per-day coverage, spans
+    crossing midnight counted in each day they touch."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    iv = ev.where("value IS NOT NULL AND FLOOR(value) >= 1").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0,0,0,0,0, CAST(FLOOR(value) AS INT), 0)"
+        ).alias("e"),
+    )
+    days = iv.withColumn(
+        "d",
+        F.explode(
+            F.sequence(
+                F.to_date("s"),
+                F.to_date(F.expr("e - INTERVAL 1 MICROSECOND")),
+            )
+        ),
+    )
+    clipped = days.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.greatest("s", F.col("d").cast("timestamp")).alias("cs"),
+        F.least("e", F.date_add("d", 1).cast("timestamp")).alias("ce"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("cs", "ce")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("ce").over(w_prev)
+    flagged = clipped.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("cs") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("cs", "ce")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    cov = islands.groupBy("event_type", "day", "island").agg(
+        (F.unix_micros(F.max("ce")) - F.unix_micros(F.min("cs"))).alias("cov_us")
+    )
+    return (
+        cov.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("cov_us").alias("covered_us"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("event_type", "day")
+    )
