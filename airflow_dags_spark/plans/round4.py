@@ -1291,3 +1291,197 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- distribution drift: population stability index ----------------------------
+
+PSI_ORACLE = """
+WITH b AS (
+  SELECT (SELECT MIN(o_totalprice) FROM orders) AS lo,
+         (SELECT MAX(o_totalprice) FROM orders) AS hi
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT), 9) AS bin,
+         CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END AS is_ref
+  FROM orders, b
+),
+agg AS (
+  SELECT bin, SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM agg),
+sh AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 0.5) / (tr + 5.0) AS p,
+         (n_cur + 0.5) / (tc + 5.0) AS q
+  FROM agg, tot
+)
+SELECT bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(p, 6) AS ref_share,
+       ROUND(q, 6) AS cur_share,
+       ROUND((q - p) * LN(q / p), 6) AS psi_term,
+       ROUND(SUM((q - p) * LN(q / p)) OVER (), 6) AS psi_total
+FROM sh ORDER BY bin
+"""
+
+
+@register("drift_psi_price", PSI_ORACLE)
+def drift_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1996 (reference) and
+    post-1996 (current) order-price distributions over 10 fixed-width bins
+    — the standard feature-drift monitor for training-data pipelines
+    (PSI < 0.1 stable, > 0.25 shifted). Laplace-smoothed shares keep empty
+    bins finite; both engines share the formula exactly.
+
+    Scale shape: one bounded collect for the global [min, max] (2 doubles),
+    then ONE conditional aggregate over the fact table; everything after is
+    arithmetic over 10 rows (the psi_total window runs over 10 rows, not
+    data)."""
+    o = read_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    width = (hi - lo) / 10.0
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(9),
+    )
+    is_ref = F.when(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date"), 1
+    ).otherwise(0)
+    agg = (
+        o.select(bin_col.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    w_all = Window.partitionBy()
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w_all) + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w_all) + 5.0)
+    term = (q - p) * F.log(q / p)
+    return (
+        agg.select(
+            "bin",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(p, 6).alias("ref_share"),
+            F.round(q, 6).alias("cur_share"),
+            F.round(term, 6).alias("psi_term"),
+            F.round(F.sum(term).over(w_all), 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- distribution drift: Kolmogorov–Smirnov two-sample statistic ---------------
+
+KS_ORACLE = """
+WITH g AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cf,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS co
+  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+),
+c AS (
+  SELECT v,
+         SUM(cf) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_f,
+         SUM(co) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_o
+  FROM g
+)
+SELECT ROUND(MAX(ABS(
+         cum_f / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders WHERE o_orderstatus = 'F')
+       - cum_o / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders WHERE o_orderstatus = 'O')
+       )), 6)                     AS ks_stat,
+       CAST(MAX(cum_f) AS BIGINT) AS n_f,
+       CAST(MAX(cum_o) AS BIGINT) AS n_o
+FROM c
+"""
+
+
+@register("drift_ks_statistic", KS_ORACLE)
+def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the price
+    distributions of finished ('F') and open ('O') orders: sup |F₁ − F₂|
+    over the pooled empirical CDFs, evaluated at distinct values (ECDF
+    right-continuity: ties collapse in the pre-group).
+
+    Scale shape: the cumulative counts that build both ECDFs are GLOBAL
+    running sums — computed with the prefix-sum composition
+    (bucketed_running_sum over value-range buckets, monotone in the value
+    order), so no Exchange SinglePartition touches the distinct-value
+    frame; the two sample totals come from one bounded 1-row collect."""
+    from airflow_dags_spark.functions.scalable_windows import bucketed_running_sum
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cf"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("co"),
+    )
+    tf, to = g.agg(F.sum("cf"), F.sum("co")).first()
+    bucket = F.floor(F.col("v") / F.lit(10000.0))
+    c = bucketed_running_sum(g, "cf", ["v"], bucket, "cum_f")
+    c = bucketed_running_sum(c, "co", ["v"], bucket, "cum_o")
+    d = F.abs(
+        F.col("cum_f") / F.lit(float(tf)) - F.col("cum_o") / F.lit(float(to))
+    )
+    return c.agg(
+        F.round(F.max(d), 6).alias("ks_stat"),
+        F.max("cum_f").cast("bigint").alias("n_f"),
+        F.max("cum_o").cast("bigint").alias("n_o"),
+    )
+
+
+# --- chi-square test of independence -------------------------------------------
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(COUNT(*) AS DOUBLE) AS obs
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT s, SUM(obs) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT p, SUM(obs) AS ct FROM cells GROUP BY 1)
+SELECT ROUND(SUM(obs) * SUM(obs * obs / (rt.rt * ct.ct)) - SUM(obs), 6) AS chi2,
+       CAST((COUNT(DISTINCT cells.s) - 1) * (COUNT(DISTINCT cells.p) - 1)
+            AS BIGINT)                                                  AS dof,
+       ROUND(SQRT((SUM(obs) * SUM(obs * obs / (rt.rt * ct.ct)) - SUM(obs))
+             / (SUM(obs) * LEAST(COUNT(DISTINCT cells.s) - 1,
+                                 COUNT(DISTINCT cells.p) - 1))), 6)     AS cramers_v,
+       CAST(SUM(obs) AS BIGINT)                                         AS n
+FROM cells JOIN rt USING (s) JOIN ct USING (p)
+"""
+
+
+@register("stats_chi_square", CHI2_ORACLE)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (order status × priority) with
+    Cramér's V effect size, via the expansion χ² = n·Σ obs²/(rt·ct) − n —
+    no expected-count column and NO grand-total join: one contingency
+    aggregate over the fact table, broadcast joins against the tiny
+    row/column margins, one final single-row aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    rt = cells.groupBy("s").agg(F.sum("obs").alias("rt"))
+    ct = cells.groupBy("p").agg(F.sum("obs").alias("ct"))
+    j = cells.join(F.broadcast(rt), "s").join(F.broadcast(ct), "p")
+    chi2 = F.sum("obs") * F.sum(
+        F.col("obs") * F.col("obs") / (F.col("rt") * F.col("ct"))
+    ) - F.sum("obs")
+    dof_s = F.count_distinct("s") - 1
+    dof_p = F.count_distinct("p") - 1
+    return j.agg(
+        F.round(chi2, 6).alias("chi2"),
+        (dof_s * dof_p).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.sum("obs") * F.least(dof_s, dof_p))), 6
+        ).alias("cramers_v"),
+        F.sum("obs").cast("bigint").alias("n"),
+    )
