@@ -1485,3 +1485,182 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.sum("obs").cast("bigint").alias("n"),
     )
+
+
+# --- Markov transition matrix over event streams --------------------------------
+
+TRANSITION_ORACLE = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src), 6) AS prob
+FROM nxt WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+"""
+
+
+@register("events_transition_matrix", TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | event type), the sequence model behind next-action
+    prediction and anomaly scoring. One lead window partitioned by user_id
+    (high-cardinality key — parallel, no hot reducer), one hash aggregate
+    to |types|² cells; the per-source normalization window runs over those
+    cells, not events."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_src = Window.partitionBy("src")
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            "cnt",
+            F.round(F.col("cnt") / F.sum("cnt").over(w_src), 6).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# --- top session paths (behavioral path analysis) --------------------------------
+
+TOP_PATHS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+rn AS (
+  SELECT user_id, session_no, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id)  AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, session_no) AS n_ev
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM rn WHERE rn <= 5 AND n_ev >= 2
+  GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register("session_top_paths", TOP_PATHS_ORACLE)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session paths (first 5 event types of every ≥2-event
+    session, 30-minute gap rule) — the product-analytics "top user flows"
+    query. Sessionization is the lag→flag→cumsum composition sharing ONE
+    (user_id) sort; the path string folds via array_sort(collect_list)
+    inside a hash aggregate (no second sort — the comparator orders the ≤5
+    structs); the final top-20 is TakeOrdered, never a global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_no", F.sum(new_session).over(run))
+    w_s = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    w_c = Window.partitionBy("user_id", "session_no")
+    rn = sess.withColumn("rn", F.row_number().over(w_s)).withColumn(
+        "n_ev", F.count(F.lit(1)).over(w_c)
+    )
+    paths = (
+        rn.where((F.col("rn") <= 5) & (F.col("n_ev") >= 2))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# --- 2-D Pareto skyline ----------------------------------------------------------
+
+SKYLINE_ORACLE = """
+WITH pairs AS (
+  SELECT p_retailprice AS price, CAST(p_size AS INT) AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT price, size, n_parts
+FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.price <= a.price AND b.size <= a.size
+    AND (b.price < a.price OR b.size < a.size))
+ORDER BY price, size
+"""
+
+
+@register("part_skyline_frontier", SKYLINE_ORACLE)
+def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price AND size): the classic dominance
+    query. The oracle is the quadratic NOT EXISTS; the engine form is the
+    sort-sweep — collapse to distinct (price, size) pairs, keep each
+    price's min size, then a pair survives iff every STRICTLY cheaper pair
+    has a larger size, i.e. strict-prefix-min(size) over price order > size.
+    That prefix-min uses the bucketed composition
+    (scalable_windows.bucketed_prefix_min) so no Exchange SinglePartition
+    touches the distinct-price frame; total work is two hash aggregates +
+    one parallel window + a |buckets|-row cascade."""
+    from airflow_dags_spark.functions.scalable_windows import bucketed_prefix_min
+
+    p = read_table(spark, sf_dir, "part")
+    pairs = p.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    best = pairs.groupBy("price").agg(
+        F.min("size").alias("size"),
+        F.min_by("n_parts", "size").alias("n_parts"),
+    )
+    run = bucketed_prefix_min(
+        best, "size", ["price"], F.floor(F.col("price") / 100.0), "prior_min"
+    )
+    return (
+        run.where(F.col("prior_min").isNull() | (F.col("prior_min") > F.col("size")))
+        .select("price", "size", "n_parts")
+        .orderBy("price", "size")
+    )
