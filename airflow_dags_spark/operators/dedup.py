@@ -457,3 +457,79 @@ def prefix_jaccard_join(
     return verified.select(
         "key_a", "key_b", F.round("__j", 6).alias("jaccard")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    window: int = 5,
+    threshold: float = 0.8,
+    bucket_prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95): order
+    records by a sort key (here: normalized text, tiebreak key), slide a
+    window of ``window`` successors over the sorted sequence, and verify
+    token-set Jaccard on the ≤ n·window adjacent pairs only.
+
+    Complements the other near-dup families: MinHash/SimHash bound recall
+    probabilistically and prefix-Jaccard prunes by shared rare tokens;
+    SNM's contract is positional — it finds pairs whose SORT KEYS are
+    close (the classic record-linkage blocking move), in O(n·window)
+    candidates regardless of token-frequency skew.
+
+    Scale shape: the global sequence number comes from the bucketed
+    prefix-sum cascade (monotone key-prefix buckets → per-bucket
+    row_number in parallel + a bounded offsets cascade — never a
+    SinglePartition sort of the table). The window pairing is an
+    equi-join: each row explodes its ``window`` successor positions and
+    joins on the position — no range/nested-loop join. Verification is
+    JVM array_intersect on the candidate pairs only.
+    """
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum,
+    )
+    from airflow_dags_spark.functions.text import normalized
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = df.select(
+        F.col(key_col),
+        normalized(text_col).alias("__key"),
+        F.array_distinct(tokens(text_col)).alias("__ts"),
+    ).where(F.size("__ts") > 0)
+    # bucket = leading characters of the sort key: monotone in the
+    # (__key, key_col) total order, so per-bucket positions + offsets
+    # compose to the exact global sequence number
+    seq = bucketed_running_sum(
+        base.withColumn("__one", F.lit(1)),
+        "__one",
+        ["__key", key_col],
+        F.substring("__key", 1, bucket_prefix_len),
+        "__rn",
+    ).drop("__one")
+    a = seq.select(
+        F.col(key_col).alias("key_a"),
+        F.col("__ts").alias("__ta"),
+        F.explode(
+            F.sequence(F.col("__rn") + 1, F.col("__rn") + window)
+        ).alias("__pos"),
+    )
+    b = seq.select(
+        F.col(key_col).alias("key_b"),
+        F.col("__ts").alias("__tb"),
+        F.col("__rn").alias("__pos"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    return (
+        a.join(b, "__pos")
+        .withColumn(
+            "__j", inter / (F.size("__ta") + F.size("__tb") - inter)
+        )
+        .where(F.col("__j") >= threshold)
+        .select(
+            F.least("key_a", "key_b").alias("key_a"),
+            F.greatest("key_a", "key_b").alias("key_b"),
+            F.round("__j", 6).alias("jaccard"),
+        )
+    )

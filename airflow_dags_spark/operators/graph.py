@@ -147,4 +147,91 @@ def _cleanup(spark, base: str, state_dir: str, self_created: bool) -> None:
         pass  # leaked state dir is recoverable
 
 
-__all__ = ["pagerank"]
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected item co-occurrence graph: edge (a < b) iff items a and b
+    appear in ``min_support`` or more distinct groups together.
+
+    Scale shape: distinct (group, item) first (kills within-group repeats
+    before the pair blow-up), self equi-join on the group key (pairs per
+    group = C(items_in_group, 2) — bounded by group size, never all-pairs
+    over the item universe), one hash aggregate for support. The
+    ``min_support`` filter is what keeps the edge set sparse enough for
+    triangle counting downstream.
+
+    Returns (src, dst, support) with src < dst.
+    """
+    g, it = F.col(group_col), F.col(item_col)
+    gi = df.where(g.isNotNull() & it.isNotNull()).select(
+        g.alias("__g"), it.alias("__i")
+    ).distinct()
+    a = gi.select("__g", F.col("__i").alias("src"))
+    b = gi.select("__g", F.col("__i").alias("dst"))
+    return (
+        a.join(b, "__g")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected (src < dst) edge set.
+
+    The ordered-wedge join (standard vertex-ordering trick, e.g. Suri &
+    Vassilvitskii WWW'11): every triangle a<b<c is found exactly once as
+    the wedge (a,b)+(b,c) closed by (a,c). Two hash equi-joins; the wedge
+    join fans out by the square of hub degree — on edge sets produced
+    with a support threshold this is the bounded path (the classic
+    high-degree-vertex mitigation at extreme skew is degree-ordering,
+    which the src<dst canonical form already approximates).
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e = edges.select("src", "dst")
+    wedge = e.alias("ab").join(
+        e.alias("bc"), F.col("ab.dst") == F.col("bc.src")
+    ).select(
+        F.col("ab.src").alias("a"),
+        F.col("ab.dst").alias("b"),
+        F.col("bc.dst").alias("c"),
+    )
+    tri = wedge.join(
+        e.alias("ac"),
+        (F.col("a") == F.col("ac.src")) & (F.col("c") == F.col("ac.dst")),
+    )
+    nodes = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles")).first()
+    sizes = e.agg(F.count(F.lit(1)).alias("n_edges")).first()
+    n_nodes = nodes.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, int(sizes["n_edges"]), int(counts["n_triangles"]))],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected (src < dst) edge set:
+    (degree, n_nodes) rows. Two hash aggregates over the edge list —
+    the union counts each endpoint once per incident edge."""
+    ends = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+__all__ = [
+    "pagerank",
+    "co_occurrence_edges",
+    "triangle_count",
+    "degree_histogram",
+]

@@ -51,6 +51,64 @@ def build_inverted_index(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document matching ≥ 1 query term.
+
+    Scale shape: term frequencies come from one explode + filter-to-terms
+    + hash aggregate — the shuffle carries postings of |terms| tokens
+    only, never the corpus vocabulary. Document length joins back on the
+    doc key (co-partitioned with the tf aggregate), the |terms|-row
+    df/idf table broadcasts, and the corpus-level scalars (N, avgdl) are
+    a bounded one-row driver collect folded into literals. No top-k
+    cutoff: emitting every match keeps the result set-stable under float
+    rounding (a LIMIT at a near-tie boundary is not reproducible across
+    engines).
+
+    Formula (Robertson/Spärck Jones, probabilistic relevance framework):
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+    Returns (doc, score) with score rounded to 6 dp.
+    """
+    if not terms:
+        raise ValueError("provide at least one query term")
+    want = sorted({t.lower() for t in terms})
+    docs = df.select(
+        F.col(key_col).alias("doc"), tokens(text_col).alias("__toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("__toks")).alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    tf = (
+        docs.select("doc", F.explode("__toks").alias("token"))
+        .where(F.col("token").isin(want))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select("doc", F.size("__toks").cast("double").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq.withColumn("idf", idf)), "token")
+        .join(dl, "doc")
+        .select("doc", (F.col("idf") * F.col("tf") * (k1 + 1) / denom).alias("s"))
+    )
+    return per_term.groupBy("doc").agg(F.round(F.sum("s"), 6).alias("score"))
+
+
 def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
     """Docs containing ALL ``terms``: filter the index to the query terms
     (the only rows touched), then keep docs matching |terms| distinct

@@ -63,4 +63,5 @@ def load_all() -> None:
         # plans/round3.py docstring)
         round3,
         round4,
+        round5,
     )

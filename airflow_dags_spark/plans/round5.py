@@ -1,0 +1,799 @@
+"""Round-5 registry additions: two-sample tests (Mann-Whitney, Welch),
+closed-form multi-feature OLS, autocorrelation, exact CUSUM changepoint,
+BM25 ranking, Zipf fit, Gopher-style quality rules, sorted-neighborhood
+dedup, bag-of-words cluster histogram, co-occurrence triangle counting +
+degree distribution, l-diversity audit, embedding norm profiles, URL
+parsing sweep, LATERAL top-n.
+
+Registered LAST (after plans/round4 in registry.load_all) so these append
+AFTER every existing query in the driver's self-rotating verification
+window — new names must never displace the queued unverified queries of
+the current round.
+
+Like the earlier extension rounds these go beyond the reference's literal
+surface: they are the statistics / retrieval / record-linkage / privacy
+operations a 100 TB curation pipeline runs around the core relational
+engine, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+
+# --- Mann-Whitney U (rank-sum) -------------------------------------------------
+
+MANN_WHITNEY_ORACLE = """
+WITH x AS (
+  SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL
+),
+h AS (SELECT v, SUM(ia) AS ca, COUNT(*) AS c FROM x GROUP BY v),
+r AS (
+  SELECT ca, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + (c + 1) / 2.0 AS mid
+  FROM h
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(c - ca) AS BIGINT) AS n_b,
+         CAST(SUM(ca * mid) AS DOUBLE) AS r_a,
+         CAST(SUM(POW(c, 3) - c) AS DOUBLE) AS ties
+  FROM r
+)
+SELECT n_a, n_b,
+  ROUND(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_a,
+  ROUND(n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0), 4) AS u_b,
+  ROUND(((r_a - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)
+        / SQRT(n_a * n_b / 12.0
+               * ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+        6) + 0.0 AS z
+FROM s
+"""
+
+
+@register("stats_mann_whitney", MANN_WHITNEY_ORACLE)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric two-sample location test with EXACT average-rank tie
+    handling, computed from the distinct-value histogram instead of a
+    global sort: midranks come from the bucketed prefix-sum cascade
+    (range buckets over the value are monotone in rank order), so the
+    only single-partition exchange is a bounded offsets frame. U is a
+    sum of half-integers — exact in doubles — so the hash match against
+    the oracle's window-rank derivation is exact before rounding."""
+    from airflow_dags_spark.functions.stats import mann_whitney_u
+
+    ev = read_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "signup")
+
+
+# --- Welch's t-test -------------------------------------------------------------
+
+WELCH_ORACLE = """
+WITH x AS (
+  SELECT value AS v, event_type AS g FROM events
+  WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN g = 'signup' THEN 1 END) AS BIGINT) AS n_b,
+         AVG(CASE WHEN g = 'purchase' THEN v END) AS m_a,
+         AVG(CASE WHEN g = 'signup' THEN v END) AS m_b,
+         VAR_SAMP(CASE WHEN g = 'purchase' THEN v END) AS s2_a,
+         VAR_SAMP(CASE WHEN g = 'signup' THEN v END) AS s2_b
+  FROM x
+)
+SELECT n_a, n_b, ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+  ROUND((m_a - m_b) / SQRT(s2_a / n_a + s2_b / n_b), 6) + 0.0 AS t_stat,
+  ROUND(POW(s2_a / n_a + s2_b / n_b, 2)
+        / (POW(s2_a / n_a, 2) / (n_a - 1) + POW(s2_b / n_b, 2) / (n_b - 1)),
+        4) AS df_welch
+FROM m
+"""
+
+
+@register("stats_welch_ttest", WELCH_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test as ONE aggregation pass of
+    conditional moments (CASE-masked avg/var_samp — no join, no second
+    scan, every moment partial-aggregates map-side)."""
+    from airflow_dags_spark.functions.stats import welch_ttest
+
+    ev = read_table(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", "event_type", "purchase", "signup")
+
+
+# --- two-feature OLS via normal equations ---------------------------------------
+
+OLS_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         AVG(l_extendedprice) AS my, AVG(l_quantity) AS m1, AVG(l_discount) AS m2,
+         VAR_POP(l_quantity) AS v1, VAR_POP(l_discount) AS v2,
+         VAR_POP(l_extendedprice) AS vy,
+         COVAR_POP(l_quantity, l_discount) AS c12,
+         COVAR_POP(l_quantity, l_extendedprice) AS c1y,
+         COVAR_POP(l_discount, l_extendedprice) AS c2y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+s AS (
+  SELECT n, my, m1, m2, vy, c1y, c2y,
+         (v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) AS b1,
+         (v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) AS b2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(my - b1 * m1 - b2 * m2, 6) + 0.0 AS b0,
+  ROUND(b1, 6) + 0.0 AS b1, ROUND(b2, 6) + 0.0 AS b2,
+  ROUND((b1 * c1y + b2 * c2y) / vy, 6) + 0.0 AS r2
+FROM s
+"""
+
+
+@register("stats_ols_normal_eq", OLS_ORACLE)
+def stats_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) by the normal
+    equations: ONE aggregate of population moments (var_pop/covar_pop
+    partial-aggregate map-side), 2×2 solve as literal projection
+    arithmetic. No iteration, no collect of data — the distributed
+    closed-form fit a feature pipeline runs per slice."""
+    from airflow_dags_spark.functions.stats import ols_two_features
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ols_two_features(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+# --- autocorrelation of the daily revenue series --------------------------------
+
+ACF_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS d_day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT r, LAG(r, 1) OVER (ORDER BY d_day) AS r1,
+            LAG(r, 2) OVER (ORDER BY d_day) AS r2,
+            LAG(r, 3) OVER (ORDER BY d_day) AS r3
+  FROM d
+)
+SELECT 1 AS lag, CAST(COUNT(r1) AS BIGINT) AS n_pairs, ROUND(CORR(r, r1), 6) + 0.0 AS acf FROM l
+UNION ALL
+SELECT 2, CAST(COUNT(r2) AS BIGINT), ROUND(CORR(r, r2), 6) + 0.0 FROM l
+UNION ALL
+SELECT 3, CAST(COUNT(r3) AS BIGINT), ROUND(CORR(r, r3), 6) + 0.0 FROM l
+"""
+
+
+@register("stats_autocorr_daily", ACF_ORACLE)
+def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1–3 of the daily-revenue series. Daily sums use
+    DECIMAL(18,2) so the series itself is EXACT (order-independent) and
+    both engines correlate identical doubles. The lag window runs over
+    the aggregated per-day frame — bounded by the date span, never the
+    table — and all three lags share one window sort."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("d_day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    w = Window.orderBy("d_day")
+    lagged = d.select(
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 2).over(w).alias("r2"),
+        F.lag("r", 3).over(w).alias("r3"),
+    )
+    a = lagged.agg(
+        F.count("r1").alias("n1"),
+        F.count("r2").alias("n2"),
+        F.count("r3").alias("n3"),
+        (F.round(F.corr("r", "r1"), 6) + 0.0).alias("a1"),
+        (F.round(F.corr("r", "r2"), 6) + 0.0).alias("a2"),
+        (F.round(F.corr("r", "r3"), 6) + 0.0).alias("a3"),
+    )
+    return a.selectExpr(
+        "stack(3, 1, n1, a1, 2, n2, a2, 3, n3, a3) AS (lag, n_pairs, acf)"
+    )
+
+
+# --- exact CUSUM changepoint -----------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS d_day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS HUGEINT) AS r
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT d_day, SUM(r) OVER (ORDER BY d_day) AS cum,
+         ROW_NUMBER() OVER (ORDER BY d_day) AS i,
+         SUM(r) OVER () AS tot, COUNT(*) OVER () AS n
+  FROM d
+)
+SELECT CAST(d_day AS VARCHAR) AS day,
+       ROUND(CAST(n * cum - i * tot AS DOUBLE) / n / 100.0, 2) + 0.0 AS cusum
+FROM c
+ORDER BY ABS(n * cum - i * tot) DESC, d_day
+LIMIT 1
+"""
+
+
+@register("stats_cusum_changepoint", CUSUM_ORACLE)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint (Page 1954): the day where the cumulative
+    deviation from the global mean peaks. The deviation is computed in
+    INTEGER CENTS scaled by n — ``S_i = n·cum_i − i·total`` — so the
+    argmax is over exact integers: no float accumulation, no cross-engine
+    tie ambiguity (Spark side uses DECIMAL(38,0), oracle HUGEINT; both
+    exact). Windows run over the bounded per-day frame only."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    d = o.groupBy(F.to_date("o_orderdate").alias("d_day")).agg(
+        F.sum(cents).alias("r")
+    )
+    w = Window.orderBy("d_day")
+    c = d.select(
+        "d_day",
+        F.sum("r").over(w).alias("cum"),
+        F.row_number().over(w).alias("i"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    sdev = (F.col("n").cast("decimal(38,0)") * F.col("cum")) - (
+        F.col("i").cast("decimal(38,0)") * F.col("tot")
+    )
+    return (
+        c.withColumn("sdev", sdev)
+        .orderBy(F.abs(F.col("sdev")).desc(), "d_day")
+        .limit(1)
+        .select(
+            F.col("d_day").cast("string").alias("day"),
+            (
+                F.round(
+                    F.col("sdev").cast("double") / F.col("n") / 100.0, 2
+                )
+                + 0.0
+            ).alias("cusum"),
+        )
+    )
+
+
+# --- BM25 ranking ----------------------------------------------------------------
+
+BM25_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM docs
+),
+tf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+  WHERE t IN ('merge', 'stream', 'vector')
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs)
+SELECT tf.doc_id AS doc,
+  ROUND(SUM(LN(1e0 + ((SELECT n FROM stats) - df + 0.5e0) / (df + 0.5e0))
+            * tf * 2.2e0
+            / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (SELECT avgdl FROM stats)))),
+        6) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+GROUP BY tf.doc_id
+"""
+
+
+@register("text_bm25_search", BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance for a 3-term query. The engine-side plan
+    touches postings of the query terms only (explode → filter → hash
+    agg), broadcasts the |terms|-row idf table, and folds corpus scalars
+    (N, avgdl) into literals via a bounded 1-row collect — the corpus is
+    never rescanned per term and nothing is all-pairs. Every matching
+    doc is returned (no top-k cutoff: a LIMIT at a float near-tie is not
+    reproducible across engines)."""
+    from airflow_dags_spark.operators.inverted import bm25_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_scores(d, "text", "doc_id", ["merge", "stream", "vector"])
+
+
+# --- Zipf fit over the token frequency spectrum -----------------------------------
+
+ZIPF_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+),
+h AS (
+  SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''
+  GROUP BY word HAVING COUNT(*) >= 3
+),
+r AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk FROM h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(REGR_SLOPE(LN(freq), LN(rnk)), 6) + 0.0 AS slope,
+       ROUND(REGR_INTERCEPT(LN(freq), LN(rnk)), 6) + 0.0 AS intercept,
+       ROUND(REGR_R2(LN(freq), LN(rnk)), 6) + 0.0 AS r2
+FROM r
+"""
+
+
+@register("text_zipf_fit", ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: log-log regression of token frequency on rank —
+    the standard corpus-health diagnostic (a natural corpus fits slope
+    ≈ −1; synthetic/templated text flattens). One explode + hash agg to
+    the frequency spectrum; the rank window orders the ≥3-frequency
+    vocabulary only (bounded, heavy-tail cut), and the fit itself is the
+    built-in regr_* aggregate family."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    h = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 3)
+    )
+    r = h.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "word"))
+        .alias("rnk"),
+    )
+    return r.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n_words",
+        "ROUND(REGR_SLOPE(LN(freq), LN(rnk)), 6) + 0.0 AS slope",
+        "ROUND(REGR_INTERCEPT(LN(freq), LN(rnk)), 6) + 0.0 AS intercept",
+        "ROUND(REGR_R2(LN(freq), LN(rnk)), 6) + 0.0 AS r2",
+    )
+
+
+# --- Gopher-style quality rule sweep ----------------------------------------------
+
+GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS nrm, string_split({_NORM}, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS nw,
+         CAST(LENGTH(nrm) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         len(list_filter(toks, t -> t IN ('the', 'a'))) AS stopc
+  FROM d
+),
+tf AS (
+  SELECT doc_id, MAX(c) AS mx
+  FROM (SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+f AS (
+  SELECT (nw BETWEEN 25 AND 80) AS r1,
+         (mwl >= 3.0e0 AND mwl <= 4.5e0) AS r2,
+         (stopc >= 2) AS r3,
+         (CAST(mx AS DOUBLE) / nw <= 0.125e0) AS r4
+  FROM m JOIN tf USING (doc_id)
+)
+SELECT 'word_count' AS rule,
+       CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_cnt,
+       CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS fail_cnt FROM f
+UNION ALL
+SELECT 'mean_word_len', CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 'stopwords', CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 'max_repetition', CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 'all_rules',
+       CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 0 ELSE 1 END) AS BIGINT)
+FROM f
+"""
+
+
+@register("text_gopher_rules", GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) document quality rules as a single
+    sweep: word-count bounds, mean-word-length band, minimum stopword
+    hits, and a max-repetition cap (top token ≤ 12.5% of the document).
+    Engine side computes the three narrow metrics in the scan projection
+    and the per-doc max token frequency with one explode + two hash
+    aggs, then ONE final aggregate emits every rule's pass/fail census
+    (unpivoted via stack) — N rules never mean N scans. All rule
+    thresholds compare exact rationals (int/int doubles), so the
+    pass/fail split is reproducible bit-for-bit across engines."""
+    from airflow_dags_spark.functions.text import normalized, tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized("text").alias("nrm"), tokens("text").alias("toks")
+    )
+    m = d.select(
+        "doc_id",
+        F.size("toks").alias("nw"),
+        (
+            (F.length("nrm") - (F.size("toks") - 1)).cast("double")
+            / F.size("toks")
+        ).alias("mwl"),
+        F.size(
+            F.filter("toks", lambda t: t.isin("the", "a"))
+        ).alias("stopc"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    flags = m.join(tf, "doc_id").select(
+        F.col("nw").between(25, 80).alias("r1"),
+        ((F.col("mwl") >= 3.0) & (F.col("mwl") <= 4.5)).alias("r2"),
+        (F.col("stopc") >= 2).alias("r3"),
+        (F.col("mx").cast("double") / F.col("nw") <= 0.125).alias("r4"),
+    )
+    n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    allr = F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")
+    agg = flags.agg(
+        n(F.col("r1")).alias("p1"), n(~F.col("r1")).alias("f1"),
+        n(F.col("r2")).alias("p2"), n(~F.col("r2")).alias("f2"),
+        n(F.col("r3")).alias("p3"), n(~F.col("r3")).alias("f3"),
+        n(F.col("r4")).alias("p4"), n(~F.col("r4")).alias("f4"),
+        n(allr).alias("pa"), n(~allr).alias("fa"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'word_count', p1, f1, 'mean_word_len', p2, f2,"
+        " 'stopwords', p3, f3, 'max_repetition', p4, f4,"
+        " 'all_rules', pa, fa) AS (rule, pass_cnt, fail_cnt)"
+    )
+
+
+# --- sorted-neighborhood near-dup pairs --------------------------------------------
+
+SNM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS k,
+         list_distinct(string_split({_NORM}, ' ')) AS ts
+  FROM documents
+  WHERE len(list_distinct(string_split({_NORM}, ' '))) > 0
+),
+r AS (
+  SELECT doc_id, ts, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM d
+),
+p AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS key_a,
+         GREATEST(a.doc_id, b.doc_id) AS key_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+)
+SELECT key_a, key_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.75
+"""
+
+
+@register("dedup_sorted_neighborhood", SNM_ORACLE)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo SIGMOD'95):
+    O(n·window) candidates by construction regardless of token skew. The
+    engine derives the global sequence number with the bucketed
+    prefix-sum cascade (monotone key-prefix buckets — no SinglePartition
+    sort of the corpus) and turns the sliding window into an EQUI-join
+    by exploding each row's successor positions. The oracle is the
+    window-function formulation of the same contract."""
+    from airflow_dags_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "text", "doc_id", window=5, threshold=0.75
+    )
+
+
+# --- bag-of-words duplicate cluster histogram ---------------------------------------
+
+BOW_CLUSTER_ORACLE = f"""
+WITH sig AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split({_NORM}, ' '))),
+             ' ')) AS s
+  FROM documents
+),
+c AS (SELECT s, COUNT(*) AS sz FROM sig GROUP BY s)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM c GROUP BY sz ORDER BY sz
+"""
+
+
+@register("dedup_bow_cluster_sizes", BOW_CLUSTER_ORACLE)
+def dedup_bow_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census under the BAG-OF-WORDS key (sorted
+    distinct token set): catches reordered/repeated-word duplicates that
+    the exact normalized-text key misses, and its histogram is the
+    dedup observability report (how much mass sits in how-big clusters)
+    that decides whether near-dedup is worth its cost. Two hash
+    aggregates; the md5 signature keeps the shuffle key fixed-width."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = d.select(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+        ).alias("s")
+    )
+    c = sig.groupBy("s").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        c.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters"),
+            F.col("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --- co-occurrence graph: triangles + degree distribution ---------------------------
+
+TRIANGLE_ORACLE = """
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+e AS (
+  SELECT a.i AS src, b.i AS dst
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT COUNT(*) AS c
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+nodes AS (
+  SELECT COUNT(*) AS c FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+)
+SELECT CAST(nodes.c AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(tri.c AS BIGINT) AS n_triangles
+FROM tri, nodes
+"""
+
+
+@register("graph_triangle_count", TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-purchase graph (edge = two
+    parts in ≥ 2 distinct orders). Ordered-wedge method (Suri &
+    Vassilvitskii WWW'11): each triangle a<b<c closes exactly one wedge,
+    so the count is two hash equi-joins over the support-thresholded
+    edge list — never an all-pairs or matrix step. The support filter is
+    the sparsifier that keeps wedge fan-out bounded at scale."""
+    from airflow_dags_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_count,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(edges)
+
+
+DEGREE_ORACLE = """
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+e AS (
+  SELECT a.i AS src, b.i AS dst
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT v, COUNT(*) AS degree
+  FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY v
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("graph_degree_histogram", DEGREE_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the same co-purchase graph — the
+    sparsity/skew diagnostic read before running triangle counting or
+    community steps (a heavy-tail histogram says salt the hubs). Two
+    hash aggregates over the edge list."""
+    from airflow_dags_spark.operators.graph import (
+        co_occurrence_edges,
+        degree_histogram,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return (
+        degree_histogram(edges)
+        .select(
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        )
+        .orderBy("degree")
+    )
+
+
+# --- l-diversity audit ----------------------------------------------------------
+
+LDIV_ORACLE = """
+SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS k_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT user_id) >= 60 AS diverse
+FROM events
+GROUP BY event_type, EXTRACT(HOUR FROM ts)
+ORDER BY event_type, hour
+"""
+
+
+@register("privacy_l_diversity", LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over (event_type, hour) equivalence
+    classes with user_id as the sensitive attribute — the attribute-
+    disclosure check k-anonymity alone does not give. ONE hash
+    aggregate; output cardinality = |quasi combinations|."""
+    from airflow_dags_spark.functions.privacy import l_diversity_report
+
+    ev = read_table(spark, sf_dir, "events")
+    rep = l_diversity_report(
+        ev,
+        ["event_type", "hour"],
+        "user_id",
+        60,
+        generalize={"hour": F.hour("ts")},
+    )
+    return rep.select(
+        "event_type",
+        F.col("hour").cast("int").alias("hour"),
+        "k_size",
+        "l_distinct",
+        "diverse",
+    ).orderBy("event_type", "hour")
+
+
+# --- embedding norm profile -------------------------------------------------------
+
+NORM_STATS_ORACLE = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(STDDEV_SAMP(nrm), 6) AS sd_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@register("embeddings_norm_stats", NORM_STATS_ORACLE)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the standard
+    pre-ANN sanity check (un-normalized vectors silently break cosine =
+    dot-product shortcuts; a label whose norms drift flags a bad encoder
+    batch). The norm is a JVM-side higher-order fold over the array (no
+    Python, no explode — one narrow projection), then one hash
+    aggregate. Both engines fold the array LEFT-TO-RIGHT over identical
+    floats, so the norms agree exactly and only the group moments need
+    rounding."""
+    e = read_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    n = e.select(F.col("label").cast("int").alias("label"), nrm.alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.stddev_samp("nrm"), 6).alias("sd_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- URL parsing sweep --------------------------------------------------------------
+
+URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://ex-' || source || '.example.com/docs/' || doc_id
+         || '?lang=' || lang || '&v=1' AS url
+  FROM documents
+)
+SELECT doc_id,
+       REGEXP_EXTRACT(url, '^([a-z]+):', 1) AS protocol,
+       REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       REGEXP_EXTRACT(url, '\\?([^#]*)', 1) AS query,
+       REGEXP_EXTRACT(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+FROM u ORDER BY doc_id
+"""
+
+
+@register("scalar_url_functions", URL_ORACLE)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url sweep (PROTOCOL/HOST/PATH/QUERY and keyed query-param
+    extraction) against an independent regex decomposition in the oracle
+    — checks the built-in's semantics, not a shared implementation. All
+    JVM scalar projection, codegen-friendly, no UDF."""
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex-"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=1"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+# --- LATERAL top-n per group ----------------------------------------------------------
+
+LATERAL_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) AS t
+ORDER BY n_name, t.c_custkey
+"""
+
+
+@register("lateral_topn_per_nation", LATERAL_SQL)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-standard
+    spelling of per-group top-n. The SAME SQL text runs on both engines
+    (dialect-shared subset), making this a direct SQL-surface parity
+    check; Catalyst decorrelates the lateral into a ranked window rather
+    than executing |nation| subqueries. Tiebreak on c_custkey keeps the
+    LIMIT boundary deterministic."""
+    for t in ("nation", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_SQL)

@@ -1,0 +1,373 @@
+"""Round-5 operators: rank/moment statistics, BM25, sorted-neighborhood
+dedup, co-occurrence graph metrics, l-diversity — each checked against an
+independent pure-Python/NumPy computation (the DuckDB hash parity is
+covered by test_oracle_parity's registry sweep)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.functions.privacy import l_diversity_report
+from airflow_dags_spark.functions.stats import (
+    mann_whitney_u,
+    ols_two_features,
+    welch_ttest,
+)
+from airflow_dags_spark.operators.dedup import sorted_neighborhood_pairs
+from airflow_dags_spark.operators.graph import (
+    co_occurrence_edges,
+    degree_histogram,
+    triangle_count,
+)
+from airflow_dags_spark.operators.inverted import bm25_scores
+
+# --- Mann-Whitney U -------------------------------------------------------------
+
+
+def _mw_reference(a: list[float], b: list[float]):
+    """Textbook U with average ranks for ties, O(n^2) but obviously right."""
+    pooled = sorted(a + b)
+    ranks = {}
+    for v in set(pooled):
+        idxs = [i + 1 for i, x in enumerate(pooled) if x == v]
+        ranks[v] = sum(idxs) / len(idxs)
+    r_a = sum(ranks[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    return u_a, len(a) * len(b) - u_a
+
+
+def test_mann_whitney_matches_reference_with_ties(spark):
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 7.0, 7.0]
+    b = [2.0, 4.0, 4.0, 6.0, 7.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").first()
+    u_a, u_b = _mw_reference(a, b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["u_a"] == pytest.approx(u_a)
+    assert got["u_b"] == pytest.approx(u_b)
+    # z sanity: U below its mean → negative z
+    assert (got["z"] < 0) == (u_a < len(a) * len(b) / 2)
+
+
+def test_mann_whitney_identical_groups_z_zero(spark):
+    vals = [float(i % 10) for i in range(40)]
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").first()
+    # identical samples: U = n^2/2 exactly, z = 0
+    assert got["u_a"] == pytest.approx(len(vals) ** 2 / 2)
+    assert got["z"] == pytest.approx(0.0)
+
+
+def test_mann_whitney_all_tied_single_value(spark):
+    """One distinct value: every rank is the midrank; U = n_a*n_b/2 and
+    sigma's tie term removes ALL variance → z division by zero stays
+    null rather than crashing."""
+    rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").first()
+    assert got["u_a"] == pytest.approx(12.0)
+    assert got["z"] is None or math.isnan(got["z"])
+
+
+# --- Welch t --------------------------------------------------------------------
+
+
+def test_welch_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    a = rng.normal(10, 2, 40).tolist()
+    b = rng.normal(11, 4, 25).tolist()
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "v", "g", "a", "b").first()
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se = va / len(a) + vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / math.sqrt(se)
+    dfw = se**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["df_welch"] == pytest.approx(dfw, abs=1e-3)
+    assert got["mean_a"] == pytest.approx(np.mean(a), abs=1e-5)
+
+
+# --- OLS ------------------------------------------------------------------------
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(0, 10, 200)
+    x2 = rng.uniform(-5, 5, 200)
+    y = 4.0 + 2.5 * x1 - 1.75 * x2 + rng.normal(0, 0.5, 200)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = ols_two_features(df, "y", "x1", "x2").first()
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["b0"] == pytest.approx(beta[0], abs=1e-4)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-4)
+    resid = y - X @ beta
+    r2 = 1 - resid.var() / y.var()
+    assert got["r2"] == pytest.approx(r2, abs=1e-4)
+
+
+def test_ols_exact_on_noiseless_plane(spark):
+    rows = [(1.0 + 2.0 * i - 3.0 * j, float(i), float(j))
+            for i in range(10) for j in range(7)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = ols_two_features(df, "y", "x1", "x2").first()
+    assert (got["b0"], got["b1"], got["b2"], got["r2"]) == (1.0, 2.0, -3.0, 1.0)
+
+
+# --- BM25 -----------------------------------------------------------------------
+
+
+def _bm25_reference(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+                out[d] = out.get(d, 0.0) + s
+    return {d: round(s, 6) for d, s in out.items()}
+
+
+def test_bm25_matches_reference(spark):
+    docs = {
+        1: "spark merge stream merge merge",
+        2: "vector vector stream table join",
+        3: "totally unrelated words here",
+        4: "merge",
+        5: "stream stream stream stream stream stream",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {
+        r["doc"]: r["score"]
+        for r in bm25_scores(df, "text", "doc_id", ["merge", "stream", "vector"]).collect()
+    }
+    assert got == pytest.approx(_bm25_reference(docs, ["merge", "stream", "vector"]))
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    """idf must dominate: a doc hitting only the rare term scores above a
+    doc hitting only the ubiquitous one (equal tf, equal length)."""
+    docs = {i: "common filler words here" for i in range(1, 9)}
+    docs[1] = "rare filler words here"
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {
+        r["doc"]: r["score"]
+        for r in bm25_scores(df, "text", "doc_id", ["rare", "common"]).collect()
+    }
+    assert got[1] > max(v for k, v in got.items() if k != 1)
+
+
+def test_bm25_requires_terms(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, "text", "doc_id", [])
+
+
+# --- sorted neighborhood ---------------------------------------------------------
+
+
+def _snm_reference(rows, window, threshold):
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    ordered = sorted(rows, key=lambda r: (norm(r[1]), r[0]))
+    out = {}
+    for i, (ka, ta) in enumerate(ordered):
+        for kb, tb in ordered[i + 1 : i + 1 + window]:
+            sa, sb = set(norm(ta).split()), set(norm(tb).split())
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out[(min(ka, kb), max(ka, kb))] = round(j, 6)
+    return out
+
+
+def test_snm_matches_window_brute_force(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma"),
+        (4, "zeta eta theta iota"),
+        (5, "zeta eta theta iota kappa"),
+        (6, "mid range doc one"),
+        (7, "mid range doc two"),
+        (8, "alpha beta gamma delta"),  # same tokens as 1 → jaccard 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for w, t in [(2, 0.5), (5, 0.7), (3, 1.0)]:
+        got = {
+            (r["key_a"], r["key_b"]): r["jaccard"]
+            for r in sorted_neighborhood_pairs(
+                df, "text", "doc_id", window=w, threshold=t
+            ).collect()
+        }
+        assert got == pytest.approx(_snm_reference(rows, w, t)), (w, t)
+
+
+def test_snm_candidates_bounded_by_window(spark):
+    """Identical docs far apart in sort order must NOT pair (positional
+    contract): with window=1 only adjacent pairs are candidates."""
+    rows = [
+        (1, "aaa same tokens"),
+        (2, "bbb different things"),
+        (3, "aaa same tokens"),
+    ]
+    # sort order: (aaa..,1), (aaa..,3), (bbb..,2) → 1-3 adjacent, pair found
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted_neighborhood_pairs(df, "text", "doc_id", window=1, threshold=0.9)
+    assert {(r["key_a"], r["key_b"]) for r in got.collect()} == {(1, 3)}
+
+
+def test_snm_rejects_bad_window(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "text", "doc_id", window=0)
+
+
+# --- co-occurrence graph -----------------------------------------------------------
+
+
+def test_cooccurrence_triangles_and_degrees_on_known_graph(spark):
+    # groups: (g1: a,b,c) (g2: a,b,c) (g3: a,d) (g4: a,d) (g5: b,d)
+    rows = []
+    for g, items in [(1, "abc"), (2, "abc"), (3, "ad"), (4, "ad"), (5, "bd")]:
+        rows += [(g, ch) for ch in items]
+    df = spark.createDataFrame(rows, "g bigint, i string")
+    edges = co_occurrence_edges(df, "g", "i", min_support=2)
+    got_edges = {(r["src"], r["dst"]): r["support"] for r in edges.collect()}
+    # support>=2: (a,b),(a,c),(b,c) from g1+g2; (a,d) from g3+g4; (b,d) only 1
+    assert got_edges == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2, ("a", "d"): 2}
+    tri = triangle_count(edges).first()
+    assert (tri["n_nodes"], tri["n_edges"], tri["n_triangles"]) == (4, 4, 1)
+    deg = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
+    # a:3, b:2, c:2, d:1
+    assert deg == {3: 1, 2: 2, 1: 1}
+
+
+def test_cooccurrence_dedups_within_group(spark):
+    """An item repeated in one group must count once toward support."""
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "g bigint, i string")
+    got = co_occurrence_edges(df, "g", "i", min_support=2).collect()
+    assert [(r["src"], r["dst"], r["support"]) for r in got] == [("a", "b", 2)]
+
+
+# --- l-diversity -------------------------------------------------------------------
+
+
+def test_l_diversity_report_flags_homogeneous_class(spark):
+    rows = [
+        ("q1", "s1"), ("q1", "s1"), ("q1", "s1"),      # 3 rows, 1 value
+        ("q2", "s1"), ("q2", "s2"), ("q2", "s3"),      # 3 rows, 3 values
+    ]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r["q"]: (r["k_size"], r["l_distinct"], r["diverse"])
+        for r in l_diversity_report(df, ["q"], "s", 2).collect()
+    }
+    assert got == {"q1": (3, 1, False), "q2": (3, 3, True)}
+
+
+def test_l_diversity_generalize_applies_before_grouping(spark):
+    rows = [(1, "a"), (2, "b"), (11, "a"), (12, "a")]
+    df = spark.createDataFrame(rows, "age bigint, s string")
+    got = l_diversity_report(
+        df, ["age"], "s", 2, generalize={"age": (F.col("age") / 10).cast("int")}
+    )
+    m = {r["age"]: (r["k_size"], r["l_distinct"]) for r in got.collect()}
+    assert m == {0: (2, 2), 1: (2, 1)}
+
+
+def test_l_diversity_rejects_bad_l(spark):
+    df = spark.createDataFrame([(1, "a")], "q bigint, s string")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["q"], "s", 0)
+
+
+# --- registry-level statistics checked against numpy on the real table --------------
+
+
+def test_autocorr_and_cusum_match_numpy(spark, sf_dir):
+    from airflow_dags_spark.plans.round5 import (
+        stats_autocorr_daily,
+        stats_cusum_changepoint,
+    )
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": orders.o_orderdate.dt.date, "c": cents})
+        .groupby("day")["c"].sum().sort_index()
+    )
+    r = daily.to_numpy(dtype=float)
+    got_acf = {
+        row["lag"]: row["acf"]
+        for row in stats_autocorr_daily(spark, sf_dir).collect()
+    }
+    for k in (1, 2, 3):
+        want = np.corrcoef(r[k:], r[:-k])[0, 1]
+        assert got_acf[k] == pytest.approx(want, abs=1e-5), k
+    # CUSUM argmax on exact integers
+    n = len(daily)
+    cum = daily.cumsum().to_numpy()
+    tot = int(daily.sum())
+    sdev = n * cum - (np.arange(1, n + 1)) * tot
+    idx = int(np.lexsort((np.arange(n), -np.abs(sdev)))[0])
+    got = stats_cusum_changepoint(spark, sf_dir).first()
+    assert got["day"] == str(daily.index[idx])
+    assert got["cusum"] == pytest.approx(sdev[idx] / n / 100.0, abs=0.01)
+
+
+def test_embedding_norms_match_numpy(spark, sf_dir):
+    from airflow_dags_spark.plans.round5 import embeddings_norm_stats
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mats = np.stack(emb.embedding.to_numpy())
+    norms = np.sqrt((mats.astype(np.float64) ** 2).sum(axis=1))
+    by_label = pd.DataFrame({"label": emb.label, "n": norms}).groupby("label")["n"]
+    got = {r["label"]: r for r in embeddings_norm_stats(spark, sf_dir).collect()}
+    for label, grp in by_label:
+        row = got[int(label)]
+        assert row["avg_norm"] == pytest.approx(grp.mean(), abs=1e-5)
+        assert row["sd_norm"] == pytest.approx(grp.std(ddof=1), abs=1e-5)
+        assert row["min_norm"] == pytest.approx(grp.min(), abs=1e-5)
+        assert row["max_norm"] == pytest.approx(grp.max(), abs=1e-5)
+
+
+def test_zipf_fit_recovers_synthetic_slope(spark, tmp_path):
+    """A corpus whose word frequencies follow freq ∝ rank^(-1) exactly
+    must fit slope ≈ −1 with r² ≈ 1."""
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * max(3, round(600 / rank))
+    # one long document per 50 words keeps the split/normalize path honest
+    docs = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]))
+        for i in range(len(words) // 50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.write.parquet(path)
+    from airflow_dags_spark.plans.round5 import text_zipf_fit
+
+    got = text_zipf_fit(spark, str(tmp_path)).first()
+    assert got["slope"] == pytest.approx(-1.0, abs=0.05)
+    # integer rounding of the tail counts (max(3, round(600/rank))) costs
+    # ~1% of fit quality; a real power law at this size fits ≈ 0.989
+    assert got["r2"] > 0.98
