@@ -87,6 +87,48 @@ def mann_whitney_u(
     )
 
 
+def _midranks(
+    df: DataFrame, value_col: str, out_col: str, n_buckets: int = 512
+) -> DataFrame:
+    """(value, midrank) table for one column: histogram → bucketed
+    prefix-sum cascade → average rank per tie block. |output| =
+    |distinct values| ≪ rows; the only single-partition step is the
+    bounded offsets frame."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    rng = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).first()
+    lo, hi = rng["lo"], rng["hi"]
+    width = ((hi - lo) / float(n_buckets)) or 1.0
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    ranked = bucketed_running_sum(hist, "__c", [value_col], bucket, "__cum")
+    mid = (F.col("__cum") - F.col("__c")) + (F.col("__c") + 1) / 2.0
+    return ranked.select(value_col, mid.alias(out_col))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with exact average-rank tie handling:
+    midranks for each variable come from its distinct-value histogram
+    (never a global sort of the table), join back on the value (the
+    low-cardinality side broadcasts under AQE), then Pearson over the
+    rank columns. Midranks are half-integers — exact in doubles — so
+    both the ranks and the final moment arithmetic are engine-stable.
+    Returns one row: ``n, rho``."""
+    x = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    rx = _midranks(x, "__x", "__rx")
+    ry = _midranks(x, "__y", "__ry")
+    j = x.join(rx, "__x").join(ry, "__y")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr("__rx", "__ry"), 6) + 0.0).alias("rho"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     value_col: str,

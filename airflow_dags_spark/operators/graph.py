@@ -181,36 +181,54 @@ def co_occurrence_edges(
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Exact global triangle count over an undirected (src < dst) edge set.
+    """Exact global triangle count over an undirected (src < dst) edge set
+    via DEGREE-ORDERED orientation (compact-forward / Latapy 2008, the
+    same orientation MapReduce triangle counters use, cf. Suri &
+    Vassilvitskii WWW'11): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges only between OUT-edges
+    of the common vertex, and close them against the oriented edge set.
 
-    The ordered-wedge join (standard vertex-ordering trick, e.g. Suri &
-    Vassilvitskii WWW'11): every triangle a<b<c is found exactly once as
-    the wedge (a,b)+(b,c) closed by (a,c). Two hash equi-joins; the wedge
-    join fans out by the square of hub degree — on edge sets produced
-    with a support threshold this is the bounded path (the classic
-    high-degree-vertex mitigation at extreme skew is degree-ordering,
-    which the src<dst canonical form already approximates).
+    Why this shape survives densification: with raw-id ordering a hub of
+    degree d contributes O(d²) wedges; after degree ordering every
+    vertex's out-degree is O(√m), so total wedges are O(m^{3/2}) — the
+    theoretical optimum for exact counting. Each triangle is counted
+    exactly once, from its minimum-(degree, id) corner. Two hash
+    equi-joins + one degree aggregate; no nested loop.
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
     e = edges.select("src", "dst")
-    wedge = e.alias("ab").join(
-        e.alias("bc"), F.col("ab.dst") == F.col("bc.src")
-    ).select(
-        F.col("ab.src").alias("a"),
-        F.col("ab.dst").alias("b"),
-        F.col("bc.dst").alias("c"),
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    tri = wedge.join(
-        e.alias("ac"),
-        (F.col("a") == F.col("ac.src")) & (F.col("c") == F.col("ac.dst")),
+    ann = (
+        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
     )
-    nodes = e.select(F.col("src").alias("v")).union(
-        e.select(F.col("dst").alias("v"))
-    ).distinct()
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    out = ann.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+    )
+    x = out.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
+    y = out.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    wedges = x.join(y, "u").where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    # the closing edge {a,b} is oriented a→b by construction (key(a) < key(b))
+    tri = wedges.join(
+        out.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
+    )
     counts = tri.agg(F.count(F.lit(1)).alias("n_triangles")).first()
     sizes = e.agg(F.count(F.lit(1)).alias("n_edges")).first()
-    n_nodes = nodes.count()
+    n_nodes = deg.count()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(n_nodes, int(sizes["n_edges"]), int(counts["n_triangles"]))],

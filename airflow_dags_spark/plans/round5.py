@@ -797,3 +797,328 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(LATERAL_SQL)
+
+
+# --- round-5 batch 2: dependence / concentration / distribution statistics ----
+
+SPEARMAN_ORACLE = """
+WITH x AS (
+  SELECT l_quantity AS qx, l_extendedprice AS qy FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT RANK() OVER (ORDER BY qx) + (COUNT(*) OVER (PARTITION BY qx) - 1) / 2.0 AS rx,
+         RANK() OVER (ORDER BY qy) + (COUNT(*) OVER (PARTITION BY qy) - 1) / 2.0 AS ry
+  FROM x
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(CORR(rx, ry), 6) + 0.0 AS rho
+FROM r
+"""
+
+
+@register("stats_spearman_corr", SPEARMAN_ORACLE)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with exact average-rank ties: midranks
+    per variable from the distinct-value histogram (bucketed prefix-sum
+    cascade — the table is hashed, never globally sorted; the oracle's
+    global RANK() windows are the same math in single-reducer form),
+    joined back on the value and fed to Pearson. Midranks are
+    half-integers, exact in doubles, so rho matches to rounding."""
+    from airflow_dags_spark.functions.stats import spearman_corr
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS HUGEINT) AS r
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(r) AS tot, SUM(i * r) AS wsum FROM rk
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST(tot AS DOUBLE) / 100.0, 2) AS total_rev,
+       ROUND((2.0 * CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)))
+             - (n + 1.0) / n, 6) AS gini
+FROM s
+"""
+
+
+@register("stats_gini_revenue", GINI_ORACLE)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    metric a curation pipeline reads as "how dominated is the corpus by
+    its heaviest sources". Revenue is summed in EXACT integer cents and
+    the rank-weighted sum ``Σ i·rev_i`` comes from the bucketed
+    prefix-sum sequence numbers (total order (rev, custkey) — the same
+    cascade as the global-ntile query, never a SinglePartition sort of
+    the customer frame), so every input to the final formula is exact
+    and the oracle's window form matches bit-for-bit before rounding."""
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("r"))
+    rng = rev.agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi")
+    ).first()
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = ((hi - lo) / 512.0) or 1.0
+    bucket = F.least(
+        F.floor((F.col("r").cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(511),
+    ).cast("int")
+    ranked = bucketed_running_sum(
+        rev.withColumn("__one", F.lit(1)),
+        "__one",
+        ["r", "o_custkey"],
+        bucket,
+        "i",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r")).alias("wsum"),
+    )
+    n, tot, wsum = F.col("n"), F.col("tot"), F.col("wsum")
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(tot.cast("double") / 100.0, 2).alias("total_rev"),
+        F.round(
+            (2.0 * wsum.cast("double") / (n.cast("double") * tot.cast("double")))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+MUTUAL_INFO_ORACLE = """
+WITH joint AS (
+  SELECT event_type AS x, CAST(EXTRACT(HOUR FROM ts) AS INT) AS y,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n
+  FROM joint
+)
+SELECT ROUND(SUM((CAST(c AS DOUBLE) / n)
+             * LN(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))), 6) + 0.0
+         AS mutual_info,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(cy AS DOUBLE) / n)), 6)
+         AS h_hour,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(cx AS DOUBLE) / n)), 6)
+         AS h_type
+FROM w
+"""
+
+
+@register("stats_mutual_info", MUTUAL_INFO_ORACLE)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour) plus both marginal
+    entropies — the dependence screen run before trusting a categorical
+    feature pair. ONE hash aggregate reduces the table to the |X|×|Y|
+    joint contingency frame; the marginals are windows OVER THAT bounded
+    frame (≤ 120 rows), so nothing rescans or rejoins the table and the
+    entropies fall out of the same pass."""
+    ev = read_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").cast("int").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = joint.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("x")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    c, cx, cy, n = (F.col(k).cast("double") for k in ("c", "cx", "cy", "n"))
+    return w.agg(
+        (F.round(F.sum((c / n) * F.log(c * n / (cx * cy))), 6) + 0.0).alias(
+            "mutual_info"
+        ),
+        F.round(-F.sum((c / n) * F.log(cy / n)), 6).alias("h_hour"),
+        F.round(-F.sum((c / n) * F.log(cx / n)), 6).alias("h_type"),
+    )
+
+
+BENFORD_ORACLE = """
+WITH v AS (
+  SELECT FLOOR(value / POW(10, FLOOR(LOG10(value)))) AS d
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+h AS (SELECT CAST(d AS INT) AS digit, COUNT(*) AS cnt FROM v GROUP BY 1)
+SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (), 6) AS obs_frac,
+       ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_frac
+FROM h ORDER BY digit
+"""
+
+
+@register("stats_benford_digits", BENFORD_ORACLE)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census against Benford's law — the
+    classic fabricated/synthetic-data screen in data-quality audits.
+    Digit extraction is a scan-stage codegen projection (log10/floor on
+    identical doubles in both engines — no string formatting); one hash
+    aggregate to 9 rows, then the share window runs over those 9 rows
+    only."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.where(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        F.floor(
+            F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    h = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    return h.select(
+        "digit",
+        F.col("cnt"),
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(Window.partitionBy()),
+            6,
+        ).alias("obs_frac"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_frac"),
+    ).orderBy("digit")
+
+
+JSD_ORACLE = f"""
+WITH tok AS (
+  SELECT source, u.t AS token
+  FROM documents, UNNEST(string_split({_NORM}, ' ')) AS u(t)
+  WHERE u.t <> '' AND source IN ('src0', 'src1')
+),
+h AS (
+  SELECT token,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+  FROM tok GROUP BY token
+),
+p AS (
+  SELECT CAST(c0 AS DOUBLE) / SUM(c0) OVER () AS p0,
+         CAST(c1 AS DOUBLE) / SUM(c1) OVER () AS p1,
+         SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1
+  FROM h
+)
+SELECT CAST(MAX(n0) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(n1) AS BIGINT) AS n_tokens_b,
+       ROUND(SUM(CASE WHEN p0 > 0 THEN 0.5 * p0 * LN(p0 / ((p0 + p1) / 2)) ELSE 0 END)
+             + SUM(CASE WHEN p1 > 0 THEN 0.5 * p1 * LN(p1 / ((p0 + p1) / 2)) ELSE 0 END),
+             6) AS jsd
+FROM p
+"""
+
+
+@register("text_js_divergence", JSD_ORACLE)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' token
+    distributions — the bounded, symmetric drift metric for text (the
+    token-level sibling of the price-PSI drift query). ONE conditional
+    aggregate builds both distributions from a single explode pass (no
+    per-source scan, no join); the normalization windows run over the
+    bounded vocabulary frame; zero-probability terms contribute exactly
+    zero on both engines."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.where(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    h = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    wall = Window.partitionBy()
+    p = h.select(
+        (F.col("c0").cast("double") / F.sum("c0").over(wall)).alias("p0"),
+        (F.col("c1").cast("double") / F.sum("c1").over(wall)).alias("p1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    m = (F.col("p0") + F.col("p1")) / 2
+    term0 = F.when(
+        F.col("p0") > 0, 0.5 * F.col("p0") * F.log(F.col("p0") / m)
+    ).otherwise(0.0)
+    term1 = F.when(
+        F.col("p1") > 0, 0.5 * F.col("p1") * F.log(F.col("p1") / m)
+    ).otherwise(0.0)
+    return p.agg(
+        F.max("n0").cast("bigint").alias("n_tokens_a"),
+        F.max("n1").cast("bigint").alias("n_tokens_b"),
+        F.round(F.sum(term0) + F.sum(term1), 6).alias("jsd"),
+    )
+
+
+# --- window value-function sweep (IGNORE NULLS / defaults / full frame) --------
+
+WINDOW_VALUE_ORACLE = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS x
+  FROM events
+)
+SELECT event_id,
+  FIRST_VALUE(x IGNORE NULLS) OVER w AS first_nn,
+  LAST_VALUE(x IGNORE NULLS) OVER w AS last_nn,
+  NTH_VALUE(x, 2 IGNORE NULLS) OVER w AS second_nn,
+  LAG(x, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_or_default,
+  LEAD(x, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id
+"""
+
+
+@register("window_value_functions", WINDOW_VALUE_ORACLE)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE-function sweep: first/last/nth_value with IGNORE
+    NULLS over the full frame, lag with an explicit default, lead at
+    offset 2 — the null-handling corners that differ silently across
+    SQL dialects (nulls are induced deterministically on 'error' rows so
+    the IGNORE NULLS path is actually exercised). All windows partition
+    by user_id (parallel, no global sort); (ts, event_id) is a total
+    order so every value function is deterministic. Raw doubles pass
+    through untouched — no rounding needed for the hash match."""
+    ev = read_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("x"),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wseq = Window.partitionBy("user_id").orderBy(*order)
+    return t.select(
+        "event_id",
+        F.first("x", ignorenulls=True).over(wfull).alias("first_nn"),
+        F.last("x", ignorenulls=True).over(wfull).alias("last_nn"),
+        F.nth_value("x", 2, ignoreNulls=True).over(wfull).alias("second_nn"),
+        F.lag("x", 1, -1.0).over(wseq).alias("prev_or_default"),
+        F.lead("x", 2).over(wseq).alias("next2"),
+    ).orderBy("event_id")

@@ -371,3 +371,138 @@ def test_zipf_fit_recovers_synthetic_slope(spark, tmp_path):
     # integer rounding of the tail counts (max(3, round(600/rank))) costs
     # ~1% of fit quality; a real power law at this size fits ≈ 0.989
     assert got["r2"] > 0.98
+
+
+# --- batch 2: dependence / concentration / distribution statistics -----------
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    from airflow_dags_spark.functions.stats import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0, 6.0]
+
+    def midranks(v):
+        return [
+            sum(1 for u in v if u < x) + (sum(1 for u in v if u == x) + 1) / 2
+            for x in v
+        ]
+
+    rx, ry = np.array(midranks(xs)), np.array(midranks(ys))
+    want = np.corrcoef(rx, ry)[0, 1]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y").first()
+    assert got["n"] == len(xs)
+    assert got["rho"] == pytest.approx(want, abs=1e-5)
+
+
+def test_spearman_monotone_transform_invariant(spark):
+    from airflow_dags_spark.functions.stats import spearman_corr
+
+    xs = [float(i) for i in range(1, 31)]
+    ys = [math.exp(0.3 * x) for x in xs]  # monotone in x → rho exactly 1
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    assert spearman_corr(df, "x", "y").first()["rho"] == pytest.approx(1.0)
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Perfect equality → 0; one customer holding everything → (n-1)/n."""
+    from airflow_dags_spark.plans.round5 import stats_gini_revenue
+    import datetime as dt
+
+    def write_orders(rows, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        spark.createDataFrame(
+            [(i, ck, "O", p, dt.datetime(1995, 1, 1 + i % 20)) for i, (ck, p) in enumerate(rows)],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp",
+        ).write.parquet(str(d / "orders.parquet"))
+        return str(d)
+
+    equal = write_orders([(c, 100.0) for c in range(10)], "eq")
+    got = stats_gini_revenue(spark, equal).first()
+    assert got["gini"] == pytest.approx(0.0)
+    assert got["total_rev"] == pytest.approx(1000.0)
+
+    skew = write_orders(
+        [(c, 0.01) for c in range(9)] + [(9, 1_000_000.0)], "skew"
+    )
+    got = stats_gini_revenue(spark, skew).first()
+    # gini → (n-1)/n as one holder takes everything
+    assert got["gini"] == pytest.approx(0.9, abs=1e-3)
+
+
+def test_mutual_info_independent_vs_dependent(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import stats_mutual_info
+    import datetime as dt
+
+    def write_events(rows, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, hour), et, 1.0)
+                for i, (et, hour) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, event_type string, value double",
+        ).write.parquet(str(d / "events.parquet"))
+        return str(d)
+
+    # independent: every (type, hour) combination equally likely → MI = 0
+    indep = write_events(
+        [(t, h) for t in ("a", "b") for h in (0, 1) for _ in range(5)], "ind"
+    )
+    got = stats_mutual_info(spark, indep).first()
+    assert got["mutual_info"] == pytest.approx(0.0)
+    assert got["h_type"] == pytest.approx(math.log(2), abs=1e-5)
+
+    # fully dependent: type determines hour → MI = H(type) = ln 2
+    dep = write_events(
+        [("a", 0)] * 10 + [("b", 1)] * 10, "dep"
+    )
+    got = stats_mutual_info(spark, dep).first()
+    assert got["mutual_info"] == pytest.approx(math.log(2), abs=1e-5)
+
+
+def test_benford_fracs_and_digits(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import stats_benford_digits
+    import datetime as dt
+
+    vals = [1.0, 1.5, 19.0, 2.0, 0.003, 31.4, 950.0, 9.99, None, -5.0]
+    d = tmp_path
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), "t", v) for i, v in enumerate(vals)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {r["digit"]: r for r in stats_benford_digits(spark, str(d)).collect()}
+    # null and negative excluded; digits: 1,1,1,2,3,3,9,9 → {1:3, 2:1, 3:2, 9:2}
+    assert {k: v["cnt"] for k, v in got.items()} == {1: 3, 2: 1, 3: 2, 9: 2}
+    assert got[1]["obs_frac"] == pytest.approx(3 / 8)
+    assert got[1]["benford_frac"] == pytest.approx(math.log10(2), abs=1e-6)
+    assert got[9]["benford_frac"] == pytest.approx(math.log10(10 / 9), abs=1e-6)
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import text_js_divergence
+
+    def write_docs(rows, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    same = write_docs(
+        [(1, "x y z", "en", "src0"), (2, "x y z", "en", "src1")], "same"
+    )
+    assert text_js_divergence(spark, same).first()["jsd"] == pytest.approx(0.0)
+
+    disjoint = write_docs(
+        [(1, "aa bb cc", "en", "src0"), (2, "dd ee ff", "en", "src1")], "disj"
+    )
+    # disjoint supports: JSD = ln 2
+    assert text_js_divergence(spark, disjoint).first()["jsd"] == pytest.approx(
+        math.log(2), abs=1e-6
+    )
