@@ -63,6 +63,12 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "agg_weighted_median",
     "table_fingerprint_checksum",
+    # round-5: rank statistics, retrieval scoring, positional near-dup,
+    # exact concentration
+    "stats_mann_whitney",
+    "text_bm25_search",
+    "dedup_sorted_neighborhood",
+    "stats_gini_revenue",
 ]
 
 

@@ -93,6 +93,15 @@ NAMES = [
     "scalar_timezone_functions",
     "agg_count_distinct_twophase",
     "privacy_k_anonymize",
+    "stats_mann_whitney",
+    "stats_ols_normal_eq",
+    "stats_gini_revenue",
+    "stats_spearman_corr",
+    "text_bm25_search",
+    "dedup_sorted_neighborhood",
+    "graph_triangle_count",
+    "text_js_divergence",
+    "window_value_functions",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
