@@ -1122,3 +1122,108 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("x", 1, -1.0).over(wseq).alias("prev_or_default"),
         F.lead("x", 2).over(wseq).alias("next2"),
     ).orderBy("event_id")
+
+
+# --- deterministic training order (seeded shard + in-shard position) ------------
+
+TRAIN_ORDER_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5('42|' || doc_id) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+         AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
+@register("export_training_order", TRAIN_ORDER_ORACLE)
+def export_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, seeded global training order WITHOUT a global sort:
+    every doc gets an md5(seed|id) key; the shard is the key's integer
+    prefix mod n_shards and the position is a row_number per shard —
+    windows partition by shard, so the "shuffle" of 100 TB of training
+    docs is n_shards parallel sorts plus nothing global. Re-running with
+    the same seed reproduces the exact order (resumable training);
+    changing the seed is a full reshuffle. Same md5→int recipe on both
+    engines keeps it hash-checkable."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("42|"), F.col("doc_id").cast("string")))
+    s = d.select("doc_id", h.alias("h")).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"), F.lit(8))
+        .cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        s.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# --- leakage-safe train/validation split ----------------------------------------
+
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split({_NORM}, ' '))),
+             ' ')) AS s
+  FROM documents
+),
+a AS (
+  SELECT doc_id, s,
+         CASE WHEN ('0x' || substr(md5('split|' || s), 1, 8))::BIGINT % 10 < 9
+              THEN 'train' ELSE 'val' END AS split
+  FROM sig
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_clusters
+FROM a GROUP BY split ORDER BY split
+"""
+
+
+@register("split_leakage_safe", LEAKAGE_SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split: the split is decided by hashing
+    the duplicate-CLUSTER signature (bag-of-words key), not the document
+    id, so every member of a duplicate cluster lands in the SAME split —
+    the standard defense against train/val leakage through near-
+    duplicates (the failure mode report of Lee et al. 2022). Pure
+    scan-stage projection + one aggregate; the 90/10 assignment is a
+    deterministic md5 threshold, so both engines agree exactly."""
+    from airflow_dags_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+    )
+    a = d.select("doc_id", sig.alias("s")).withColumn(
+        "split",
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("split|"), F.col("s"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(10),
+            )
+            < 9,
+            "train",
+        ).otherwise("val"),
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("s").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

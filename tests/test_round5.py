@@ -506,3 +506,46 @@ def test_jsd_identical_zero_disjoint_ln2(spark, tmp_path):
     assert text_js_divergence(spark, disjoint).first()["jsd"] == pytest.approx(
         math.log(2), abs=1e-6
     )
+
+
+# --- training order + leakage-safe split ------------------------------------
+
+
+def test_training_order_is_deterministic_and_contiguous(spark, sf_dir):
+    from airflow_dags_spark.plans.round5 import export_training_order
+
+    a = export_training_order(spark, sf_dir).collect()
+    b = export_training_order(spark, sf_dir).collect()
+    assert a == b  # same seed → identical order
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), shard
+    assert len({r["doc_id"] for r in a}) == len(a)  # every doc exactly once
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import split_leakage_safe
+
+    # 30 clusters of 3 near-dup docs each (identical token SETS, different
+    # order/repeats) — every cluster must land wholly in one split
+    rows = []
+    for c in range(30):
+        toks = f"alpha{c} beta{c} gamma{c}"
+        rows += [
+            (c * 3 + 0, toks, "en", "s"),
+            (c * 3 + 1, f"beta{c} gamma{c} alpha{c}", "en", "s"),
+            (c * 3 + 2, f"alpha{c} alpha{c} gamma{c} beta{c}", "en", "s"),
+        ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["split"]: r for r in split_leakage_safe(spark, str(tmp_path)).collect()}
+    n_docs = sum(r["n_docs"] for r in got.values())
+    n_clusters = sum(r["n_clusters"] for r in got.values())
+    assert n_docs == 90
+    # clusters are indivisible: every split's doc count is 3 × its clusters
+    assert n_clusters == 30
+    for r in got.values():
+        assert r["n_docs"] == 3 * r["n_clusters"]
