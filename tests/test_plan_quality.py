@@ -548,3 +548,58 @@ def test_salted_topn_two_bounded_windows(spark):
     plan = plan_of(spark, "window_topn_salted")
     assert plan.count("Window") >= 2  # phase 1 (key,salt) + phase 2 (key)
     assert "Exchange SinglePartition" not in plan
+
+
+# --- round-5 plan gates ---------------------------------------------------------
+
+
+def _single_partitions_fed_by_aggregates_only(plan: str) -> None:
+    """Shared invariant for bucketed-cascade plans: every SinglePartition
+    exchange must sit above a (partial) aggregate — bucket totals or a
+    final 1-row reduce — never a raw table scan/window of table rows."""
+    for s in plan.split("Exchange SinglePartition")[1:]:
+        below = s.split("Exchange")[0]
+        assert (
+            "HashAggregate" in below
+            or "ObjectHashAggregate" in below
+            or "AQEShuffleRead" in below
+        ), plan
+
+
+def test_mann_whitney_no_table_single_partition(spark):
+    """Midranks must come from the histogram cascade: the only
+    SinglePartition exchanges are the bounded offsets/final aggregates,
+    and the offsets frame rejoins via broadcast."""
+    plan = plan_of(spark, "stats_mann_whitney")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastHashJoin" in plan  # offsets rejoin via broadcast
+
+
+def test_gini_rank_is_bucketed_not_global(spark):
+    plan = plan_of(spark, "stats_gini_revenue")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_idf_and_prunes_postings(spark):
+    """The |terms|-row idf table must broadcast; the posting filter must
+    reach the explode side before the tf aggregate (no full-vocabulary
+    shuffle)."""
+    plan = plan_of(spark, "text_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "token#" in plan and "IN (" in plan or "token" in plan
+
+
+def test_snm_window_pairing_is_equi_join(spark):
+    """The sliding window must be an equi-join on exploded positions —
+    never a range/nested-loop join — and the sequence numbers must come
+    from the bucketed cascade (no SinglePartition)."""
+    plan = plan_of(spark, "dedup_sorted_neighborhood")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_value_functions_partitioned(spark):
+    plan = plan_of(spark, "window_value_functions")
+    assert "Exchange SinglePartition" not in plan  # per-user windows only
