@@ -1227,3 +1227,92 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- association rules (confidence / lift over co-purchase pairs) ---------------
+
+ASSOC_RULES_ORACLE = """
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+n AS (SELECT COUNT(DISTINCT g) AS n_orders FROM gi),
+item AS (SELECT i, COUNT(*) AS s FROM gi GROUP BY i),
+pairs AS (
+  SELECT a.i AS pa, b.i AS pb, COUNT(*) AS s_ab
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, s_ab, ia.s AS s_a, ib.s AS s_b
+  FROM pairs JOIN item ia ON ia.i = pa JOIN item ib ON ib.i = pb
+  UNION ALL
+  SELECT pb, pa, s_ab, ib.s, ia.s
+  FROM pairs JOIN item ia ON ia.i = pa JOIN item ib ON ib.i = pb
+)
+SELECT antecedent, consequent, CAST(s_ab AS BIGINT) AS support,
+  ROUND(CAST(s_ab AS DOUBLE) / s_a, 6) AS confidence,
+  ROUND(CAST(s_ab AS DOUBLE) * (SELECT n_orders FROM n) / (CAST(s_a AS DOUBLE) * s_b), 6)
+    AS lift
+FROM rules ORDER BY antecedent, consequent
+"""
+
+
+@register("basket_association_rules", ASSOC_RULES_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over the co-purchase baskets: support from
+    the order-keyed pair self-join (bounded by per-order line count),
+    confidence = sup(ab)/sup(a), lift = n·sup(ab)/(sup(a)·sup(b)). The
+    item-support table joins back by item key (broadcastable: |items| =
+    part dimension); the single global scalar (order count) is a bounded
+    one-row collect folded into a literal. Both directions of every
+    qualifying pair are emitted — no top-k, so no float-boundary LIMIT."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n_orders = li.agg(F.count_distinct("g").alias("n")).first()["n"]
+    item = li.groupBy("i").agg(F.count(F.lit(1)).alias("s"))
+    a = li.select("g", F.col("i").alias("pa"))
+    b = li.select("g", F.col("i").alias("pb"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    annotated = pairs.join(
+        F.broadcast(item.select(F.col("i").alias("pa"), F.col("s").alias("s_a"))),
+        "pa",
+    ).join(
+        F.broadcast(item.select(F.col("i").alias("pb"), F.col("s").alias("s_b"))),
+        "pb",
+    )
+    fwd = annotated.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "s_ab",
+        F.col("s_a").alias("s_ant"),
+        F.col("s_b").alias("s_con"),
+    )
+    rev = annotated.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "s_ab",
+        F.col("s_b").alias("s_ant"),
+        F.col("s_a").alias("s_con"),
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.col("s_ab").cast("bigint").alias("support"),
+        F.round(F.col("s_ab").cast("double") / F.col("s_ant"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("s_ab").cast("double")
+            * F.lit(float(n_orders))
+            / (F.col("s_ant").cast("double") * F.col("s_con")),
+            6,
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")

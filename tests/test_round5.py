@@ -549,3 +549,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
     assert n_clusters == 30
     for r in got.values():
         assert r["n_docs"] == 3 * r["n_clusters"]
+
+
+def test_association_rules_hand_computed(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import basket_association_rules
+    import datetime as dt
+
+    # baskets: {1,2} ×3, {1,3} ×1 → only pair (1,2) reaches support 3
+    baskets = [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]), (13, [1, 3])]
+    rows = [
+        (g, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1))
+        for g, parts in baskets
+        for p in parts
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r["antecedent"], r["consequent"]): r
+    for r in basket_association_rules(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 2), (2, 1)}
+    # sup(1)=4, sup(2)=3, sup(12)=3, n=4
+    assert got[(1, 2)]["confidence"] == pytest.approx(3 / 4)
+    assert got[(2, 1)]["confidence"] == pytest.approx(1.0)
+    assert got[(1, 2)]["lift"] == pytest.approx(3 * 4 / (4 * 3))
