@@ -22,7 +22,7 @@ derivation to float rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from airflow_dags_spark.functions.scalable_windows import bucketed_running_sum
 

@@ -1316,3 +1316,44 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+# --- Spark 4 collation-aware grouping --------------------------------------------
+
+COLLATION_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END AS seg
+  FROM documents
+)
+SELECT LOWER(seg) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY LOWER(seg) ORDER BY segment
+"""
+
+
+@register("scalar_collation_group", COLLATION_ORACLE)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): the mixed-
+    case segment column groups case-insensitively through the collation
+    type itself — no normalizing expression in the aggregation key, so
+    the optimizer sees a plain column GROUP BY (salient at 100 TB:
+    collation-keyed bucketing/partitioning co-locates case-variant keys,
+    which a LOWER() wrapper would hide). The output key is lowered only
+    at the result boundary because the group REPRESENTATIVE under a
+    collation is whichever variant a task saw first — not stable across
+    engines. Oracle = the classic LOWER() grouping, proving semantic
+    equivalence."""
+    d = read_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__collate_docs")
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END
+                 AS seg
+          FROM __collate_docs
+        )
+        SELECT LOWER(CAST(seg COLLATE UTF8_LCASE AS STRING)) AS segment,
+               COUNT(*) AS n
+        FROM d GROUP BY seg COLLATE UTF8_LCASE
+        ORDER BY segment
+        """
+    )
