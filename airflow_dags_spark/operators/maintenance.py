@@ -419,3 +419,109 @@ def join_delta(
     t2 = a_old.join(d_b, keys)
     t3 = d_a.join(d_b, keys)
     return t1.unionByName(t2).unionByName(t3)
+
+
+def minmax_state(df: DataFrame, group_exprs: dict, val) -> DataFrame:
+    """Initial MAX aggregate state ``(keys, max_v, cnt)`` for
+    ``merge_minmax_state`` — the non-invertible-aggregate counterpart of
+    ``agg_state`` (cnt drives group-vanish handling, exactly as there)."""
+    return df.groupBy(
+        *[e.alias(n) for n, e in group_exprs.items()]
+    ).agg(F.max(val).alias("max_v"), F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_minmax_state(
+    state: DataFrame,
+    changes: DataFrame,
+    base_after: DataFrame,
+    keys: list[str],
+    group_exprs: dict,
+    old_val,
+    new_val,
+    base_group_exprs: dict | None = None,
+    base_val=None,
+) -> DataFrame:
+    """Maintain a grouped MAX under inserts AND deletes/updates.
+
+    MAX is not invertible — a delete of a non-extreme row folds in for
+    free, but deleting the CURRENT maximum of a group leaves no way to
+    derive the runner-up from state alone. The standard treatment
+    (Palpanas et al., VLDB'02 — "unaffected" vs "affected" groups):
+
+    - inserts merge as ``greatest(state.max_v, delta_max_ins)`` — O(|Δ|);
+    - a group is AFFECTED only when a deleted/retracted value EQUALS its
+      current max; exactly those groups are recomputed, via a semi-join
+      of ``base_after`` against the affected-key set — a pruned scan of
+      the touched groups' partitions, never the whole base.
+
+    ``changes`` is a change set with ``change_type`` in
+    (insert|delete|update); updates count as retract(old)+assert(new)
+    within ONE group (``group_exprs`` is evaluated once per row — model a
+    group-migrating update as an explicit delete row plus insert row).
+    Counts maintain exactly (weights ±1) and drop vanished groups. The
+    result is indistinguishable from a full recompute of ``base_after``
+    (whose own column shape is described by ``base_group_exprs`` /
+    ``base_val`` when it differs from the change set's).
+    """
+    names = list(group_exprs)
+    ct = F.col("change_type")
+    ins = (
+        changes.where(ct != "delete")
+        .select(
+            *[e.alias(n) for n, e in group_exprs.items()],
+            new_val.alias("__v"),
+        )
+        .groupBy(*names)
+        .agg(F.max("__v").alias("ins_max"), F.count("__v").alias("ins_cnt"))
+    )
+    # old-side group expressions: retractions belong to the OLD grouping
+    dele = (
+        changes.where(ct != "insert")
+        .select(
+            *[e.alias(n) for n, e in group_exprs.items()],
+            old_val.alias("__v"),
+        )
+        .groupBy(*names)
+        .agg(F.max("__v").alias("del_max"), F.count("__v").alias("del_cnt"))
+    )
+    s = state.alias("s")
+    merged = (
+        s.join(ins.alias("i"), names, "full_outer")
+        .join(dele.alias("d"), names, "full_outer")
+        .select(
+            *names,
+            F.col("s.max_v").alias("max_v"),
+            F.col("i.ins_max").alias("ins_max"),
+            (
+                F.coalesce(F.col("s.cnt"), F.lit(0))
+                + F.coalesce(F.col("i.ins_cnt"), F.lit(0))
+                - F.coalesce(F.col("d.del_cnt"), F.lit(0))
+            ).cast("long").alias("cnt"),
+            # affected ⇔ some retracted value ties the current group max
+            (
+                F.col("d.del_max").isNotNull()
+                & (F.col("d.del_max") >= F.coalesce(F.col("s.max_v"), F.col("d.del_max")))
+            ).alias("affected"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    clean = merged.where(~F.col("affected")).select(
+        *names,
+        F.greatest(F.col("max_v"), F.col("ins_max")).alias("max_v"),
+        "cnt",
+    )
+    affected_keys = merged.where(F.col("affected")).select(*names, "cnt")
+    bg = base_group_exprs if base_group_exprs is not None else group_exprs
+    bv = base_val if base_val is not None else new_val
+    recomputed = (
+        base_after.select(
+            *[e.alias(n) for n, e in bg.items()],
+            bv.alias("__v"),
+        )
+        .join(F.broadcast(affected_keys.select(*names)), names, "left_semi")
+        .groupBy(*names)
+        .agg(F.max("__v").alias("max_v"))
+        .join(F.broadcast(affected_keys), names)
+        .select(*names, "max_v", "cnt")
+    )
+    return clean.unionByName(recomputed)

@@ -1357,3 +1357,78 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment
         """
     )
+
+
+# --- MIN/MAX incremental view maintenance under deletes ---------------------------
+
+IVM_MINMAX_ORACLE = """
+WITH after AS (
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT o_orderpriority AS priority,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM after GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+@register("ivm_minmax_delete", IVM_MINMAX_ORACLE)
+def ivm_minmax_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained per-priority MAX under a mixed
+    insert+DELETE change set — the non-invertible-aggregate case the
+    sum/count IVM (writeback.py) cannot cover: deleting a group's
+    current maximum forces a recompute, but ONLY for the affected groups
+    (semi-join-pruned scan), while every other group folds its delta in
+    O(|Δ|). The oracle recomputes the post-change table from scratch —
+    the hash match proves maintained state ≡ recompute, including the
+    delete-the-max and insert-only-group paths when the data hits them."""
+    from airflow_dags_spark.operators.maintenance import (
+        merge_minmax_state,
+        minmax_state,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    state = minmax_state(
+        o, {"priority": F.col("o_orderpriority")}, F.col("o_totalprice")
+    )
+    deletes = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").alias("old_price"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 89 == 0).select(
+        F.lit("insert").alias("change_type"),
+        F.col("o_orderpriority"),
+        F.lit(None).cast("double").alias("old_price"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+    )
+    changes = deletes.unionByName(inserts)
+    base_after = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderpriority", F.col("o_totalprice").alias("price"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 89 == 0).select(
+                "o_orderpriority",
+                (F.col("o_totalprice") + 1000.0).alias("price"),
+            )
+        )
+    )
+    merged = merge_minmax_state(
+        state,
+        changes,
+        base_after,
+        ["priority"],
+        {"priority": F.col("o_orderpriority")},
+        F.col("old_price"),
+        F.col("new_price"),
+        base_group_exprs={"priority": F.col("o_orderpriority")},
+        base_val=F.col("price"),
+    )
+    return merged.select(
+        "priority",
+        F.round("max_v", 2).alias("max_price"),
+        F.col("cnt"),
+    ).orderBy("priority")

@@ -577,3 +577,80 @@ def test_association_rules_hand_computed(spark, tmp_path):
     assert got[(1, 2)]["confidence"] == pytest.approx(3 / 4)
     assert got[(2, 1)]["confidence"] == pytest.approx(1.0)
     assert got[(1, 2)]["lift"] == pytest.approx(3 * 4 / (4 * 3))
+
+
+# --- MIN/MAX IVM under deletes ------------------------------------------------
+
+
+def _minmax_fixture(spark):
+    from airflow_dags_spark.operators.maintenance import minmax_state
+
+    base = spark.createDataFrame(
+        [("g1", 10.0), ("g1", 20.0), ("g2", 5.0), ("g2", 7.0), ("g3", 1.0)],
+        "k string, v double",
+    )
+    state = minmax_state(base, {"k": F.col("k")}, F.col("v"))
+    return base, state
+
+
+def _apply(spark, base, state, changes_rows):
+    from airflow_dags_spark.operators.maintenance import merge_minmax_state
+
+    changes = spark.createDataFrame(
+        changes_rows, "change_type string, k string, old_v double, new_v double"
+    )
+    dele = {(r[1], r[2]) for r in changes_rows if r[0] != "insert"}
+    kept = [
+        r for r in base.collect() if (r["k"], r["v"]) not in dele
+    ]
+    ins = [(r[1], r[3]) for r in changes_rows if r[0] != "delete"]
+    after = spark.createDataFrame(kept + ins, "k string, v double")
+    got = merge_minmax_state(
+        state, changes, after, ["k"], {"k": F.col("k")},
+        F.col("old_v"), F.col("new_v"),
+        base_group_exprs={"k": F.col("k")}, base_val=F.col("v"),
+    )
+    want = {
+        (r["k"]): (r["mx"], r["cnt"])
+        for r in after.groupBy("k").agg(
+            F.max("v").alias("mx"), F.count("*").alias("cnt")
+        ).collect()
+    }
+    return {r["k"]: (r["max_v"], r["cnt"]) for r in got.collect()}, want
+
+
+def test_minmax_ivm_delete_of_max_forces_recompute(spark):
+    base, state = _minmax_fixture(spark)
+    got, want = _apply(spark, base, state, [("delete", "g1", 20.0, None)])
+    assert got == want and got["g1"] == (10.0, 1)  # runner-up found
+
+
+def test_minmax_ivm_nonextreme_delete_folds_without_recompute(spark):
+    base, state = _minmax_fixture(spark)
+    got, want = _apply(spark, base, state, [("delete", "g2", 5.0, None)])
+    assert got == want and got["g2"] == (7.0, 1)
+
+
+def test_minmax_ivm_group_vanishes_and_new_group_appears(spark):
+    base, state = _minmax_fixture(spark)
+    got, want = _apply(
+        spark, base, state,
+        [("delete", "g3", 1.0, None), ("insert", "g4", None, 42.0)],
+    )
+    assert got == want
+    assert "g3" not in got and got["g4"] == (42.0, 1)
+
+
+def test_minmax_ivm_insert_raises_max_in_place(spark):
+    base, state = _minmax_fixture(spark)
+    got, want = _apply(spark, base, state, [("insert", "g2", None, 99.0)])
+    assert got == want and got["g2"] == (99.0, 3)
+
+
+def test_minmax_ivm_mixed_delete_max_and_insert(spark):
+    base, state = _minmax_fixture(spark)
+    got, want = _apply(
+        spark, base, state,
+        [("delete", "g1", 20.0, None), ("insert", "g1", None, 15.0)],
+    )
+    assert got == want and got["g1"] == (15.0, 2)
