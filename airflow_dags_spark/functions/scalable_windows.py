@@ -234,3 +234,50 @@ def bucketed_prefix_min(
         .withColumn(out_col, F.least("__in_min", "__prior"))
         .drop("__bucket", "__in_min", "__prior")
     )
+
+
+def bucketed_running_sum_grouped(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    bucket_expr: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Per-KEY running sum of ``value_col`` in ``order_cols`` order without
+    giving each key a single reducer — the grouped form of
+    ``bucketed_running_sum`` (which fixes the GLOBAL window; this fixes the
+    per-group window whose few heavy groups each drag a whole table through
+    one task).
+
+    ``bucket_expr`` must be monotone in the within-key order. Within-
+    (key, bucket) prefix sums run fully parallel; the offset cascade is a
+    window over the |keys × buckets| totals frame partitioned BY KEY —
+    bounded rows, broadcast back onto the data.
+    """
+    b = df.withColumn("__bucket", bucket_expr)
+    w_in = (
+        Window.partitionBy(*key_cols, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("__in_sum", F.sum(value_col).over(w_in))
+    totals = b.groupBy(*key_cols, "__bucket").agg(
+        F.sum(value_col).alias("__total")
+    )
+    offsets = totals.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__total").over(
+                Window.partitionBy(*key_cols)
+                .orderBy("__bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*key_cols, "__bucket", "__offset")
+    return (
+        within.join(F.broadcast(offsets), [*key_cols, "__bucket"])
+        .withColumn(out_col, F.col("__in_sum") + F.col("__offset"))
+        .drop("__bucket", "__in_sum", "__offset")
+    )

@@ -231,16 +231,55 @@ ORDER BY 1, 2
 
 @register("agg_equidepth_buckets", EQUIDEPTH_ORACLE)
 def agg_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quartile) binning per priority group: ntile over a
-    PARTITIONED window — per-group sorts parallelize across the cluster
-    (no global single-reducer order; the global-table form of this is the
-    KLL sketch path, sketch_kll_price_quantiles). Deterministic via the
-    (price, orderkey) tie-break; both engines share the SQL-standard
-    ntile remainder rule (first n%k buckets one row larger)."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    """Equi-depth (quartile) binning per priority group WITHOUT one
+    reducer per group: a plain partitioned ntile drags each priority's
+    whole slice through a single task (5 heavy groups = 5 stragglers at
+    100 TB — the same failure the weighted-median rewrite measured at
+    8.04×). Instead the per-group rank comes from the GROUPED bucketed
+    prefix-sum cascade (range-bucket within each group → parallel
+    within-(group, bucket) row_numbers + a bounded per-group offset
+    cascade), and the SQL-standard ntile remainder formula maps exact
+    ranks to buckets arithmetically — hash-identical to the oracle's
+    ntile window because rank and formula are both exact integers.
+    Deterministic via the (price, orderkey) tie-break."""
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum_grouped,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    lo, hi = rng["lo"], rng["hi"]
+    width = ((hi - lo) / 512.0) or 1.0
+    rbucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(511),
+    ).cast("int")
+    ranked = bucketed_running_sum_grouped(
+        o.withColumn("__one", F.lit(1)),
+        "__one",
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        rbucket,
+        "rnk",
+    )
+    sizes = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("gn"))
+    k = 4
+    q = F.floor(F.col("gn") / k)
+    r = F.col("gn") % k
+    big_span = r * (q + 1)
+    bucket_id = (
+        F.when(
+            F.col("rnk") <= big_span, F.floor((F.col("rnk") - 1) / (q + 1))
+        ).otherwise(r + F.floor((F.col("rnk") - big_span - 1) / q))
+        + 1
+    ).cast("int")
     return (
-        o.withColumn("bucket", F.ntile(4).over(w))
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .withColumn("bucket", bucket_id)
         .groupBy("o_orderpriority", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -67,3 +67,36 @@ def test_salted_topn_n_larger_than_group(spark):
         df, "k", [F.col("v").desc(), F.col("id").asc()], 10, salt_src="id"
     )
     assert got.count() == 2  # keeps everything when the group is small
+
+
+def test_grouped_running_sum_equals_plain_per_key_window(spark):
+    """bucketed_running_sum_grouped ≡ a per-key cumulative window, for
+    every key, including keys that span buckets and single-row keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum_grouped,
+    )
+
+    rows = [
+        (k, float(v), i)
+        for i, (k, v) in enumerate(
+            [("a", 5), ("a", 1), ("a", 9), ("a", 1), ("b", 2), ("b", 8),
+             ("c", 7)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id bigint")
+    got = bucketed_running_sum_grouped(
+        df.withColumn("__one", F.lit(1)),
+        "__one",
+        ["k"],
+        ["v", "id"],
+        F.floor(F.col("v") / 3).cast("int"),
+        "rnk",
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    want = df.withColumn("rnk", F.row_number().over(w))
+    lhs = {(r["k"], r["id"]): r["rnk"] for r in got.collect()}
+    rhs = {(r["k"], r["id"]): r["rnk"] for r in want.collect()}
+    assert lhs == rhs
