@@ -1432,3 +1432,224 @@ def ivm_minmax_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_v", 2).alias("max_price"),
         F.col("cnt"),
     ).orderBy("priority")
+
+
+# --- hard-negative mining (contrastive training pairs) ----------------------------
+
+HARD_NEG_ORACLE = """
+WITH c AS (SELECT vec_id AS cid, label AS clabel, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 997 = 0),
+     sims AS (
+       SELECT qid, cid,
+              ROUND(
+                CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                     THEN list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     ELSE 0.0 END, 6) + 0.0 AS sim
+       FROM q, c
+       WHERE clabel <> qlabel AND cid <> qid
+     )
+SELECT qid, cid, sim FROM (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+) t WHERE rn <= 3
+"""
+
+
+@register("sim_hard_negatives", HARD_NEG_ORACLE)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar corpus vectors with a DIFFERENT label
+    — the highest-value negatives for embedding-model training. Same
+    plan contract as sim_cosine_topk (query side broadcast, corpus
+    streams, rounded-sim ranking with id tie-break); the label-mismatch
+    predicate filters BEFORE the ranking window so the per-query state is
+    only true negatives."""
+    from airflow_dags_spark.operators.similarity import as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cv"),
+    )
+    queries = emb.where(F.col("vec_id") % 997 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        corpus.join(F.broadcast(queries))
+        .where(
+            (F.col("clabel") != F.col("qlabel")) & (F.col("cid") != F.col("qid"))
+        )
+        .select("qid", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --- Kaplan-Meier churn curve ------------------------------------------------------
+
+KM_ORACLE = """
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS ref_end FROM events),
+u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d, MAX(CAST(ts AS DATE)) AS last_d
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+obs AS (
+  SELECT CASE WHEN date_diff('day', last_d, (SELECT ref_end FROM bounds)) > 7
+              THEN date_diff('day', first_d, last_d)
+              ELSE date_diff('day', first_d, (SELECT ref_end FROM bounds)) END AS t,
+         CASE WHEN date_diff('day', last_d, (SELECT ref_end FROM bounds)) > 7
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+times AS (
+  SELECT t, SUM(churned) AS d, COUNT(*) AS ends_here
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         (SELECT COUNT(*) FROM obs) -
+           COALESCE(SUM(ends_here) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM times
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS churned,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM risk WHERE d > 0 ORDER BY t
+"""
+
+
+@register("stats_kaplan_meier", KM_ORACLE)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetime with right-censoring: a
+    user who was quiet for >7 days before the corpus end churned at
+    their last-activity offset; everyone else is censored at the corpus
+    end. The table reduces to one per-user aggregate, then to the
+    distinct-lifetime frame (bounded by the day span) where at-risk
+    counts and the product-limit estimator are windows over that bounded
+    frame; the cumulative product is exp∘Σln — both engines fold the
+    same doubles in the same order."""
+    ev = read_table(spark, sf_dir, "events")
+    ref_end = ev.agg(F.max(F.to_date("ts")).alias("m")).first()["m"]
+    u = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_d"),
+            F.max(F.to_date("ts")).alias("last_d"),
+        )
+    )
+    gap = F.datediff(F.lit(ref_end), F.col("last_d"))
+    obs = u.select(
+        F.when(gap > 7, F.datediff(F.col("last_d"), F.col("first_d")))
+        .otherwise(F.datediff(F.lit(ref_end), F.col("first_d")))
+        .alias("t"),
+        F.when(gap > 7, 1).otherwise(0).alias("churned"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("ends_here")
+    )
+    n_total = obs.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.coalesce(F.sum("ends_here").over(w_prev), F.lit(0)),
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            ).over(w_cum)
+        ),
+        6,
+    )
+    return (
+        risk.withColumn("survival", surv)
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("churned"),
+            "survival",
+        )
+        .orderBy("t")
+    )
+
+
+# --- naive-forecast error metrics ----------------------------------------------------
+
+FORECAST_METRICS_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS d_day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT r, LAG(r, 1) OVER (ORDER BY d_day) AS f1,
+            LAG(r, 7) OVER (ORDER BY d_day) AS f7
+  FROM d
+)
+SELECT 'naive_lag1' AS model, CAST(COUNT(f1) AS BIGINT) AS n,
+       ROUND(AVG(ABS(r - f1)), 2) AS mae,
+       ROUND(SQRT(AVG(POW(r - f1, 2))), 2) AS rmse,
+       ROUND(AVG(ABS(r - f1) / r), 6) AS mape
+FROM l WHERE f1 IS NOT NULL
+UNION ALL
+SELECT 'seasonal_lag7', CAST(COUNT(f7) AS BIGINT),
+       ROUND(AVG(ABS(r - f7)), 2),
+       ROUND(SQRT(AVG(POW(r - f7, 2))), 2),
+       ROUND(AVG(ABS(r - f7) / r), 6)
+FROM l WHERE f7 IS NOT NULL
+"""
+
+
+@register("stats_forecast_metrics", FORECAST_METRICS_ORACLE)
+def stats_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest error metrics (MAE / RMSE / MAPE) of the two standard
+    baseline forecasters — naive lag-1 and seasonal lag-7 — over the
+    exact daily-revenue series: the evaluation harness every real
+    forecast must beat. One window sort over the bounded per-day frame
+    serves both models; metrics are plain aggregates."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("d_day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    w = Window.orderBy("d_day")
+    l = d.select(
+        "r",
+        F.lag("r", 1).over(w).alias("f1"),
+        F.lag("r", 7).over(w).alias("f7"),
+    )
+    def metrics(f, name):
+        x = l.where(F.col(f).isNotNull())
+        return x.agg(
+            F.lit(name).alias("model"),
+            F.count(f).cast("bigint").alias("n"),
+            F.round(F.avg(F.abs(F.col("r") - F.col(f))), 2).alias("mae"),
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("r") - F.col(f), 2))), 2
+            ).alias("rmse"),
+            F.round(
+                F.avg(F.abs(F.col("r") - F.col(f)) / F.col("r")), 6
+            ).alias("mape"),
+        )
+    return metrics("f1", "naive_lag1").unionByName(
+        metrics("f7", "seasonal_lag7")
+    )

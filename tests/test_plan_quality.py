@@ -359,6 +359,9 @@ ALLOWED_NESTED_LOOP = {
     # (the scale path is the IVF/LSH variant of each):
     "sim_cosine_topk",
     "dedup_embedding_cosine",
+    # same contract: broadcast query side × streamed corpus, label filter
+    # applied before the ranking window
+    "sim_hard_negatives",
     # single-row scalar-subquery broadcasts (global avg / global doc count)
     # — a 1-row nested loop is the canonical plan, not a defect:
     "q22_idle_customers",

@@ -654,3 +654,83 @@ def test_minmax_ivm_mixed_delete_max_and_insert(spark):
         [("delete", "g1", 20.0, None), ("insert", "g1", None, 15.0)],
     )
     assert got == want and got["g1"] == (15.0, 2)
+
+
+# --- hard negatives / Kaplan-Meier / forecast metrics -------------------------
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import sim_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),        # query (vec_id % 997 == 0)
+        (1, [1.0, 0.01], 1),       # most similar BUT same label → excluded
+        (2, [1.0, 0.1], 2),        # best valid negative
+        (3, [0.9, 0.3], 2),
+        (4, [0.0, 1.0], 3),
+        (5, [-1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = sim_hard_negatives(spark, str(tmp_path)).collect()
+    assert all(r["qid"] == 0 for r in got)
+    ids = [r["cid"] for r in got]
+    assert 1 not in ids and 0 not in ids       # same label + self excluded
+    assert ids[0] == 2 and len(ids) == 3       # hardest negative first
+
+
+def test_kaplan_meier_textbook_fixture(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import stats_kaplan_meier
+    import datetime as dt
+
+    # corpus end = day 30. Users: A active day0..5 (churn t=5),
+    # B day0..5 (churn t=5), C day0..28 (censored, gap 2 ≤ 7),
+    # D day10..15 (churn t=5 — same t as A/B), E day0..20 (churn t=20)
+    spans = {1: (0, 5), 2: (0, 5), 3: (0, 28), 4: (10, 15), 5: (0, 20)}
+    rows = []
+    eid = 0
+    for u, (a, b) in spans.items():
+        for day in (a, b):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), u, "t", 1.0)
+            )
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 31), 99, "t", 1.0))  # pins ref_end
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["t"]: r for r in stats_kaplan_meier(spark, str(tmp_path)).collect()}
+    # six subjects; user 99 is CENSORED at t=0 (active at corpus end), so
+    # the curve has steps only at churn times t=5 and t=20
+    assert set(got) == {5, 20}
+    # t=5: A, B, D churn together; at risk = 6 − (user 99 censored at 0) = 5
+    assert got[5]["n_risk"] == 5 and got[5]["churned"] == 3
+    assert got[5]["survival"] == pytest.approx(2 / 5, abs=1e-6)
+    # t=20: remaining at risk = C (censored at 30) and E → n=2, d=1
+    assert got[20]["n_risk"] == 2 and got[20]["churned"] == 1
+    assert got[20]["survival"] == pytest.approx(1 / 5, abs=1e-6)
+
+
+def test_forecast_metrics_hand_computed(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import stats_forecast_metrics
+    import datetime as dt
+
+    series = [100.0, 110.0, 90.0, 100.0]
+    rows = [
+        (i, 1, "O", v, dt.datetime(1995, 1, 1 + i)) for i, v in enumerate(series)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r["model"]: r for r in stats_forecast_metrics(spark, str(tmp_path)).collect()}
+    lag1 = got["naive_lag1"]
+    # errors: |110-100|, |90-110|, |100-90| = 10, 20, 10
+    assert lag1["n"] == 3
+    assert lag1["mae"] == pytest.approx(40 / 3, abs=0.01)
+    assert lag1["rmse"] == pytest.approx((600 / 3) ** 0.5, abs=0.01)
+    assert lag1["mape"] == pytest.approx((10 / 110 + 20 / 90 + 10 / 100) / 3, abs=1e-6)
+    assert "seasonal_lag7" not in got or got["seasonal_lag7"]["n"] == 0
