@@ -1653,3 +1653,85 @@ def stats_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics("f1", "naive_lag1").unionByName(
         metrics("f7", "seasonal_lag7")
     )
+
+
+# --- reciprocal rank fusion (hybrid search) -----------------------------------------
+
+RRF_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split({_NORM}, ' '))) AS n_distinct,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+  WHERE t IN ('merge', 'stream', 'vector')
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+bm25 AS (
+  SELECT tf.doc_id,
+    ROUND(SUM(LN(1e0 + ((SELECT n FROM stats) - df + 0.5e0) / (df + 0.5e0))
+              * tf * 2.2e0
+              / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (SELECT avgdl FROM stats)))),
+          6) AS score
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT b.doc_id,
+         ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS r_bm25,
+         ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, b.doc_id) AS r_len,
+         ROW_NUMBER() OVER (ORDER BY d.n_distinct DESC, b.doc_id) AS r_div
+  FROM bm25 b JOIN docs d USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(1.0 / (60 + r_bm25) + 1.0 / (60 + r_len) + 1.0 / (60 + r_div), 6)
+         AS rrf
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("search_rrf_fusion", RRF_ORACLE)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the standard
+    hybrid-search combiner: three ranking signals (BM25 relevance,
+    document length, lexical diversity) fuse as Σ 1/(60 + rank_i) over
+    the BM25 match set. Every rank orders by a ROUNDED score with a
+    doc_id tie-break, so rank positions — and therefore the fused score —
+    are reproducible across engines (raw-float ordering would let a
+    1-ulp difference swap two ranks). The rank windows run over the
+    bounded match set, not the corpus."""
+    from airflow_dags_spark.functions.text import tokens
+    from airflow_dags_spark.operators.inverted import bm25_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, "text", "doc_id", ["merge", "stream", "vector"])
+    meta = d.select(
+        F.col("doc_id").alias("doc"),
+        "n_chars",
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct"),
+    )
+    j = scored.join(meta, "doc")
+    r_bm25 = F.row_number().over(Window.orderBy(F.desc("score"), "doc"))
+    r_len = F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc"))
+    r_div = F.row_number().over(Window.orderBy(F.desc("n_distinct"), "doc"))
+    ranked = j.select(
+        "doc",
+        r_bm25.alias("r_bm25"),
+        r_len.alias("r_len"),
+        r_div.alias("r_div"),
+    )
+    rrf = F.round(
+        1.0 / (60 + F.col("r_bm25"))
+        + 1.0 / (60 + F.col("r_len"))
+        + 1.0 / (60 + F.col("r_div")),
+        6,
+    )
+    return ranked.select(
+        F.col("doc").alias("doc_id"), rrf.alias("rrf")
+    ).orderBy("doc_id")

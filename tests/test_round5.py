@@ -734,3 +734,25 @@ def test_forecast_metrics_hand_computed(spark, tmp_path):
     assert lag1["rmse"] == pytest.approx((600 / 3) ** 0.5, abs=0.01)
     assert lag1["mape"] == pytest.approx((10 / 110 + 20 / 90 + 10 / 100) / 3, abs=1e-6)
     assert "seasonal_lag7" not in got or got["seasonal_lag7"]["n"] == 0
+
+
+def test_rrf_fusion_hand_computed(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import search_rrf_fusion
+
+    rows = [
+        (1, "merge merge merge pad", "en", "s", 100),
+        (2, "merge pad pad pad pad pad", "en", "s", 300),
+        (3, "stream alpha beta gamma delta", "en", "s", 200),
+        (4, "nothing relevant here", "en", "s", 999),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["rrf"] for r in search_rrf_fusion(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}  # only BM25 matches fuse
+    # hand-derived ranks — bm25: doc3(idf of the rare 'stream' wins)=1,
+    # doc1=2, doc2=3; length: doc2=1, doc3=2, doc1=3; diversity: doc3(5
+    # distinct)=1, then the 2-distinct tie breaks by id → doc1=2, doc2=3
+    assert got[1] == pytest.approx(1 / 62 + 1 / 63 + 1 / 62, abs=2e-6)
+    assert got[3] == pytest.approx(1 / 61 + 1 / 62 + 1 / 61, abs=2e-6)
+    assert got[2] == pytest.approx(1 / 63 + 1 / 61 + 1 / 63, abs=2e-6)
