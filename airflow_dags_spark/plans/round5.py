@@ -1,9 +1,20 @@
-"""Round-5 registry additions: two-sample tests (Mann-Whitney, Welch),
-closed-form multi-feature OLS, autocorrelation, exact CUSUM changepoint,
-BM25 ranking, Zipf fit, Gopher-style quality rules, sorted-neighborhood
-dedup, bag-of-words cluster histogram, co-occurrence triangle counting +
-degree distribution, l-diversity audit, embedding norm profiles, URL
-parsing sweep, LATERAL top-n.
+"""Round-5 registry additions — statistics, retrieval, record linkage,
+privacy, graph, and training-pipeline operators:
+
+- two-sample tests (Mann-Whitney with histogram midranks, Welch),
+  Spearman, closed-form two-feature OLS, autocorrelation, exact-cents
+  CUSUM changepoint, Gini, mutual information, Benford digits,
+  Kaplan-Meier churn survival, naive-forecast backtest metrics;
+- BM25 ranking, reciprocal rank fusion, Zipf fit, Gopher rule census,
+  Jensen-Shannon source divergence;
+- sorted-neighborhood near-dup pairs, bag-of-words cluster histogram,
+  leakage-safe train/val split, deterministic seeded training order,
+  hard-negative mining;
+- co-occurrence triangle counting (degree-ordered) + degree histogram,
+  association rules with confidence/lift;
+- l-diversity audit, embedding norm profiles, parse_url sweep, LATERAL
+  top-n, IGNORE-NULLS window value functions, collation-aware grouping,
+  MIN/MAX incremental view maintenance under deletes.
 
 Registered LAST (after plans/round4 in registry.load_all) so these append
 AFTER every existing query in the driver's self-rotating verification

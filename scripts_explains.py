@@ -102,6 +102,14 @@ NAMES = [
     "graph_triangle_count",
     "text_js_divergence",
     "window_value_functions",
+    "export_training_order",
+    "split_leakage_safe",
+    "basket_association_rules",
+    "ivm_minmax_delete",
+    "agg_equidepth_buckets",
+    "sim_hard_negatives",
+    "stats_kaplan_meier",
+    "search_rrf_fusion",
 ]
 
 HEADER = """# EXPLAINS — physical plans of the headline queries
