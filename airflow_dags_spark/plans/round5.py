@@ -1746,3 +1746,163 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("doc").alias("doc_id"), rrf.alias("rrf")
     ).orderBy("doc_id")
+
+
+# --- k-NN label-prediction evaluation ----------------------------------------------
+
+KNN_EVAL_ORACLE = """
+WITH c AS (SELECT vec_id AS cid, label AS clabel, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 499 = 0),
+     sims AS (
+       SELECT qid, qlabel, cid, clabel,
+              ROUND(
+                CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                     THEN list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     ELSE 0.0 END, 6) + 0.0 AS sim
+       FROM q, c WHERE cid <> qid
+     ),
+     top5 AS (
+       SELECT qid, qlabel, clabel FROM (
+         SELECT qid, qlabel, clabel,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+         FROM sims
+       ) t WHERE rn <= 5
+     ),
+     votes AS (
+       SELECT qid, qlabel, clabel, COUNT(*) AS v FROM top5 GROUP BY qid, qlabel, clabel
+     ),
+     pred AS (
+       SELECT qid, qlabel, clabel AS predicted FROM (
+         SELECT qid, qlabel, clabel,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, clabel ASC) AS rn
+         FROM votes
+       ) t WHERE rn = 1
+     )
+SELECT qid, CAST(qlabel AS INT) AS actual, CAST(predicted AS INT) AS predicted,
+       qlabel = predicted AS correct
+FROM pred ORDER BY qid
+"""
+
+
+@register("sim_knn_label_eval", KNN_EVAL_ORACLE)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label prediction over the embedding column —
+    the standard embedding-quality probe (if 5-NN majority vote can't
+    recover the label, the encoder isn't separating classes). Same
+    broadcast-queries/streamed-corpus contract as cosine top-k; the
+    majority vote is a count aggregate over the 5-row neighbor sets with
+    a (votes DESC, label ASC) deterministic tie-break in both engines."""
+    from airflow_dags_spark.operators.similarity import as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cv"),
+    )
+    queries = emb.where(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    top5 = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "qlabel", "cid", "clabel", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("clabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("qlabel").cast("int").alias("actual"),
+            F.col("clabel").cast("int").alias("predicted"),
+            (F.col("qlabel") == F.col("clabel")).alias("correct"),
+        )
+    )
+    return pred.orderBy("qid")
+
+
+# --- cohort lifetime-value curves ---------------------------------------------------
+
+COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(DATE_TRUNC('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+sized AS (SELECT cohort, COUNT(*) AS cohort_n FROM firsts GROUP BY cohort),
+rev AS (
+  SELECT f.cohort,
+         (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort)) * 12
+           + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort))
+           AS age,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age,
+         SUM(r) OVER (PARTITION BY cohort ORDER BY age
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+  FROM rev
+)
+SELECT STRFTIME(cohort, '%Y-%m') AS cohort, CAST(age AS INT) AS age,
+       CAST(sized.cohort_n AS BIGINT) AS customers,
+       ROUND(CAST(cum_r AS DOUBLE) / sized.cohort_n, 2) AS ltv_per_customer
+FROM cum JOIN sized USING (cohort)
+WHERE age < 6
+ORDER BY cohort, age
+"""
+
+
+@register("cohort_ltv_curves", COHORT_LTV_ORACLE)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per customer by
+    months-since-first-order, per acquisition cohort — the revenue twin
+    of retention_cohorts. Revenue accumulates in exact DECIMAL per
+    (cohort, age); the running sum partitions BY COHORT (parallel,
+    bounded frames), and the per-customer division happens once at the
+    result boundary. First 6 ages keep the output census-sized."""
+    o = read_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    j = o.join(firsts, "o_custkey")
+    age = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    rev = j.groupBy("cohort", age.alias("age")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_r", F.sum("r").over(w))
+    return (
+        cum.join(F.broadcast(sized), "cohort")
+        .where(F.col("age") < 6)
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            F.col("age"),
+            F.col("cohort_n").cast("bigint").alias("customers"),
+            F.round(
+                F.col("cum_r").cast("double") / F.col("cohort_n"), 2
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )

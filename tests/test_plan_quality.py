@@ -362,6 +362,7 @@ ALLOWED_NESTED_LOOP = {
     # same contract: broadcast query side × streamed corpus, label filter
     # applied before the ranking window
     "sim_hard_negatives",
+    "sim_knn_label_eval",
     # single-row scalar-subquery broadcasts (global avg / global doc count)
     # — a 1-row nested loop is the canonical plan, not a defect:
     "q22_idle_customers",

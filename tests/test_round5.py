@@ -756,3 +756,55 @@ def test_rrf_fusion_hand_computed(spark, tmp_path):
     assert got[1] == pytest.approx(1 / 62 + 1 / 63 + 1 / 62, abs=2e-6)
     assert got[3] == pytest.approx(1 / 61 + 1 / 62 + 1 / 61, abs=2e-6)
     assert got[2] == pytest.approx(1 / 63 + 1 / 61 + 1 / 63, abs=2e-6)
+
+
+def test_knn_label_eval_majority_and_tiebreak(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import sim_knn_label_eval
+
+    # query 0 (label 9): neighbors by similarity are three label-1 then
+    # two label-2 → majority 1; crafted so vote counting, self-exclusion
+    # and the (votes DESC, label ASC) tie rule are all exercised
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.01], 1),
+        (2, [1.0, 0.02], 1),
+        (3, [1.0, 0.03], 1),
+        (4, [1.0, 0.04], 2),
+        (5, [1.0, 0.05], 2),
+        (6, [-1.0, 0.0], 3),   # far away, outside top-5
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = sim_knn_label_eval(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["qid"] == 0
+    assert got[0]["predicted"] == 1 and got[0]["actual"] == 9
+    assert got[0]["correct"] is False
+
+
+def test_cohort_ltv_cumulative_and_per_customer(spark, tmp_path):
+    from airflow_dags_spark.plans.round5 import cohort_ltv_curves
+    import datetime as dt
+
+    # cohort 1995-01: customers 1, 2. c1 spends 100 (age 0) + 50 (age 1);
+    # c2 spends 200 (age 0). cohort 1995-02: c3 spends 80 (age 0).
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(1995, 1, 10)),
+        (2, 1, "O", 50.0, dt.datetime(1995, 2, 5)),
+        (3, 2, "O", 200.0, dt.datetime(1995, 1, 20)),
+        (4, 3, "O", 80.0, dt.datetime(1995, 2, 15)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r["cohort"], r["age"]): r
+        for r in cohort_ltv_curves(spark, str(tmp_path)).collect()
+    }
+    assert got[("1995-01", 0)]["ltv_per_customer"] == pytest.approx(150.0)
+    assert got[("1995-01", 1)]["ltv_per_customer"] == pytest.approx(175.0)
+    assert got[("1995-01", 0)]["customers"] == 2
+    assert got[("1995-02", 0)]["ltv_per_customer"] == pytest.approx(80.0)
