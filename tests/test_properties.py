@@ -407,3 +407,126 @@ def test_null_split_join_equals_plain_left_join(spark, lrows, rrows):
         key=lambda t: tuple((x is None, x) for x in t),
     )
     assert got == want
+
+
+# --- round-5 statistics: randomized cross-checks ------------------------------
+
+
+def _midranks_py(vals):
+    return {
+        v: sum(1 for u in vals if u < v) + (sum(1 for u in vals if u == v) + 1) / 2
+        for v in set(vals)
+    }
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=12),
+    b=st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=12),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mann_whitney_matches_reference_on_random_tied_samples(spark, a, b):
+    """U from the histogram-midrank cascade equals the O(n²) textbook
+    computation on arbitrary tie-heavy samples, and U_a + U_b = n_a·n_b."""
+    from airflow_dags_spark.functions.stats import mann_whitney_u
+
+    av, bv = [float(x) for x in a], [float(x) for x in b]
+    rows = [("a", v) for v in av] + [("b", v) for v in bv]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").first()
+    ranks = _midranks_py(av + bv)
+    u_a = sum(ranks[v] for v in av) - len(av) * (len(av) + 1) / 2
+    assert got["u_a"] == u_a
+    assert got["u_a"] + got["u_b"] == len(av) * len(bv)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=4,
+        max_size=15,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_spearman_matches_midrank_pearson(spark, pairs):
+    import numpy as np
+    import pytest as _pt
+
+    from airflow_dags_spark.functions.stats import spearman_corr
+
+    xs = [float(x) for x, _ in pairs]
+    ys = [float(y) for _, y in pairs]
+    rx = _midranks_py(xs)
+    ry = _midranks_py(ys)
+    rxv = np.array([rx[v] for v in xs])
+    ryv = np.array([ry[v] for v in ys])
+    if rxv.std() == 0 or ryv.std() == 0:
+        return  # constant ranks → rho undefined; engine returns null
+    want = float(np.corrcoef(rxv, ryv)[0, 1])
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y").first()
+    assert got["rho"] == _pt.approx(want, abs=1e-5)
+
+
+@given(
+    base=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    del_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+    inserts=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3", "g4"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=5,
+    ),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_minmax_ivm_equals_recompute_on_random_change_sets(
+    spark, base, del_mask, inserts
+):
+    """For ANY base + delete-subset + insert set, maintained MAX state is
+    indistinguishable from a recompute — including deletes that hit the
+    group max, vanish a group, or arrive with inserts simultaneously."""
+    from pyspark.sql import functions as F
+
+    from airflow_dags_spark.operators.maintenance import (
+        merge_minmax_state,
+        minmax_state,
+    )
+
+    rows = [(k, float(v), i) for i, (k, v) in enumerate(base)]
+    bdf = spark.createDataFrame(rows, "k string, v double, rid bigint")
+    state = minmax_state(bdf, {"k": F.col("k")}, F.col("v"))
+    deleted = [r for i, r in enumerate(rows) if del_mask[i % len(del_mask)] and i % 2 == 0]
+    kept = [r for r in rows if r not in deleted]
+    ins = [(k, float(v)) for k, v in inserts]
+    changes_rows = [("delete", k, v, None) for k, v, _ in deleted] + [
+        ("insert", k, None, v) for k, v in ins
+    ]
+    if not changes_rows:
+        return
+    changes = spark.createDataFrame(
+        changes_rows, "change_type string, k string, old_v double, new_v double"
+    )
+    after = spark.createDataFrame(
+        [(k, v) for k, v, _ in kept] + ins, "k string, v double"
+    )
+    got = merge_minmax_state(
+        state, changes, after, ["k"], {"k": F.col("k")},
+        F.col("old_v"), F.col("new_v"),
+        base_group_exprs={"k": F.col("k")}, base_val=F.col("v"),
+    )
+    want = after.groupBy("k").agg(
+        F.max("v").alias("max_v"), F.count("*").alias("cnt")
+    )
+    lhs = {(r["k"]): (r["max_v"], r["cnt"]) for r in got.collect()}
+    rhs = {(r["k"]): (r["max_v"], r["cnt"]) for r in want.collect()}
+    assert lhs == rhs
