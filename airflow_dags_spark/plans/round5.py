@@ -1951,3 +1951,32 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "price_bin")
     )
+
+
+# --- multiset set operations (EXCEPT ALL / INTERSECT ALL) ---------------------------
+
+SET_ALL_SQL = """
+WITH hi AS (SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 150000),
+     fin AS (SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F')
+SELECT 'except_all' AS op, pri, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT pri FROM hi EXCEPT ALL SELECT pri FROM fin) AS e
+GROUP BY pri
+UNION ALL
+SELECT 'intersect_all', pri, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT pri FROM hi INTERSECT ALL SELECT pri FROM fin) AS i
+GROUP BY pri
+ORDER BY op, pri
+"""
+
+
+@register("set_ops_multiset_all", SET_ALL_SQL)
+def set_ops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the MULTISET set operations (bag
+    semantics: multiplicities subtract / take the minimum), the corner
+    that distinguishes them from the DISTINCT set ops already covered by
+    set_except/set_intersect. The SAME SQL text runs on both engines;
+    Catalyst plans both as aggregate-counted anti/semi forms (no row
+    explosion). Counting the survivors per key makes the multiplicity
+    arithmetic itself the thing being hash-checked."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SET_ALL_SQL)
