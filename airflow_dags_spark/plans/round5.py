@@ -1980,3 +1980,52 @@ def set_ops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic itself the thing being hash-checked."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(SET_ALL_SQL)
+
+
+# --- class-balanced downsampling -----------------------------------------------------
+
+BALANCED_ORACLE = """
+WITH m AS (
+  SELECT MIN(c) AS cap FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY label)
+),
+r AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY md5('bal|' || vec_id), vec_id)
+           AS rn
+  FROM embeddings
+)
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM r WHERE rn <= (SELECT cap FROM m)
+GROUP BY label ORDER BY label
+"""
+
+
+@register("training_balanced_downsample", BALANCED_ORACLE)
+def training_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, selected by a DETERMINISTIC md5 order (so the
+    same corpus always yields the same balanced subset — reproducible
+    and cross-engine checkable, unlike rand()). The per-label ranking
+    window partitions by label (parallel); the cap is a bounded one-row
+    aggregate folded into a literal. The id-sum column makes the hash
+    compare the SELECTION itself, not just the counts."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cap = int(
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("m"))
+        .first()["m"]
+    )
+    key = F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("label").orderBy(key, "vec_id")
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("label")
+    )
