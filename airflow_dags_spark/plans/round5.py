@@ -2029,3 +2029,106 @@ def training_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- data-freshness audit -----------------------------------------------------------
+
+FRESHNESS_ORACLE = """
+WITH ref AS (SELECT MAX(ts) AS corpus_max FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest,
+       CAST(date_diff('minute', date_trunc('minute', MAX(ts)),
+                      date_trunc('minute', (SELECT corpus_max FROM ref)))
+            AS BIGINT) AS lag_minutes,
+       date_diff('minute', date_trunc('minute', MAX(ts)),
+                 date_trunc('minute', (SELECT corpus_max FROM ref))) <= 240
+         AS fresh
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("dq_freshness_lag", FRESHNESS_ORACLE)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit — the DQ dimension the expectation
+    sweep doesn't cover: how far each event stream's newest record lags
+    the corpus high-water mark (a stuck upstream shows up as one stale
+    stream while the others advance). ONE aggregate; the corpus maximum
+    is a bounded 1-row collect folded into a literal; timestamps cross
+    the result boundary as formatted strings (session TZ is UTC on both
+    engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    corpus_max = ev.agg(F.max("ts").alias("m")).first()["m"]
+    ref = corpus_max.strftime("%Y-%m-%d %H:%M:%S.%f")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("__latest"),
+    )
+    # minute-truncated timestampdiff == DuckDB's minute-boundary
+    # date_diff on truncated values — identical whole-minute semantics;
+    # raw NTZ timestamps never cast to numerics (invalid for NTZ)
+    lag = F.expr(
+        "timestampdiff(MINUTE, date_trunc('minute', __latest),"
+        f" date_trunc('minute', TIMESTAMP_NTZ '{ref}'))"
+    ).cast("bigint")
+    return agg.select(
+        "event_type",
+        "n",
+        F.date_format("__latest", "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        lag.alias("lag_minutes"),
+        (lag <= 240).alias("fresh"),
+    ).orderBy("event_type")
+
+
+# --- strict-sequence pattern matching -----------------------------------------------
+
+SEQ_PATTERN_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events WHERE user_id IS NOT NULL
+),
+hits AS (
+  SELECT user_id, COUNT(*) AS n_matches
+  FROM s
+  WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_matches) AS BIGINT) AS n_sequences,
+       CAST(MAX(n_matches) AS BIGINT) AS max_per_user
+FROM hits
+"""
+
+
+@register("events_seq_pattern_match", SEQ_PATTERN_ORACLE)
+def events_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY CONSECUTIVE event-sequence matching (view → click →
+    purchase with no intervening event) — the MATCH_RECOGNIZE-style
+    contract the funnel query deliberately does NOT have (funnels allow
+    gaps; this is the lead-chain row-pattern form). Per-user windows
+    partition in parallel; the pattern predicate is a scan-stage filter
+    after the leads; two bounded aggregates finish."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    hits = (
+        s.where(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_matches").cast("bigint").alias("n_sequences"),
+        F.max("n_matches").cast("bigint").alias("max_per_user"),
+    )
