@@ -2132,3 +2132,163 @@ def events_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_matches").cast("bigint").alias("n_sequences"),
         F.max("n_matches").cast("bigint").alias("max_per_user"),
     )
+
+
+# --- Lorenz curve deciles ------------------------------------------------------------
+
+LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS HUGEINT) AS r
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT r, NTILE(10) OVER (ORDER BY r, o_custkey) AS decile FROM rev
+),
+tot AS (SELECT SUM(r) AS t FROM rk)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(r) AS DOUBLE) / (SELECT t FROM tot), 6) AS rev_share,
+       ROUND(CAST(SUM(SUM(r)) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT t FROM tot), 6) AS cum_share
+FROM rk GROUP BY decile ORDER BY decile
+"""
+
+
+@register("stats_lorenz_deciles", LORENZ_ORACLE)
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer decile — the distribution curve BEHIND
+    the Gini query (share and cumulative share of revenue held by each
+    poorest-to-richest tenth). Revenue is exact integer cents; the
+    decile comes from the bucketed prefix-sum sequence numbers + the
+    SQL-standard ntile remainder formula (hash-identical to the oracle's
+    NTILE window — same machinery the global-ntile and Gini queries
+    proved), so the only SinglePartition work is bounded aggregates and
+    the 10-row cumulative window."""
+    from airflow_dags_spark.functions.scalable_windows import (
+        bucketed_running_sum,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("r"))
+    stats = rev.agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("t"),
+    ).first()
+    lo, hi, n_cust, total = (
+        float(stats["lo"]), float(stats["hi"]), int(stats["n"]),
+        float(stats["t"]),
+    )
+    width = ((hi - lo) / 512.0) or 1.0
+    bucket = F.least(
+        F.floor((F.col("r").cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(511),
+    ).cast("int")
+    ranked = bucketed_running_sum(
+        rev.withColumn("__one", F.lit(1)),
+        "__one",
+        ["r", "o_custkey"],
+        bucket,
+        "rnk",
+    )
+    k = 10
+    q, rem = divmod(n_cust, k)
+    big_span = rem * (q + 1)
+    decile = (
+        F.when(F.col("rnk") <= big_span, F.floor((F.col("rnk") - 1) / (q + 1)))
+        .otherwise(rem + F.floor((F.col("rnk") - big_span - 1) / q))
+        + 1
+    ).cast("int")
+    per = ranked.withColumn("decile", decile).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("r").alias("dr")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("dr").cast("double") / F.lit(total), 6).alias("rev_share"),
+        F.round(
+            F.sum("dr").over(wcum).cast("double") / F.lit(total), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+# --- Kolmogorov-Smirnov goodness-of-fit vs exponential -------------------------------
+
+KS_EXP_ORACLE = """
+WITH seq AS (
+  SELECT event_type, event_id, ts,
+         LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+),
+d AS (
+  SELECT event_type, event_id,
+         CAST(date_diff('microsecond', prev, ts) AS DOUBLE) AS gap
+  FROM seq WHERE prev IS NOT NULL
+),
+m AS (SELECT event_type, AVG(gap) AS mu, COUNT(*) AS n FROM d GROUP BY event_type),
+r AS (
+  SELECT d.event_type, d.gap, m.mu, m.n,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.gap, d.event_id)
+           AS i
+  FROM d JOIN m USING (event_type)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MAX(mu) / 1e6, 6) AS mean_gap_sec,
+       ROUND(MAX(GREATEST(
+         ABS(CAST(i AS DOUBLE) / n - (1.0 - EXP(-gap / mu))),
+         ABS((CAST(i AS DOUBLE) - 1.0) / n - (1.0 - EXP(-gap / mu)))
+       )), 6) AS ks_d
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stats_ks_exponential_gof", KS_EXP_ORACLE)
+def stats_ks_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov GOODNESS-OF-FIT of per-stream interarrival
+    times against the exponential with the stream's own rate — "is this
+    event stream Poisson?" (the two-sample KS drift query cannot answer
+    this). Gaps are EXACT microsecond integers (NTZ-safe boundary
+    counting in both engines, never a numeric cast of a timestamp); the
+    empirical CDF ranks partition per stream with a (gap, event_id)
+    total order, and D takes the supremum on both sides of each step —
+    the textbook one-sample statistic."""
+    ev = read_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "event_id", "ts",
+        F.lag("ts").over(wseq).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    d = seq.select(
+        "event_type", "event_id",
+        F.expr("timestampdiff(MICROSECOND, prev, ts)")
+        .cast("double")
+        .alias("gap"),
+    )
+    m = d.groupBy("event_type").agg(
+        F.avg("gap").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap", "event_id")
+    r = d.join(F.broadcast(m), "event_type").withColumn(
+        "i", F.row_number().over(wr)
+    )
+    fexp = 1.0 - F.exp(-F.col("gap") / F.col("mu"))
+    step = F.greatest(
+        F.abs(F.col("i").cast("double") / F.col("n") - fexp),
+        F.abs((F.col("i").cast("double") - 1.0) / F.col("n") - fexp),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.max("mu") / 1e6, 6).alias("mean_gap_sec"),
+            F.round(F.max(step), 6).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )

@@ -808,3 +808,47 @@ def test_cohort_ltv_cumulative_and_per_customer(spark, tmp_path):
     assert got[("1995-01", 1)]["ltv_per_customer"] == pytest.approx(175.0)
     assert got[("1995-01", 0)]["customers"] == 2
     assert got[("1995-02", 0)]["ltv_per_customer"] == pytest.approx(80.0)
+
+
+def test_lorenz_deciles_monotone_and_sum_to_one(spark, sf_dir):
+    from airflow_dags_spark.plans.round5 import stats_lorenz_deciles
+
+    rows = sorted(
+        stats_lorenz_deciles(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["rev_share"] for r in rows]
+    # sorted ascending by revenue → decile shares must be non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert rows[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    cums = [r["cum_share"] for r in rows]
+    for i in range(1, 10):
+        assert cums[i] == pytest.approx(cums[i - 1] + shares[i], abs=2e-6)
+
+
+def test_ks_exponential_gof_detects_fit_quality(spark, tmp_path):
+    """An exactly exponential stream must score a small D; a perfectly
+    regular (constant-gap) stream a large one."""
+    from airflow_dags_spark.plans.round5 import stats_ks_exponential_gof
+    import datetime as dt
+    import math as m
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # deterministic exponential gaps via inverse CDF over a uniform grid
+    t = t0
+    for i in range(1, 200):
+        t += dt.timedelta(seconds=-10.0 * m.log(i / 200.0))
+        rows.append((eid, t, 1, "expo", 1.0)); eid += 1
+    t = t0
+    for i in range(200):
+        t += dt.timedelta(seconds=10)
+        rows.append((eid, t, 1, "regular", 1.0)); eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in stats_ks_exponential_gof(spark, str(tmp_path)).collect()}
+    # regular gaps vs exponential: D -> |e^-1 - ...| ~ 0.37 region
+    assert got["regular"]["ks_d"] > 0.25
+    assert got["expo"]["ks_d"] < 0.12
+    assert got["expo"]["mean_gap_sec"] == pytest.approx(10.0, rel=0.25)
