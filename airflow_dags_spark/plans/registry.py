@@ -64,4 +64,5 @@ def load_all() -> None:
         round3,
         round4,
         round5,
+        round6,
     )

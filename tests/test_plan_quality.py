@@ -376,6 +376,16 @@ ALLOWED_NESTED_LOOP = {
     "outlier_iqr_gate",
     # 1-row nine-quantile frame broadcast against the customer aggregate:
     "customer_rfm_segments",
+    # 1-row means frame broadcast back over the fact scan (two-pass
+    # centered statistics — the second pass streams, the 1-row join is
+    # the canonical plan):
+    "stats_anova_f",
+    "stats_corr_matrix",
+    # calendar-bounded O(n^2) pair statistics: the non-equi self-pair runs
+    # over the ~100-row monthly / ~2.4k-row daily AGGREGATE (broadcast),
+    # never the raw fact rows — quadratic in the calendar only:
+    "stats_theilsen_monthly",
+    "stats_kendall_tau_daily",
 }
 
 
@@ -607,3 +617,115 @@ def test_snm_window_pairing_is_equi_join(spark):
 def test_window_value_functions_partitioned(spark):
     plan = plan_of(spark, "window_value_functions")
     assert "Exchange SinglePartition" not in plan  # per-user windows only
+
+
+# --- round-6 plan gates ---------------------------------------------------------
+
+
+def test_anova_two_pass_broadcasts_means(spark):
+    """Pass 2 must stream the fact rows against BROADCAST group means —
+    a shuffle join on the k-row means table would serialize the scan."""
+    plan = plan_of(spark, "stats_anova_f")
+    assert "BroadcastHashJoin" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_corr_matrix_single_second_pass(spark):
+    """All ten centered co-moments must come out of ONE aggregate over
+    the fact scan (one partial+final pair per pass, no per-pair jobs)."""
+    plan = plan_of(spark, "stats_corr_matrix")
+    _single_partitions_fed_by_aggregates_only(plan)
+    # exactly two scans of lineitem: the means pass and the co-moment pass
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_moments_family_broadcasts_group_means(spark):
+    plan = plan_of(spark, "agg_moments_family")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan  # grouped output only
+
+
+def test_decompose_windows_over_daily_aggregate_only(spark):
+    """The ordered trend window may be SinglePartition ONLY because it
+    sits above the daily aggregate (calendar-bounded); the seasonal join
+    must broadcast its 7-row side."""
+    plan = plan_of(spark, "timeseries_decompose_ma")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ccf_lag_fanout_is_equi_join(spark):
+    """The lag fan-out joins shifted DAILY aggregates on an equality key
+    — never a range join against raw events."""
+    plan = plan_of(spark, "stats_ccf_lags")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_groups_frame_one_exchange_for_both_windows(spark):
+    """dense_rank and the RANGE frame share the custkey partitioning —
+    exactly one hash exchange, no SinglePartition."""
+    plan = plan_of(spark, "window_groups_frame")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_holt_fold_single_exchange(spark):
+    """The struct fold happens inside the per-priority aggregate — one
+    hash exchange keyed by (pri, month) then pri, no Python UDF."""
+    plan = plan_of(spark, "timeseries_holt_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_theilsen_pairs_over_aggregate_not_raw_rows(spark):
+    """The quadratic slope fan-out must consume the MONTHLY aggregate —
+    a partial_sum must appear below the pair join, and the orders scan
+    happens exactly once."""
+    plan = plan_of(spark, "stats_theilsen_monthly")
+    assert "partial_sum" in plan
+    # the self-pair duplicates the monthly-rollup lineage: exactly the two
+    # aggregate subtrees, never a third raw-row scan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_kendall_pairs_over_daily_aggregate(spark):
+    plan = plan_of(spark, "stats_kendall_tau_daily")
+    assert "partial_sum" in plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_temperature_mix_broadcasts_quota(spark):
+    """The |langs|-row quota frame must broadcast against the ranked docs;
+    the only doc-sized exchange is the per-lang ranking window."""
+    plan = plan_of(spark, "training_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_regr_by_nation_broadcasts_dims(spark):
+    plan = plan_of(spark, "regr_grouped_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_adamic_adar_wedge_is_equi_join_with_topk(spark):
+    """Wedge enumeration must be an equi-join on the shared customer
+    (quadratic per-basket only) and the top-50 a TakeOrderedAndProject."""
+    plan = plan_of(spark, "graph_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_clamped_fold_no_python_no_global_exchange(spark):
+    plan = plan_of(spark, "inventory_clamped_running_sum")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan  # per-supplier groups only
+
+
+def test_ewma_chart_single_partition_is_daily_aggregate(spark):
+    plan = plan_of(spark, "anomaly_ewma_control_chart")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,435 @@
+"""Round-6 operators: ANOVA, correlation matrix, central moments,
+classical decomposition, CCF, GROUPS-frame emulation, Holt smoothing —
+each checked against an independent pure-Python/NumPy computation (the
+DuckDB hash parity is covered by test_oracle_parity's registry sweep)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans import registry
+
+registry.load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- one-way ANOVA --------------------------------------------------------------
+
+
+def test_anova_matches_numpy_reference(spark):
+    rows = spark.sql(
+        f"SELECT event_type, value FROM parquet.`{SF_DIR}/events.parquet` "
+        "WHERE value IS NOT NULL"
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r.value)
+    arrs = [np.array(v) for v in groups.values()]
+    gm = np.concatenate(arrs).mean()
+    ssb = sum(len(a) * (a.mean() - gm) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    k, n = len(arrs), sum(len(a) for a in arrs)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+
+    got = registry.QUERIES["stats_anova_f"](spark, SF_DIR).first()
+    assert got.k_groups == k and got.n_total == n
+    assert got.ss_between == pytest.approx(ssb, abs=0.006)  # query rounds to 2 dp
+    assert got.ss_within == pytest.approx(ssw, abs=0.006)
+    assert got.f_stat == pytest.approx(f_ref, abs=1e-5)
+
+
+# --- correlation matrix ---------------------------------------------------------
+
+
+def test_corr_matrix_matches_numpy(spark):
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    pdf = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(*cols).toPandas()
+    ref = np.corrcoef(pdf[cols].to_numpy().T)
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in registry.QUERIES["stats_corr_matrix"](spark, SF_DIR).collect()
+    }
+    assert len(got) == 6
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            assert got[(a, names[j])] == pytest.approx(ref[i, j], abs=2e-6)
+
+
+# --- central moments ------------------------------------------------------------
+
+
+def test_moments_family_matches_numpy(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    got = {
+        r.flag: r for r in registry.QUERIES["agg_moments_family"](spark, SF_DIR).collect()
+    }
+    for flag, sub in pdf.groupby("l_returnflag"):
+        x = sub["l_extendedprice"].to_numpy()
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        assert got[flag].n == len(x)
+        assert got[flag].skewness_g1 == pytest.approx(m3 / m2**1.5, abs=2e-6)
+        assert got[flag].kurtosis_excess == pytest.approx(m4 / m2**2 - 3, abs=2e-6)
+
+
+# --- classical decomposition ----------------------------------------------------
+
+
+def test_decompose_identity_and_centered_seasonal(spark):
+    df = registry.QUERIES["timeseries_decompose_ma"](spark, SF_DIR)
+    pdf = df.toPandas()
+    # additive identity: y == trend + seasonal + resid (to rounding)
+    recon = pdf["trend"] + pdf["seasonal"] + pdf["resid"]
+    assert np.allclose(recon, pdf["y"], atol=0.02)
+    # seasonal indices: one value per weekday, centered to ~0 mean
+    per_wk = pdf.groupby("wk")["seasonal"].nunique()
+    assert (per_wk == 1).all()
+    assert abs(pdf.groupby("wk")["seasonal"].first().mean()) < 1e-3
+    # full 7-row windows only: first/last 3 calendar rows dropped
+    assert len(pdf) > 0
+
+
+def test_decompose_trend_is_7day_centered_ma(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    got = registry.QUERIES["timeseries_decompose_ma"](spark, SF_DIR).toPandas()
+    got_map = dict(zip(got["dt"], got["trend"]))
+    y = daily["y"].to_numpy()
+    for i in range(3, len(daily) - 3):
+        dt = str(daily["dt"][i])
+        assert got_map[dt] == pytest.approx(y[i - 3 : i + 4].mean(), abs=0.01)
+
+
+# --- cross-correlation ----------------------------------------------------------
+
+
+def test_ccf_lag_zero_matches_numpy_and_symmetry(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.to_date("ts").alias("dt"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("s"),
+        )
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    got = {r.lag: r for r in registry.QUERIES["stats_ccf_lags"](spark, SF_DIR).collect()}
+    assert set(got) == set(range(-3, 4))
+    p, s = daily["p"].to_numpy(float), daily["s"].to_numpy(float)
+    r0 = np.corrcoef(p, s)[0, 1]
+    assert got[0].r == pytest.approx(r0, abs=2e-6)
+    assert got[0].n_pairs == len(daily)
+    # lag +1: p(d) vs s(d+1) — shifted overlap
+    r1 = np.corrcoef(p[:-1], s[1:])[0, 1]
+    assert got[1].r == pytest.approx(r1, abs=2e-6)
+    assert got[1].n_pairs == len(daily) - 1
+
+
+# --- GROUPS-frame emulation -----------------------------------------------------
+
+
+def test_groups_frame_peers_collapse_into_one_step(spark):
+    """Three orders on day A, one on day B, one on day C: the GROUPS ±1
+    frame from a day-B row covers ALL FIVE rows (whole peer groups), where
+    a ROWS ±1 frame would cover three."""
+    rows = [
+        (1, 7, 10.0, "2024-01-01"),
+        (2, 7, 20.0, "2024-01-01"),
+        (3, 7, 30.0, "2024-01-01"),
+        (4, 7, 40.0, "2024-01-02"),
+        (5, 7, 50.0, "2024-01-03"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r.o_orderkey: r
+            for r in registry.QUERIES["window_groups_frame"](spark, d).collect()
+        }
+    # day-A rows: peers = A∪B = 4 rows, sum 100
+    for k in (1, 2, 3):
+        assert got[k].peer_cnt == 4 and got[k].peer_sum == 100.0
+    # day-B row: peers = A∪B∪C = all 5, sum 150
+    assert got[4].peer_cnt == 5 and got[4].peer_sum == 150.0
+    # day-C row: peers = B∪C = 2 rows, sum 90
+    assert got[5].peer_cnt == 2 and got[5].peer_sum == 90.0
+
+
+# --- Holt linear smoothing ------------------------------------------------------
+
+
+def _holt_reference(ys, alpha=0.5, beta=0.3):
+    l, b = ys[0], 0.0
+    for x in ys[1:]:
+        nl = alpha * x + (1 - alpha) * (l + b)
+        nb = beta * (nl - l) + (1 - beta) * b
+        l, b = nl, nb
+    return l, b
+
+
+def test_holt_matches_python_recursion(spark):
+    monthly = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+    )
+    got = {
+        r.pri: r for r in registry.QUERIES["timeseries_holt_linear"](spark, SF_DIR).collect()
+    }
+    for pri, sub in monthly.groupby("pri"):
+        ys = sub.sort_values("m")["y"].tolist()
+        l, b = _holt_reference(ys)
+        assert got[pri].n_months == len(ys)
+        assert got[pri].level_final == pytest.approx(l, abs=1e-3)
+        assert got[pri].trend_final == pytest.approx(b, abs=1e-3)
+        assert got[pri].forecast_h3 == pytest.approx(l + 3 * b, abs=1e-2)
+
+
+def test_holt_single_point_series(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 42.0, "2024-01-15")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = registry.QUERIES["timeseries_holt_linear"](spark, d).first()
+    assert got.n_months == 1
+    assert got.level_final == 42.0 and got.trend_final == 0.0
+    assert got.forecast_h3 == 42.0
+
+
+# --- Theil-Sen ------------------------------------------------------------------
+
+
+def test_theilsen_matches_numpy_pairwise_median(spark):
+    monthly = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    y = monthly["y"].to_numpy()
+    n = len(y)
+    slopes = [
+        (y[j] - y[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    got = registry.QUERIES["stats_theilsen_monthly"](spark, SF_DIR).first()
+    assert got.n_months == n
+    assert got.n_pairs == n * (n - 1) // 2
+    assert got.theil_sen_slope == pytest.approx(np.median(slopes), abs=1e-3)
+
+
+# --- Kendall tau-b --------------------------------------------------------------
+
+
+def test_kendall_matches_quadratic_reference(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+    )
+    c, r = daily["c"].to_numpy(), daily["rev"].to_numpy()
+    n = len(c)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (c[j] - c[i]) * (r[j] - r[i])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            elif c[i] == c[j] and r[i] != r[j]:
+                tx += 1
+            elif r[i] == r[j] and c[i] != c[j]:
+                ty += 1
+    got = registry.QUERIES["stats_kendall_tau_daily"](spark, SF_DIR).first()
+    assert (got.concordant, got.discordant) == (conc, disc)
+    assert (got.ties_x, got.ties_y) == (tx, ty)
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / (np.sqrt(n0 - tx) * np.sqrt(n0 - ty))
+    assert got.tau_b == pytest.approx(tau, abs=2e-6)
+
+
+# --- temperature mix ------------------------------------------------------------
+
+
+def test_temperature_mix_probs_and_quota_invariants(spark):
+    rows = registry.QUERIES["training_temperature_mix"](spark, SF_DIR).collect()
+    n = {r.lang: r.n_docs for r in rows}
+    w = {k: v**0.7 for k, v in n.items()}
+    tot = sum(w.values())
+    for r in rows:
+        assert r.prob == pytest.approx(w[r.lang] / tot, abs=2e-6)
+        assert r.quota == int(w[r.lang] / tot * 200)
+        assert r.picked == min(r.quota, r.n_docs)
+    # temperature flattens: the largest lang's share drops vs proportional
+    big = max(n, key=n.get)
+    prop = n[big] / sum(n.values())
+    got_prob = next(r.prob for r in rows if r.lang == big)
+    assert got_prob < prop
+
+
+def test_temperature_mix_selection_is_deterministic(spark):
+    a = registry.QUERIES["training_temperature_mix"](spark, SF_DIR).collect()
+    b = registry.QUERIES["training_temperature_mix"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- grouped regression ---------------------------------------------------------
+
+
+def test_regr_by_nation_matches_numpy_polyfit(spark):
+    got = {r.nation: r for r in registry.QUERIES["regr_grouped_by_nation"](spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nt = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    pdf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(nt, c.c_nationkey == nt.n_nationkey)
+        .groupBy(
+            F.col("n_name"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")).alias("mx"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+    )
+    for nat, sub in pdf.groupby("n_name"):
+        x, y = sub["mx"].to_numpy(float), sub["y"].to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[nat].n_months == len(sub)
+        assert got[nat].slope == pytest.approx(slope, abs=2e-3)
+        assert got[nat].intercept == pytest.approx(intercept, abs=0.25)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert got[nat].r2 == pytest.approx(r2, abs=2e-6)
+
+
+# --- Adamic-Adar ----------------------------------------------------------------
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in edges:
+        adj.setdefault(r.o_custkey, set()).add(r.l_partkey)
+    import itertools, math
+    from collections import defaultdict
+
+    aa = defaultdict(float)
+    common = defaultdict(int)
+    for cust, parts in adj.items():
+        if len(parts) < 2:
+            continue
+        wgt = 1.0 / math.log(len(parts))
+        for p1, p2 in itertools.combinations(sorted(parts), 2):
+            aa[(p1, p2)] += wgt
+            common[(p1, p2)] += 1
+    ref = sorted(
+        ((round(v, 6), k) for k, v in aa.items() if common[k] >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = registry.QUERIES["graph_adamic_adar"](spark, SF_DIR).collect()
+    assert len(got) == len(ref)
+    for row, (score, (p1, p2)) in zip(got, ref):
+        assert (row.p1, row.p2) == (p1, p2)
+        assert row.adamic_adar == pytest.approx(score, abs=2e-6)
+        assert row.common_neighbors == common[(p1, p2)]
+
+
+# --- clamped running fold -------------------------------------------------------
+
+
+def test_clamped_fold_matches_python_and_floors_at_zero(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pdf = (
+        li.groupBy(
+            F.col("l_suppkey").alias("supp"),
+            F.trunc(F.to_date("l_shipdate"), "month").alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
+                    F.col("l_quantity")
+                )
+            ).alias("delta")
+        )
+        .toPandas()
+    )
+    got = {r.supp: r for r in registry.QUERIES["inventory_clamped_running_sum"](spark, SF_DIR).collect()}
+    for supp, sub in pdf.groupby("supp"):
+        ds = sub.sort_values("m")["delta"].tolist()
+        acc = 0.0
+        for d in ds:
+            acc = max(0.0, acc + d)
+        assert got[supp].n_months == len(ds)
+        assert got[supp].clamped_level == pytest.approx(acc, abs=1e-3)
+        assert got[supp].clamped_level >= 0.0
+        assert got[supp].net_level == pytest.approx(sum(ds), abs=1e-3)
+        assert got[supp].clamped_level >= got[supp].net_level - 1e-9
+
+
+# --- EWMA control chart ---------------------------------------------------------
+
+
+def test_ewma_chart_trace_matches_python(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    y = daily["y"].to_numpy(float)
+    ew = [y[0]]
+    for v in y[1:]:
+        ew.append(0.3 * v + 0.7 * ew[-1])
+    sig = y.std()
+    got = registry.QUERIES["anomaly_ewma_control_chart"](spark, SF_DIR).collect()
+    got = sorted(got, key=lambda r: r.dt)
+    assert len(got) == len(y)
+    for i, r in enumerate(got):
+        assert r.y == y[i]
+        assert r.ewma == pytest.approx(ew[i], abs=1e-5)
+        ratio = abs(y[i] - ew[i]) / sig
+        assert r.dev_ratio == pytest.approx(ratio, abs=1e-5)
+        assert r.flagged == (1 if round(ratio, 6) > 2.0 else 0)
