@@ -929,3 +929,646 @@ def anomaly_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dev > 2.0, 1).otherwise(0).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trimmed and winsorized means — robust location per group
+# --------------------------------------------------------------------------
+
+TRIMMED_ORACLE = """
+WITH th AS (
+  SELECT l_linestatus AS ls,
+         PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+         PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT t.ls, t.n, ROUND(t.p05, 4) AS p05, ROUND(t.p95, 4) AS p95,
+  ROUND(AVG(CASE WHEN l.l_extendedprice >= t.p05 AND l.l_extendedprice <= t.p95
+                 THEN l.l_extendedprice END), 4) AS trimmed_mean,
+  ROUND(AVG(GREATEST(t.p05, LEAST(t.p95, l.l_extendedprice))), 4) AS winsorized_mean,
+  ROUND(AVG(l.l_extendedprice), 4) AS raw_mean
+FROM lineitem l JOIN th t ON l.l_linestatus = t.ls
+GROUP BY t.ls, t.n, t.p05, t.p95
+"""
+
+
+@register("agg_trimmed_winsorized_mean", TRIMMED_ORACLE)
+def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed and winsorized means per line status — the
+    robust-location pair every telemetry rollup wants next to the raw
+    mean. Two passes: per-group percentile fences (exact interpolated,
+    identical on both engines), broadcast back over the streamed fact
+    scan for one conditional/clamped aggregate. The fence pass is the
+    only ordered structure and is grouped, never global."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    )
+    th = li.groupBy(F.col("l_linestatus").alias("ls")).agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    x = F.col("l_extendedprice")
+    j = li.join(F.broadcast(th), li.l_linestatus == th.ls)
+    return j.groupBy("ls", "n", "p05", "p95").agg(
+        F.round(
+            F.avg(F.when((x >= F.col("p05")) & (x <= F.col("p95")), x)), 4
+        ).alias("trimmed_mean"),
+        F.round(
+            F.avg(F.greatest(F.col("p05"), F.least(F.col("p95"), x))), 4
+        ).alias("winsorized_mean"),
+        F.round(F.avg(x), 4).alias("raw_mean"),
+    ).select(
+        "ls",
+        "n",
+        F.round("p05", 4).alias("p05"),
+        F.round("p95", 4).alias("p95"),
+        "trimmed_mean",
+        "winsorized_mean",
+        "raw_mean",
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling median — order-statistic window over the daily series
+# --------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y FROM orders GROUP BY 1
+)
+SELECT STRFTIME(dt, '%Y-%m-%d') AS dt, ROUND(y, 2) AS y,
+       ROUND(MEDIAN(y) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_median_7
+FROM daily
+"""
+
+
+@register("window_rolling_median_7d", ROLLING_MEDIAN_ORACLE)
+def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of daily revenue — the order-statistic
+    smoother that shrugs off the spike days a rolling mean chases.
+    ``percentile`` runs as a WINDOW aggregate over the calendar-bounded
+    daily frame (the single-partition order is above the daily rollup,
+    never the raw scan); both engines interpolate the even-window median
+    identically."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("dt").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.round("y", 2).alias("y"),
+        F.round(F.expr("percentile(y, 0.5)").over(w), 4).alias("rolling_median_7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lift / gains table — decile ranking via the bucketed cascade
+# --------------------------------------------------------------------------
+
+LIFT_ORACLE = """
+WITH scored AS (
+  SELECT c_custkey, c_acctbal AS score,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS label,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM customer
+),
+dec AS (
+  SELECT CAST(FLOOR((rk - 1) * 10 / n) + 1 AS BIGINT) AS decile, label FROM scored
+),
+base AS (SELECT AVG(CAST(label AS DOUBLE)) AS rate FROM dec)
+SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(d.label) AS BIGINT) AS positives,
+       ROUND(AVG(CAST(d.label AS DOUBLE)), 6) AS rate,
+       ROUND(AVG(CAST(d.label AS DOUBLE)) / (SELECT rate FROM base), 6) AS lift,
+       ROUND(SUM(SUM(d.label)) OVER (ORDER BY d.decile)
+             / (SELECT SUM(label) FROM dec), 6) AS cum_gain
+FROM dec d GROUP BY d.decile
+"""
+
+
+@register("ml_lift_gains_table", LIFT_ORACLE)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table for a score column (the
+    standard offline eval of a propensity model; here score=acctbal,
+    label=BUILDING segment). The global descending rank comes from the
+    BUCKETED prefix-sum cascade over (-score, custkey) — the same
+    total-order machinery as the Gini/ntile queries, so no
+    customer-sized SinglePartition exists anywhere; deciles then derive
+    from the rank by exact integer algebra shared with the oracle."""
+    from airflow_dags_spark.functions.scalable_windows import bucketed_running_sum
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("score"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("label"),
+    )
+    neg = c.withColumn("__neg", -F.col("score")).withColumn("__one", F.lit(1))
+    rng = neg.agg(F.min("__neg").alias("lo"), F.max("__neg").alias("hi")).first()
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = ((hi - lo) / 512.0) or 1.0
+    bucket = F.least(
+        F.floor((F.col("__neg") - F.lit(lo)) / F.lit(width)), F.lit(511)
+    ).cast("int")
+    ranked = bucketed_running_sum(
+        neg, "__one", ["__neg", "c_custkey"], bucket, "rk"
+    )
+    # table size as a 1-row broadcast — an unbounded window here would
+    # re-introduce the customer-sized SinglePartition the cascade removed
+    n1 = c.agg(F.count(F.lit(1)).alias("n_total"))
+    dec = ranked.crossJoin(F.broadcast(n1)).select(
+        (F.floor((F.col("rk") - 1) * 10 / F.col("n_total")) + 1)
+        .cast("bigint")
+        .alias("decile"),
+        "label",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("positives"),
+        F.avg(F.col("label").cast("double")).alias("rate_raw"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_rows",
+        "positives",
+        F.round("rate_raw", 6).alias("rate"),
+        F.round(
+            F.col("rate_raw")
+            / (F.sum("positives").over(tot) / F.sum("n_rows").over(tot)),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("positives").over(w_cum) / F.sum("positives").over(tot), 6
+        ).alias("cum_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI of event-type co-occurrence within user-days
+# --------------------------------------------------------------------------
+
+PMI_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+  FROM events WHERE user_id IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nu FROM (SELECT DISTINCT user_id, d FROM ut)),
+m AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS c12
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.d = b.d
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, CAST(p.c12 AS BIGINT) AS days_both,
+       CAST(ma.c AS BIGINT) AS days_a, CAST(mb.c AS BIGINT) AS days_b,
+       ROUND(LN((p.c12 * n.nu) / (ma.c * mb.c)), 6) + 0.0 AS pmi
+FROM p JOIN m ma ON ma.event_type = p.t1
+      JOIN m mb ON mb.event_type = p.t2, n
+"""
+
+
+@register("events_type_pmi", PMI_ORACLE)
+def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same user-day: which behaviours attract or repel each other
+    beyond their base rates. The raw stream reduces to the distinct
+    (user, day, type) frame first; the pair fan-out is an equi-join on
+    (user, day), quadratic only in the ≤|event-types| alphabet per cell.
+    Marginals (|types| rows) and the 1-row universe count broadcast."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ut = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    nu = ut.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("nu")
+    )
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", "d", F.col("event_type").alias("t1"))
+    b = ut.select(
+        F.col("user_id").alias("u2"), F.col("d").alias("d2"),
+        F.col("event_type").alias("t2"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d") == F.col("d2"))
+            & (F.col("t1") < F.col("t2")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ma = m.select(F.col("event_type").alias("t1"), F.col("c").alias("ca"))
+    mb = m.select(F.col("event_type").alias("t2"), F.col("c").alias("cb"))
+    return (
+        p.join(F.broadcast(ma), "t1")
+        .join(F.broadcast(mb), "t2")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "t1",
+            "t2",
+            F.col("c12").cast("bigint").alias("days_both"),
+            F.col("ca").cast("bigint").alias("days_a"),
+            F.col("cb").cast("bigint").alias("days_b"),
+            (
+                F.round(
+                    F.log((F.col("c12") * F.col("nu")) / (F.col("ca") * F.col("cb"))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order bucket statistics — Morton-curve locality audit
+# --------------------------------------------------------------------------
+
+def _morton_sql(gx: str, gy: str, bits: int = 8) -> str:
+    """Bit-interleave SQL shared verbatim by both engines (& >> * +)."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(({gx} >> {k}) & 1) * {1 << (2 * k)}")
+        terms.append(f"(({gy} >> {k}) & 1) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+ZORDER_STATS_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS gx,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+              AS BIGINT) AS gy
+  FROM orders
+),
+z AS (SELECT gx, gy, {_morton_sql('gx', 'gy')} AS zval FROM pts)
+SELECT CAST(zval >> 10 AS BIGINT) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(gx) AS BIGINT) AS min_x, CAST(MAX(gx) AS BIGINT) AS max_x,
+       CAST(MIN(gy) AS BIGINT) AS min_y, CAST(MAX(gy) AS BIGINT) AS max_y,
+       CAST(MAX(gx) - MIN(gx) AS BIGINT) + CAST(MAX(gy) - MIN(gy) AS BIGINT)
+         AS bbox_extent
+FROM z GROUP BY 1
+"""
+
+
+@register("layout_zorder_bucket_stats", ZORDER_STATS_ORACLE)
+def layout_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) bucket audit: interleave 8-bit grid codes of
+    (custkey, order-day), cut the curve into 64 buckets, and report each
+    bucket's bounding box. The per-bucket bbox_extent (~62 vs the 510 of
+    a random layout) is exactly WHY ``operators/maintenance.zorder_layout``
+    clusters files this way: parquet row-group min/max stats prune point
+    and range queries on EITHER dimension. Pure integer bit arithmetic in
+    codegen — the interleave SQL string is shared verbatim with the
+    oracle."""
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("gx"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % 256
+        ).cast("bigint").alias("gy"),
+    )
+    z = pts.withColumn("zval", F.expr(_morton_sql("gx", "gy")))
+    return (
+        z.groupBy((F.shiftright("zval", 10)).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("gx").cast("bigint").alias("min_x"),
+            F.max("gx").cast("bigint").alias("max_x"),
+            F.min("gy").cast("bigint").alias("min_y"),
+            F.max("gy").cast("bigint").alias("max_y"),
+            (
+                (F.max("gx") - F.min("gx")) + (F.max("gy") - F.min("gy"))
+            ).cast("bigint").alias("bbox_extent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — counting-process companion to KM
+# --------------------------------------------------------------------------
+
+NELSON_AALEN_ORACLE = """
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS ref_end FROM events),
+u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d, MAX(CAST(ts AS DATE)) AS last_d
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+obs AS (
+  SELECT CASE WHEN date_diff('day', last_d, (SELECT ref_end FROM bounds)) > 7
+              THEN date_diff('day', first_d, last_d)
+              ELSE date_diff('day', first_d, (SELECT ref_end FROM bounds)) END AS t,
+         CASE WHEN date_diff('day', last_d, (SELECT ref_end FROM bounds)) > 7
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+times AS (
+  SELECT t, SUM(churned) AS d, COUNT(*) AS ends_here
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         (SELECT COUNT(*) FROM obs) -
+           COALESCE(SUM(ends_here) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM times
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS churned,
+       ROUND(SUM(CAST(d AS DOUBLE) / n_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cum_hazard,
+       ROUND(EXP(-SUM(CAST(d AS DOUBLE) / n_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS na_survival
+FROM risk WHERE d > 0 ORDER BY t
+"""
+
+
+@register("stats_nelson_aalen", NELSON_AALEN_ORACLE)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t)=Σ d_i/n_i over the SAME
+    right-censored churn observations as ``stats_kaplan_meier``
+    (round5.py) — the counting-process estimator whose exp(-H) bounds the
+    KM product-limit from above. Same scale shape: one per-user
+    aggregate, then windows over the bounded distinct-lifetime frame."""
+    ev = read_table(spark, sf_dir, "events")
+    ref_end = ev.agg(F.max(F.to_date("ts")).alias("m")).first()["m"]
+    u = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_d"),
+            F.max(F.to_date("ts")).alias("last_d"),
+        )
+    )
+    gap = F.datediff(F.lit(ref_end), F.col("last_d"))
+    obs = u.select(
+        F.when(gap > 7, F.datediff(F.col("last_d"), F.col("first_d")))
+        .otherwise(F.datediff(F.lit(ref_end), F.col("first_d")))
+        .alias("t"),
+        F.when(gap > 7, 1).otherwise(0).alias("churned"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("ends_here")
+    )
+    n_total = obs.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = times.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.coalesce(F.sum("ends_here").over(w_prev), F.lit(0)),
+    )
+    haz = F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_cum)
+    return (
+        risk.withColumn("cum_hazard", F.round(haz, 6))
+        .withColumn("na_survival", F.round(F.exp(-haz), 6))
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("churned"),
+            "cum_hazard",
+            "na_survival",
+        )
+        .orderBy("t")
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel time-to-convert — signup to first purchase latency
+# --------------------------------------------------------------------------
+
+TIME_TO_CONVERT_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT s.user_id,
+         CAST(date_diff('minute', date_trunc('minute', s.signup_ts),
+                        date_trunc('minute', p.first_purchase)) AS BIGINT) AS mins
+  FROM s JOIN p ON s.user_id = p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS converted_users,
+       CAST(MIN(mins) AS BIGINT) AS min_minutes,
+       ROUND(AVG(mins), 4) AS avg_minutes,
+       ROUND(MEDIAN(mins), 1) AS median_minutes,
+       CAST(MAX(mins) AS BIGINT) AS max_minutes
+FROM d
+"""
+
+
+@register("funnel_time_to_convert", TIME_TO_CONVERT_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → first-subsequent-purchase latency distribution — the
+    time-dimension companion to ``funnel_ordered_steps`` (step counts).
+    Two keyed aggregates and one equi-join, all on user_id (one shuffle
+    family, co-partitionable at scale). Minutes via the minute-TRUNCATED
+    timestampdiff recipe (NTZ-safe; DuckDB's boundary-count date_diff ==
+    Spark's elapsed timestampdiff once both ends are truncated)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = s.join(p, "user_id").select(
+        F.expr(
+            "timestampdiff(MINUTE, date_trunc('minute', signup_ts),"
+            " date_trunc('minute', first_purchase))"
+        ).cast("bigint").alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("converted_users"),
+        F.min("mins").cast("bigint").alias("min_minutes"),
+        F.round(F.avg("mins"), 4).alias("avg_minutes"),
+        F.round(F.expr("percentile(mins, 0.5)"), 1).alias("median_minutes"),
+        F.max("mins").cast("bigint").alias("max_minutes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization error — embedding compression audit
+# --------------------------------------------------------------------------
+
+SCALAR_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_min([CAST(x AS DOUBLE) FOR x IN embedding]) AS lo,
+         list_max([CAST(x AS DOUBLE) FOR x IN embedding]) AS hi
+  FROM embeddings
+),
+st AS (
+  SELECT vec_id, embedding, lo,
+         CASE WHEN hi > lo THEN (hi - lo) / 255.0e0 ELSE 1.0e0 END AS step
+  FROM q
+),
+e AS (
+  SELECT vec_id,
+    list_reduce(
+      [POW(CAST(x AS DOUBLE)
+           - (lo + ROUND((CAST(x AS DOUBLE) - lo) / step) * step), 2)
+       FOR x IN embedding],
+      (a, b) -> a + b) / len(embedding) AS mse
+  FROM st
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(mse) * 1e9, 4) AS avg_mse_nano,
+       ROUND(MAX(mse) * 1e9, 4) AS max_mse_nano
+FROM e
+"""
+
+
+@register("sim_scalar_quantization_error", SCALAR_QUANT_ORACLE)
+def sim_scalar_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit of per-vector int8 scalar quantization
+    (the 4x-compression baseline below PQ's 32x in operators/similarity):
+    each vector gets a (lo, step) affine code over 256 levels; MSE of the
+    reconstruction is folded IN LIST ORDER on both engines (Spark
+    ``aggregate`` == DuckDB ``list_reduce``, not the engine's native
+    list_sum whose summation order is unspecified). Pure array
+    expressions in codegen — no Python, no shuffle beyond the final
+    1-row aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.array_min(dbl).alias("lo"),
+        F.array_max(dbl).alias("hi"),
+    )
+    st = q.withColumn(
+        "step",
+        F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 255.0).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    recon_err = F.transform(
+        F.col("v"),
+        lambda x: F.pow(
+            x - (F.col("lo") + F.round((x - F.col("lo")) / F.col("step")) * F.col("step")),
+            F.lit(2),
+        ),
+    )
+    mse = F.aggregate(recon_err, F.lit(0.0), lambda a, b: a + b) / F.size("v")
+    e = st.select("vec_id", mse.alias("mse"))
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("mse") * 1e9, 4).alias("avg_mse_nano"),
+        F.round(F.max("mse") * 1e9, 4).alias("max_mse_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Business-day lag — closed-form weekday arithmetic, no calendar table
+# --------------------------------------------------------------------------
+
+BUSINESS_DAYS_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS pri,
+         date_diff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) AS no,
+         date_diff('day', DATE '1970-01-05', CAST(l.l_shipdate AS DATE)) AS ns
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT pri,
+         (5 * (ns // 7) + LEAST(ns % 7, 5))
+       - (5 * (no // 7) + LEAST(no % 7, 5)) AS bdays
+  FROM j
+)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(bdays), 4) AS avg_bdays,
+       CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays
+FROM b GROUP BY pri
+"""
+
+
+@register("scalar_business_days_lag", BUSINESS_DAYS_ORACLE)
+def scalar_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order→ship lag in BUSINESS days per priority, via the
+    closed form W(d) = 5*floor(n/7) + min(n mod 7, 5) (weekdays since a
+    Monday anchor; lag = W(ship) - W(order), counting weekdays in
+    [order, ship)). Pure integer codegen — no calendar dimension table,
+    no UDF, no per-day explode; both engines evaluate the identical
+    expression so the oracle is exact."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    anchor = F.lit("1970-01-05").cast("date")
+    no = F.datediff(F.to_date("o_orderdate"), anchor)
+    ns = F.datediff(F.to_date("l_shipdate"), anchor)
+    w = lambda n: 5 * F.floor(n / 7) + F.least(n % 7, F.lit(5))
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("pri"), (w(ns) - w(no)).alias("bdays")
+    )
+    return j.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+        F.min("bdays").cast("bigint").alias("min_bdays"),
+        F.max("bdays").cast("bigint").alias("max_bdays"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode — modal category with a total-order tie-break
+# --------------------------------------------------------------------------
+
+MODE_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment AS seg, n.n_name AS nation, COUNT(*) AS cnt
+  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+r AS (SELECT seg, nation, cnt,
+      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cnt DESC, nation) AS rk FROM c)
+SELECT seg, nation AS modal_nation, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk = 1
+"""
+
+
+@register("agg_mode_deterministic", MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment modal nation with an EXPLICIT (count desc, name asc)
+    tie-break — both engines' native ``mode()`` pick ties arbitrarily,
+    which is exactly what a reproducible pipeline cannot ship. Count
+    aggregate first (distributive), then a window over the tiny
+    (segment x nation) frame."""
+    c = read_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("seg").orderBy(F.desc("cnt"), F.asc("nation"))
+    )
+    return (
+        cnt.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("seg", F.col("nation").alias("modal_nation"), F.col("cnt").cast("bigint").alias("cnt"))
+    )

@@ -69,6 +69,12 @@ HEADLINE = [
     "text_bm25_search",
     "dedup_sorted_neighborhood",
     "stats_gini_revenue",
+    # round-6: one-pass gram matrix, cascade-ranked deciles, wedge-join
+    # link prediction, codegen Z-order audit
+    "stats_corr_matrix",
+    "ml_lift_gains_table",
+    "graph_adamic_adar",
+    "layout_zorder_bucket_stats",
 ]
 
 

@@ -386,6 +386,10 @@ ALLOWED_NESTED_LOOP = {
     # never the raw fact rows — quadratic in the calendar only:
     "stats_theilsen_monthly",
     "stats_kendall_tau_daily",
+    # 1-row universe-count / table-count broadcasts (PMI normalizer,
+    # decile divisor) — canonical 1-row nested loops:
+    "events_type_pmi",
+    "ml_lift_gains_table",
 }
 
 
@@ -729,3 +733,73 @@ def test_ewma_chart_single_partition_is_daily_aggregate(spark):
     plan = plan_of(spark, "anomaly_ewma_control_chart")
     _single_partitions_fed_by_aggregates_only(plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trimmed_mean_broadcasts_fences(spark):
+    """The per-group percentile fences must broadcast back over a
+    STREAMED second scan — the clamp pass may not re-sort anything."""
+    plan = plan_of(spark, "agg_trimmed_winsorized_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_median_over_daily_aggregate(spark):
+    plan = plan_of(spark, "window_rolling_median_7d")
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_lift_table_uses_rank_cascade_not_global_sort(spark):
+    """The decile rank must come from the bucketed prefix-sum cascade —
+    SinglePartition exchanges only above aggregates (bucket offsets /
+    decile frame), never the customer table."""
+    plan = plan_of(spark, "ml_lift_gains_table")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastHashJoin" in plan  # 512-row offsets table broadcasts
+
+
+def test_pmi_pairs_join_on_user_day_key(spark):
+    plan = plan_of(spark, "events_type_pmi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") == 1  # 1-row nu frame
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_zorder_stats_pure_codegen_bit_arithmetic(spark):
+    plan = plan_of(spark, "layout_zorder_bucket_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_min" in plan  # map-side combine
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_nelson_aalen_windows_over_lifetime_frame(spark):
+    plan = plan_of(spark, "stats_nelson_aalen")
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_time_to_convert_single_shuffle_family(spark):
+    """Both stage aggregates and the join key on user_id — no second
+    shuffle family; the final 1-row reduce is aggregate-fed."""
+    plan = plan_of(spark, "funnel_time_to_convert")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_quantization_stays_in_codegen(spark):
+    plan = plan_of(spark, "sim_scalar_quantization_error")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_business_days_pure_integer_projection(spark):
+    """The weekday closed form must be a scan-stage projection — no UDF,
+    no calendar-table join beyond the orderkey equi-join."""
+    plan = plan_of(spark, "scalar_business_days_lag")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan  # map-side combine
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mode_window_over_count_aggregate(spark):
+    plan = plan_of(spark, "agg_mode_deterministic")
+    assert "BroadcastHashJoin" in plan  # nation dim broadcasts
+    assert "Exchange SinglePartition" not in plan  # per-segment window only

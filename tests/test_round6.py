@@ -433,3 +433,319 @@ def test_ewma_chart_trace_matches_python(spark):
         ratio = abs(y[i] - ew[i]) / sig
         assert r.dev_ratio == pytest.approx(ratio, abs=1e-5)
         assert r.flagged == (1 if round(ratio, 6) > 2.0 else 0)
+
+
+# --- trimmed / winsorized means -------------------------------------------------
+
+
+def test_trimmed_winsorized_match_numpy(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_linestatus", "l_extendedprice")
+        .toPandas()
+    )
+    got = {r.ls: r for r in registry.QUERIES["agg_trimmed_winsorized_mean"](spark, SF_DIR).collect()}
+    for ls, sub in pdf.groupby("l_linestatus"):
+        x = sub["l_extendedprice"].to_numpy()
+        p05, p95 = np.percentile(x, 5), np.percentile(x, 95)
+        assert got[ls].n == len(x)
+        assert got[ls].p05 == pytest.approx(p05, abs=1e-3)
+        assert got[ls].p95 == pytest.approx(p95, abs=1e-3)
+        assert got[ls].trimmed_mean == pytest.approx(
+            x[(x >= p05) & (x <= p95)].mean(), abs=1e-3
+        )
+        assert got[ls].winsorized_mean == pytest.approx(
+            np.clip(x, p05, p95).mean(), abs=1e-3
+        )
+        # robustness ordering: trimmed/winsorized sit between p05 and p95
+        assert p05 < got[ls].trimmed_mean < p95
+
+
+# --- rolling median -------------------------------------------------------------
+
+
+def test_rolling_median_matches_pandas(spark):
+    got = (
+        registry.QUERIES["window_rolling_median_7d"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    ref = got["y"].rolling(7, min_periods=1).median()
+    assert np.allclose(got["rolling_median_7"], ref, atol=0.01)
+
+
+# --- lift / gains ---------------------------------------------------------------
+
+
+def test_lift_gains_invariants_and_reference(spark):
+    rows = sorted(
+        registry.QUERIES["ml_lift_gains_table"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = sum(r.n_rows for r in rows)
+    pos = sum(r.positives for r in rows)
+    # deciles partition the customers near-evenly (floor-rank algebra)
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    # cum_gain is nondecreasing and ends at 1
+    gains = [r.cum_gain for r in rows]
+    assert all(b >= a for a, b in zip(gains, gains[1:]))
+    assert gains[-1] == pytest.approx(1.0)
+    base = pos / n
+    for r in rows:
+        assert r.rate == pytest.approx(r.positives / r.n_rows, abs=1e-5)
+        assert r.lift == pytest.approx(r.rate / base, abs=1e-4)
+
+
+def test_lift_decile_assignment_matches_sorted_reference(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .selectExpr(
+            "c_custkey", "c_acctbal",
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS label",
+        )
+        .toPandas()
+        .sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    pdf["decile"] = (pdf.index * 10) // n + 1
+    ref = pdf.groupby("decile")["label"].sum().to_dict()
+    got = {r.decile: r.positives for r in registry.QUERIES["ml_lift_gains_table"](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+# --- PMI ------------------------------------------------------------------------
+
+
+def test_pmi_matches_python_reference(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    import math
+
+    cells = defaultdict(set)
+    for r in rows:
+        cells[(r.user_id, str(r.d))].add(r.event_type)
+    nu = len(cells)
+    marg = defaultdict(int)
+    both = defaultdict(int)
+    for types in cells.values():
+        for t in types:
+            marg[t] += 1
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                both[(ts[i], ts[j])] += 1
+    got = {(r.t1, r.t2): r for r in registry.QUERIES["events_type_pmi"](spark, SF_DIR).collect()}
+    assert set(got) == set(both)
+    for k, r in got.items():
+        assert r.days_both == both[k]
+        assert r.days_a == marg[k[0]] and r.days_b == marg[k[1]]
+        ref = math.log(both[k] * nu / (marg[k[0]] * marg[k[1]]))
+        assert r.pmi == pytest.approx(ref, abs=2e-6)
+
+
+# --- z-order bucket stats -------------------------------------------------------
+
+
+def _morton_ref(gx, gy, bits=8):
+    z = 0
+    for k in range(bits):
+        z |= ((gx >> k) & 1) << (2 * k)
+        z |= ((gy >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_buckets_match_python_morton(spark):
+    import datetime
+
+    pdf = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    ).toPandas()
+    anchor = datetime.date(1992, 1, 1)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 256, -1, 256, -1])
+    for ck, od in zip(pdf["o_custkey"], pdf["od"]):
+        gx = int(ck) % 256
+        gy = (od - anchor).days % 256
+        b = _morton_ref(gx, gy) >> 10
+        a = agg[b]
+        a[0] += 1
+        a[1], a[2] = min(a[1], gx), max(a[2], gx)
+        a[3], a[4] = min(a[3], gy), max(a[4], gy)
+    got = {r.zbucket: r for r in registry.QUERIES["layout_zorder_bucket_stats"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for b, (n, mnx, mxx, mny, mxy) in agg.items():
+        r = got[b]
+        assert (r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y) == (n, mnx, mxx, mny, mxy)
+        assert r.bbox_extent == (mxx - mnx) + (mxy - mny)
+
+
+def test_zorder_buckets_are_local_vs_full_domain(spark):
+    rows = registry.QUERIES["layout_zorder_bucket_stats"](spark, SF_DIR).collect()
+    # each 16-bit z bucket (>>10) covers a 32x32 tile: locality must beat
+    # the 510 extent of an unclustered layout by ~8x
+    assert max(r.bbox_extent for r in rows) <= 62
+    assert len(rows) <= 64
+
+
+# --- Nelson-Aalen ---------------------------------------------------------------
+
+
+def test_nelson_aalen_matches_python_and_bounds_km(spark):
+    km = {r.t: r for r in registry.QUERIES["stats_kaplan_meier"](spark, SF_DIR).collect()}
+    na = {r.t: r for r in registry.QUERIES["stats_nelson_aalen"](spark, SF_DIR).collect()}
+    assert set(km) == set(na)  # same event times, same censoring scheme
+    h = 0.0
+    for t in sorted(na):
+        r = na[t]
+        assert r.n_risk == km[t].n_risk and r.churned == km[t].churned
+        h += r.churned / r.n_risk
+        assert r.cum_hazard == pytest.approx(h, abs=1e-5)
+        assert r.na_survival == pytest.approx(np.exp(-h), abs=1e-5)
+        # exp(-H) >= KM product-limit, always
+        assert r.na_survival >= km[t].survival - 1e-6
+
+
+# --- funnel time-to-convert -----------------------------------------------------
+
+
+def test_time_to_convert_matches_python(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+
+    sign = {}
+    purch = defaultdict(list)
+    for r in rows:
+        if r.event_type == "signup":
+            sign[r.user_id] = min(sign.get(r.user_id, r.ts), r.ts)
+        else:
+            purch[r.user_id].append(r.ts)
+    mins = []
+    for u, s0 in sign.items():
+        after = [t for t in purch.get(u, []) if t >= s0]
+        if after:
+            p0 = min(after)
+            trunc = lambda t: t.replace(second=0, microsecond=0)
+            mins.append(int((trunc(p0) - trunc(s0)).total_seconds() // 60))
+    got = registry.QUERIES["funnel_time_to_convert"](spark, SF_DIR).first()
+    assert got.converted_users == len(mins)
+    assert got.min_minutes == min(mins)
+    assert got.max_minutes == max(mins)
+    assert got.avg_minutes == pytest.approx(np.mean(mins), abs=1e-3)
+    assert got.median_minutes == pytest.approx(np.median(mins), abs=0.05)
+
+
+# --- scalar quantization --------------------------------------------------------
+
+
+def test_scalar_quantization_matches_numpy(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("embedding").collect()
+    mses = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        lo, hi = v.min(), v.max()
+        step = (hi - lo) / 255.0 if hi > lo else 1.0
+        recon = lo + np.round((v - lo) / step) * step
+        mses.append(((v - recon) ** 2).mean())
+    got = registry.QUERIES["sim_scalar_quantization_error"](spark, SF_DIR).first()
+    assert got.n_vectors == len(mses)
+    assert got.avg_mse_nano == pytest.approx(np.mean(mses) * 1e9, abs=1e-3)
+    assert got.max_mse_nano == pytest.approx(np.max(mses) * 1e9, abs=1e-3)
+    # int8 over 256 levels: max error per element <= step/2 → mse bounded
+    assert got.max_mse_nano < 1e3
+
+
+# --- business days --------------------------------------------------------------
+
+
+def test_business_days_closed_form_matches_weekday_walk(spark):
+    import datetime
+
+    def walk(a, b):
+        """Count weekdays in [a, b) by brute force."""
+        d, n = a, 0
+        step = datetime.timedelta(days=1)
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += step
+        return n
+
+    anchor = datetime.date(1970, 1, 5)
+
+    def closed(a, b):
+        na, nb = (a - anchor).days, (b - anchor).days
+        W = lambda n: 5 * (n // 7) + min(n % 7, 5)
+        return W(nb) - W(na)
+
+    start = datetime.date(2023, 12, 25)
+    for i in range(30):
+        for j in range(i, 40):
+            a = start + datetime.timedelta(days=i)
+            b = start + datetime.timedelta(days=j)
+            assert closed(a, b) == walk(a, b), (a, b)
+
+
+def test_business_days_lag_matches_python(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("od"),
+            F.to_date("l_shipdate").alias("sd"),
+        )
+        .toPandas()
+    )
+    import datetime
+
+    anchor = datetime.date(1970, 1, 5)
+    W = lambda n: 5 * (n // 7) + min(n % 7, 5)
+    pdf["bd"] = [
+        W((sd - anchor).days) - W((od - anchor).days)
+        for od, sd in zip(pdf["od"], pdf["sd"])
+    ]
+    got = {r.pri: r for r in registry.QUERIES["scalar_business_days_lag"](spark, SF_DIR).collect()}
+    for pri, sub in pdf.groupby("o_orderpriority"):
+        assert got[pri].n == len(sub)
+        assert got[pri].avg_bdays == pytest.approx(sub["bd"].mean(), abs=1e-3)
+        assert got[pri].min_bdays == sub["bd"].min()
+        assert got[pri].max_bdays == sub["bd"].max()
+
+
+# --- deterministic mode ---------------------------------------------------------
+
+
+def test_mode_deterministic_tie_break(spark):
+    got = {r.seg: r for r in registry.QUERIES["agg_mode_deterministic"](spark, SF_DIR).collect()}
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_mktsegment", "n_name")
+        .count()
+        .toPandas()
+    )
+    for seg, sub in pdf.groupby("c_mktsegment"):
+        best = sub.sort_values(["count", "n_name"], ascending=[False, True]).iloc[0]
+        assert got[seg].modal_nation == best["n_name"]
+        assert got[seg].cnt == best["count"]
