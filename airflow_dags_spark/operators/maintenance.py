@@ -32,7 +32,7 @@ import math
 import uuid
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -525,3 +525,72 @@ def merge_minmax_state(
         .select(*names, "max_v", "cnt")
     )
     return clean.unionByName(recomputed)
+
+
+def topk_state(
+    df: DataFrame, group_exprs: dict, val, ident, k: int
+) -> DataFrame:
+    """Initial per-group top-k state ``(keys, __id, __v)`` ordered by
+    (value desc, id asc) — for ``merge_topk_state``. Like MAX (and unlike
+    SUM), top-k is non-invertible: state alone cannot replace a deleted
+    member, so the merge tracks affected groups."""
+    names = list(group_exprs)
+    base = df.select(
+        *[e.alias(n) for n, e in group_exprs.items()],
+        ident.alias("__id"),
+        val.alias("__v"),
+    )
+    w = Window.partitionBy(*names).orderBy(F.desc("__v"), F.asc("__id"))
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def merge_topk_state(
+    state: DataFrame,
+    changes: DataFrame,
+    base_after: DataFrame,
+    keys: list[str],
+    k: int,
+) -> DataFrame:
+    """Maintain per-group top-k under inserts AND deletes (the MAX-IVM
+    treatment generalized to k ranks, same affected/unaffected split as
+    ``merge_minmax_state``):
+
+    - a group is AFFECTED only when a deleted id currently sits in its
+      top-k state (if the group holds fewer than k rows, every member is
+      in state, so shrinkage is covered by the same test); exactly those
+      groups recompute via a broadcast-semi-join-pruned scan of
+      ``base_after``;
+    - every other group merges its inserts against the k-row state and
+      re-ranks O(k + |Δg|) rows — no base scan.
+
+    ``changes`` columns: ``change_type`` (insert|delete), the group keys,
+    ``__id``, ``__v`` (null for deletes). ``base_after`` columns: keys,
+    ``__id``, ``__v``. Result ≡ recomputing top-k from ``base_after`` —
+    the registry oracle asserts exactly that equivalence."""
+    ct = F.col("change_type")
+    dels = changes.where(ct == "delete").select(*keys, "__id")
+    affected = dels.join(state, keys + ["__id"], "semi").select(*keys).distinct()
+    recomputed = base_after.join(F.broadcast(affected), keys, "semi")
+    w = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.asc("__id"))
+    recomputed = (
+        recomputed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    survivors = state.join(F.broadcast(affected), keys, "anti")
+    ins = (
+        changes.where(ct == "insert")
+        .select(*keys, "__id", "__v")
+        .join(F.broadcast(affected), keys, "anti")
+    )
+    merged = (
+        survivors.unionByName(ins)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    return merged.unionByName(recomputed)

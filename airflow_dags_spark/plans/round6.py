@@ -1572,3 +1572,361 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("seg", F.col("nation").alias("modal_nation"), F.col("cnt").cast("bigint").alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget temperature mix — quotas in tokens, not documents
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(toks) AS tot_toks
+      FROM d GROUP BY lang),
+w AS (SELECT lang, n_docs, tot_toks, POW(tot_toks, 0.7e0) AS wt FROM g),
+p AS (SELECT lang, n_docs, tot_toks, wt / SUM(wt) OVER () AS prob FROM w),
+quota AS (SELECT lang, n_docs, prob,
+                 CAST(FLOOR(prob * 20000) AS BIGINT) AS budget_toks FROM p),
+ranked AS (
+  SELECT lang, doc_id, toks,
+         SUM(toks) OVER (PARTITION BY lang
+                         ORDER BY md5('tok|' || doc_id)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM d
+),
+sel AS (
+  SELECT r.lang, COUNT(*) AS picked_docs, SUM(r.toks) AS picked_toks,
+         SUM(r.doc_id) AS id_sum
+  FROM ranked r JOIN quota q USING (lang)
+  WHERE r.cum_toks <= q.budget_toks
+  GROUP BY r.lang
+)
+SELECT q.lang, q.n_docs, ROUND(q.prob, 6) AS prob, q.budget_toks,
+       CAST(COALESCE(s.picked_docs, 0) AS BIGINT) AS picked_docs,
+       CAST(COALESCE(s.picked_toks, 0) AS BIGINT) AS picked_toks,
+       CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum
+FROM quota q LEFT JOIN sel s USING (lang)
+"""
+
+
+@register("training_token_budget_mix", TOKEN_BUDGET_ORACLE)
+def training_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing with quotas in TOKENS (p ∝ total_tokens^0.7 of a
+    20k-token budget) — what production mixes actually allocate, since
+    documents vary 10x in length. Greedy fill in seeded md5 order via a
+    per-language prefix sum; a doc enters iff its RUNNING total fits the
+    budget. id_sum proves identical selections cross-engine. One ranking
+    window keyed by language, marginals broadcast."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").alias("tot_toks"),
+    )
+    w = g.withColumn("wt", F.pow(F.col("tot_toks").cast("double"), F.lit(0.7)))
+    p = w.withColumn("prob", F.col("wt") / F.sum("wt").over(Window.partitionBy()))
+    quota = p.select(
+        "lang", "n_docs", "prob",
+        F.floor(F.col("prob") * 20000).cast("bigint").alias("budget_toks"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.concat(F.lit("tok|"), F.col("doc_id").cast("string"))))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = d.withColumn("cum_toks", F.sum("toks").over(win))
+    sel = (
+        ranked.join(F.broadcast(quota.select("lang", "budget_toks")), "lang")
+        .where(F.col("cum_toks") <= F.col("budget_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("picked_docs"),
+            F.sum("toks").alias("picked_toks"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    return quota.join(sel, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.round("prob", 6).alias("prob"),
+        "budget_toks",
+        F.coalesce("picked_docs", F.lit(0)).cast("bigint").alias("picked_docs"),
+        F.coalesce("picked_toks", F.lit(0)).cast("bigint").alias("picked_toks"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness — EMD of each quasi-group's sensitive distribution
+# --------------------------------------------------------------------------
+
+T_CLOSENESS_ORACLE = """
+WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+x AS (
+  SELECT c_mktsegment AS seg,
+         CAST(LEAST(FLOOR((c_acctbal - b.lo) / ((b.hi - b.lo) / 8.0e0)), 7)
+              AS BIGINT) AS bin
+  FROM customer, b
+),
+segs AS (SELECT seg, COUNT(*) AS n FROM x GROUP BY seg),
+bins AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS bin),
+grid AS (SELECT s.seg, s.n, b.bin FROM segs s, bins b),
+gq AS (SELECT seg, bin, COUNT(*) AS c FROM x GROUP BY 1, 2),
+gt AS (SELECT bin, COUNT(*) AS c FROM x GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM x),
+f AS (
+  SELECT g.seg, g.n, g.bin,
+         CAST(COALESCE(q.c, 0) AS DOUBLE) / g.n AS pq,
+         CAST(COALESCE(t.c, 0) AS DOUBLE) / (SELECT nt FROM tot) AS pt
+  FROM grid g LEFT JOIN gq q ON q.seg = g.seg AND q.bin = g.bin
+              LEFT JOIN gt t ON t.bin = g.bin
+),
+c AS (
+  SELECT seg, n, bin,
+         SUM(pq - pt) OVER (PARTITION BY seg ORDER BY bin) AS cumdiff
+  FROM f
+)
+SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(ABS(cumdiff)) / 7.0e0, 6) AS t_emd,
+       CASE WHEN ROUND(SUM(ABS(cumdiff)) / 7.0e0, 6) <= 0.15e0 THEN 1 ELSE 0 END
+         AS passes
+FROM c GROUP BY seg
+"""
+
+
+@register("privacy_t_closeness", T_CLOSENESS_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the k-anonymity / l-diversity trio
+    (functions/privacy.py): Earth-Mover's Distance between each
+    quasi-group's sensitive-attribute distribution (acctbal, 8 equal-width
+    bins) and the global one. For an ordered attribute EMD is the mean
+    |cumulative difference| — windows over the 8-bin grid per group, so
+    everything after the two histogram aggregates is O(groups x bins).
+    The pass flag compares ROUNDED t so both engines agree at the 0.15
+    boundary."""
+    cust = read_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    b = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    x = cust.crossJoin(F.broadcast(b)).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.least(
+            F.floor((F.col("c_acctbal") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 8.0)),
+            F.lit(7),
+        ).cast("bigint").alias("bin"),
+    )
+    segs = x.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    bins = spark.range(8).select(F.col("id").cast("bigint").alias("bin"))
+    grid = segs.crossJoin(F.broadcast(bins))
+    gq = x.groupBy("seg", "bin").agg(F.count(F.lit(1)).alias("cq"))
+    gt = x.groupBy("bin").agg(F.count(F.lit(1)).alias("ct"))
+    nt = x.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    f = (
+        grid.join(gq, ["seg", "bin"], "left")
+        .join(F.broadcast(gt), "bin", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "seg",
+            "n",
+            "bin",
+            (F.coalesce("cq", F.lit(0)).cast("double") / F.col("n")).alias("pq"),
+            (F.coalesce("ct", F.lit(0)).cast("double") / F.col("nt")).alias("pt"),
+        )
+    )
+    wc = Window.partitionBy("seg").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = f.withColumn("cumdiff", F.sum(F.col("pq") - F.col("pt")).over(wc))
+    t = F.round(F.sum(F.abs(F.col("cumdiff"))) / 7.0, 6)
+    return c.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n"),
+        t.alias("t_emd"),
+        F.when(t <= 0.15, 1).otherwise(0).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded-Laplace noisy counts — the DP release mechanism, deterministically
+# --------------------------------------------------------------------------
+
+DP_NOISE_ORACLE = """
+WITH g AS (
+  SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+u AS (
+  SELECT nation, true_count,
+         ((('0x' || substr(md5('dp|' || nation), 1, 8))::BIGINT % 999999) + 0.5e0)
+           / 1000000.0e0 AS uni
+  FROM g
+),
+nz AS (
+  SELECT nation, true_count, uni - 0.5e0 AS us,
+         CASE WHEN uni >= 0.5e0 THEN 1.0e0 ELSE -1.0e0 END AS sgn
+  FROM u
+)
+SELECT nation, true_count,
+       ROUND(-1.0e0 * sgn * LN(1.0e0 - 2.0e0 * ABS(us)), 6) + 0.0 AS noise,
+       ROUND(true_count - 1.0e0 * sgn * LN(1.0e0 - 2.0e0 * ABS(us)), 4) AS noisy_count
+FROM nz
+"""
+
+
+@register("privacy_dp_noisy_counts", DP_NOISE_ORACLE)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy per-nation counts (epsilon=1, sensitivity
+    1 → b=1) with the noise drawn by INVERSE-CDF from a seeded md5
+    uniform instead of rand(): u = (md5_32(seed|key) mod 999999 + .5)/1e6
+    keeps u strictly interior so ln never sees 0, and the same draw
+    reproduces on both engines — the release is testable, which rand()
+    DP never is. One aggregate + scalar codegen; the md5→int recipe is
+    the portable one the Bloom/split queries already use."""
+    c = read_table(spark, sf_dir, "customer").select("c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp|"), F.col("nation"))), 1, 8), 16, 10
+    ).cast("bigint")
+    uni = ((h32 % 999999) + 0.5) / 1000000.0
+    u = g.select("nation", "true_count", uni.alias("uni"))
+    us = F.col("uni") - 0.5
+    sgn = F.when(F.col("uni") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -F.lit(1.0) * sgn * F.log(F.lit(1.0) - 2.0 * F.abs(us))
+    return u.select(
+        "nation",
+        "true_count",
+        (F.round(noise, 6) + F.lit(0.0)).alias("noise"),
+        F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incrementally maintained top-k — affected-group recompute, like MAX IVM
+# --------------------------------------------------------------------------
+
+IVM_TOPK_ORACLE = """
+WITH base_after AS (
+  SELECT o_orderpriority AS pri, o_orderkey AS id, o_totalprice AS v
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_orderkey + 1000000000, o_totalprice + 50000.0e0
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+r AS (
+  SELECT pri, id, v,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v DESC, id) AS rk
+  FROM base_after
+)
+SELECT pri, CAST(rk AS BIGINT) AS rk, CAST(id AS BIGINT) AS id,
+       ROUND(v, 2) AS price
+FROM r WHERE rk <= 3
+"""
+
+
+@register("ivm_topk_maintenance", IVM_TOPK_ORACLE)
+def ivm_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority top-3 orders maintained INCREMENTALLY under a mixed
+    delete+insert change set (operators/maintenance.py:merge_topk_state)
+    — the top-k generalization of the MAX IVM: only groups whose deleted
+    ids sat in the current top-k recompute (broadcast-semi-pruned scan);
+    every other group re-ranks k+|Δ| rows. The oracle recomputes from
+    scratch — the hash match proves maintained ≡ recompute, including the
+    delete-a-champion path when the modulus hits one."""
+    from airflow_dags_spark.operators.maintenance import (
+        merge_topk_state,
+        topk_state,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    state = topk_state(
+        o,
+        {"pri": F.col("o_orderpriority")},
+        F.col("o_totalprice"),
+        F.col("o_orderkey"),
+        3,
+    )
+    dels = o.where(F.col("o_orderkey") % 101 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("__id"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    ins = o.where(F.col("o_orderkey") % 103 == 0).select(
+        F.lit("insert").alias("change_type"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_orderkey") + 1000000000).alias("__id"),
+        (F.col("o_totalprice") + 50000.0).alias("__v"),
+    )
+    base_after = (
+        o.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").alias("__id"),
+            F.col("o_totalprice").alias("__v"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 103 == 0).select(
+                F.col("o_orderpriority").alias("pri"),
+                (F.col("o_orderkey") + 1000000000).alias("__id"),
+                (F.col("o_totalprice") + 50000.0).alias("__v"),
+            )
+        )
+    )
+    merged = merge_topk_state(
+        state, dels.unionByName(ins), base_after, ["pri"], 3
+    )
+    w = Window.partitionBy("pri").orderBy(F.desc("__v"), F.asc("__id"))
+    return merged.withColumn("rk", F.row_number().over(w)).select(
+        "pri",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("__id").cast("bigint").alias("id"),
+        F.round("__v", 2).alias("price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding 7-day distinct users via mergeable HLL sketches (rows-only)
+# --------------------------------------------------------------------------
+
+
+@register("sketch_hll_sliding_7d", None)  # sketch bytes are engine-private
+def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day by MERGING daily HLL
+    sketches instead of re-scanning seven days of raw events — the
+    100 TB sliding-distinct pattern: a day's sketch is built once (KB),
+    then each day unions 7 sketches. The 7x fan-out is an
+    explode(sequence) over the DAILY sketch frame, then one
+    hll_union_agg per window day — never a range join on raw rows.
+    Accuracy vs exact trailing distinct is pytest-bounded
+    (tests/test_round6.py)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "dt", "sk"
+    ).select(F.expr("date_add(dt, off)").alias("win_day"), "sk", "dt")
+    real_days = daily.select(F.col("dt").alias("win_day"))
+    merged = (
+        fan.join(F.broadcast(real_days), "win_day", "semi")
+        .groupBy("win_day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias(
+                "approx_users_7d"
+            ),
+            F.count(F.lit(1)).alias("days_merged"),
+        )
+    )
+    return merged.select(
+        F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+        F.col("approx_users_7d").cast("bigint").alias("approx_users_7d"),
+        F.col("days_merged").cast("bigint").alias("days_merged"),
+    )

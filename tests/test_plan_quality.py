@@ -387,9 +387,11 @@ ALLOWED_NESTED_LOOP = {
     "stats_theilsen_monthly",
     "stats_kendall_tau_daily",
     # 1-row universe-count / table-count broadcasts (PMI normalizer,
-    # decile divisor) — canonical 1-row nested loops:
+    # decile divisor, histogram bounds + total) — canonical 1-row nested
+    # loops:
     "events_type_pmi",
     "ml_lift_gains_table",
+    "privacy_t_closeness",
 }
 
 
@@ -803,3 +805,45 @@ def test_mode_window_over_count_aggregate(spark):
     plan = plan_of(spark, "agg_mode_deterministic")
     assert "BroadcastHashJoin" in plan  # nation dim broadcasts
     assert "Exchange SinglePartition" not in plan  # per-segment window only
+
+
+def test_token_budget_mix_single_ranking_window(spark):
+    plan = plan_of(spark, "training_token_budget_mix")
+    assert "BroadcastHashJoin" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_t_closeness_grid_joins_broadcast(spark):
+    """Everything after the two histogram aggregates is O(groups x bins):
+    the global-bin and 1-row total frames must broadcast."""
+    plan = plan_of(spark, "privacy_t_closeness")
+    assert "BroadcastHashJoin" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_dp_noise_is_scalar_codegen_after_one_aggregate(spark):
+    plan = plan_of(spark, "privacy_dp_noisy_counts")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dim broadcasts
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivm_topk_prunes_recompute_by_affected_groups(spark):
+    """The recompute leg must be a semi-join against the BROADCAST
+    affected-key set; the merge leg re-ranks k+delta rows per group."""
+    plan = plan_of(spark, "ivm_topk_maintenance")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_hll_sliding_fanout_over_sketch_frame_not_raw_rows(spark):
+    """The 7x explode must apply to the DAILY SKETCH frame (one sketch
+    per day), never the raw events; the union agg combines map-side."""
+    plan = plan_of(spark, "sketch_hll_sliding_7d")
+    assert "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
+    # explode sits above the daily aggregate, so a partial hll_sketch_agg
+    # must appear below the generate node
+    gen_idx = plan.find("Generate explode")
+    assert gen_idx > 0
+    assert "hll_sketch_agg" in plan[gen_idx:].lower() or "partial" in plan[gen_idx:]
