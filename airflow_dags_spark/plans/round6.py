@@ -1930,3 +1930,588 @@ def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_users_7d").cast("bigint").alias("approx_users_7d"),
         F.col("days_merged").cast("bigint").alias("days_merged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster separation — centroid-based simplified silhouette per label
+# --------------------------------------------------------------------------
+
+CLUSTER_SEP_ORACLE = """
+WITH longf AS (
+  SELECT vec_id, label, CAST(embedding[u.i] AS DOUBLE) AS x, u.i AS idx
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+cent AS (
+  SELECT label AS clabel, idx, AVG(x) AS cx FROM longf GROUP BY 1, 2
+),
+d AS (
+  SELECT l.vec_id, l.label, c.clabel, SUM(POW(l.x - c.cx, 2)) AS d2
+  FROM longf l JOIN cent c ON c.idx = l.idx
+  GROUP BY 1, 2, 3
+),
+own AS (SELECT vec_id, label, SQRT(d2) AS d_own FROM d WHERE clabel = label),
+oth AS (SELECT vec_id, MIN(SQRT(d2)) AS d_other FROM d
+        WHERE clabel <> label GROUP BY vec_id)
+SELECT o.label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(o.d_own), 6) AS avg_own_dist,
+       ROUND(AVG(t.d_other), 6) AS avg_other_dist,
+       ROUND(AVG((t.d_other - o.d_own) / GREATEST(t.d_other, o.d_own)), 6)
+         AS silhouette
+FROM own o JOIN oth t ON o.vec_id = t.vec_id
+GROUP BY o.label
+"""
+
+
+@register("ml_cluster_separation_stats", CLUSTER_SEP_ORACLE)
+def ml_cluster_separation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based simplified silhouette per label: every vector's
+    distance to its own centroid vs its nearest OTHER centroid — the
+    embedding-space quality probe for a labeled/clustered corpus. Spark
+    plan: centroids come from ONE long-form aggregate (k x dim rows),
+    re-assembled into k broadcast arrays; the corpus then streams ONCE
+    against the k-row frame with a zip_with fold per pair — k x n rows,
+    never dim x n x k through a shuffle. Distances agree with the
+    oracle's long-form sums to well under the 6-dp rounding."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    longf = emb.select(
+        "label", F.posexplode("v").alias("idx0", "x")
+    )
+    cent_long = longf.groupBy(
+        F.col("label").alias("clabel"), F.col("idx0").alias("idx")
+    ).agg(F.avg("x").alias("cx"))
+    cent = cent_long.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cx"))), lambda s: s["cx"]
+        ).alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = pairs.select("vec_id", "label", "clabel", F.sqrt(d2).alias("dist"))
+    own = d.where(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("dist").alias("d_own")
+    )
+    oth = (
+        d.where(F.col("clabel") != F.col("label"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d_other"))
+    )
+    j = own.join(oth, "vec_id")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("d_own"), 6).alias("avg_own_dist"),
+        F.round(F.avg("d_other"), 6).alias("avg_other_dist"),
+        F.round(
+            F.avg(
+                (F.col("d_other") - F.col("d_own"))
+                / F.greatest(F.col("d_other"), F.col("d_own"))
+            ),
+            6,
+        ).alias("silhouette"),
+    )
+
+
+# --------------------------------------------------------------------------
+# c-TF-IDF — distinctive terms per cluster (BERTopic-style labeling)
+# --------------------------------------------------------------------------
+
+CTFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(LOWER(TRIM(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT lang, term, COUNT(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfd AS (SELECT term, COUNT(DISTINCT doc_id) AS nd FROM tok WHERE term <> ''
+        GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.lang, tf.term, tf.c,
+         tf.c * LN((SELECT n_docs FROM nd) / dfd.nd) AS score
+  FROM tf JOIN dfd USING (term)
+),
+r AS (
+  SELECT lang, term, c, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ROUND(score, 6) DESC, term) AS rk
+  FROM sc
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, term, CAST(c AS BIGINT) AS tf, score
+FROM r WHERE rk <= 5
+"""
+
+
+@register("text_ctfidf_cluster_terms", CTFIDF_ORACLE)
+def text_ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per language cluster by c-TF-IDF
+    (class-level tf x corpus-level idf — the BERTopic labeling recipe,
+    here with doc-frequency idf since the synthetic vocabulary spans all
+    classes). Everything is token-aggregate joins: per-class tf and
+    per-term df collapse the exploded stream before any join; ranking
+    windows run over the |classes| x |vocab| frame. Rounded-score ranks
+    keep the top-5 cut engine-stable."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    dfd = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("nd"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    sc = (
+        tf.join(dfd, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            "c",
+            F.round(F.col("c") * F.log(F.col("n_docs") / F.col("nd")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        sc.withColumn("rk", rk)
+        .where(F.col("rk") <= 5)
+        .select(
+            "lang",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("c").cast("bigint").alias("tf"),
+            "score",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational division — "bought in ALL priority classes"
+# --------------------------------------------------------------------------
+
+REL_DIVISION_ORACLE = """
+WITH pr AS (SELECT COUNT(DISTINCT o_orderpriority) AS np FROM orders),
+c AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+  FROM orders GROUP BY o_custkey
+),
+q AS (SELECT o_custkey FROM c WHERE k = (SELECT np FROM pr))
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS customers_with_orders,
+       CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS qualified,
+       CAST((SELECT np FROM pr) AS BIGINT) AS n_priorities,
+       CAST((SELECT COALESCE(SUM(o_custkey), 0) FROM q) AS BIGINT)
+         AS qualified_key_sum
+"""
+
+
+@register("join_relational_division", REL_DIVISION_ORACLE)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (Codd's ÷): customers whose orders cover ALL
+    priority classes — the classic "for-all" query SQL lacks an operator
+    for. The scalable form is the count-matching rewrite: one distinct
+    aggregate per customer vs the 1-row divisor cardinality — never the
+    double-NOT-EXISTS correlated form, which plans as nested anti-joins.
+    qualified_key_sum hash-proves the exact membership."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    np_ = o.agg(F.countDistinct("o_orderpriority").alias("np"))
+    c = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("k")
+    )
+    j = c.crossJoin(F.broadcast(np_))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("customers_with_orders"),
+        F.sum(F.when(F.col("k") == F.col("np"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("qualified"),
+        F.max("np").cast("bigint").alias("n_priorities"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") == F.col("np"), F.col("o_custkey"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("qualified_key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup — versioned-dimension as-of semantics
+# --------------------------------------------------------------------------
+
+SCD2_PIT_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE user_id IS NOT NULL
+),
+starts0 AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM changes WHERE prev_type IS NULL OR event_type <> prev_type
+),
+starts AS (
+  SELECT user_id, state, valid_from FROM starts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+                             ORDER BY event_id DESC) = 1
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts, MAX(s.valid_from) AS valid_from
+  FROM p JOIN starts s ON s.user_id = p.user_id AND s.valid_from <= p.ts
+  GROUP BY 1, 2, 3
+)
+SELECT m.event_id, m.user_id,
+       strftime(m.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       s.state,
+       strftime(m.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM m JOIN starts s ON s.user_id = m.user_id AND s.valid_from = m.valid_from
+"""
+
+
+@register("scd2_point_in_time_lookup", SCD2_PIT_ORACLE)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE lakehouse dimension query: each purchase joined to the SCD2
+    state version valid AT its timestamp. Spark plan is the single-pass
+    union trick — version-start rows and lookup rows interleave in ONE
+    per-user ordered window and the active version carries forward via
+    last(ignorenulls) — no range join, no per-row backward search; the
+    oracle cross-checks with the join+argmax form. Version starts are
+    deduped per (user, ts) by last event so both forms break timestamp
+    ties identically."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts0 = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"), "event_id")
+    )
+    dedup = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("event_id"))
+    starts = (
+        starts0.withColumn("__rn", F.row_number().over(dedup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "event_id")
+    )
+    vrows = starts.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("marker"),
+        F.lit(None).cast("long").alias("event_id"),
+        "state",
+        F.col("valid_from"),
+    )
+    lrows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_from"),
+    )
+    frame = vrows.unionByName(lrows)
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = frame.select(
+        "user_id",
+        "ts",
+        "marker",
+        "event_id",
+        F.last("state", ignorenulls=True).over(w_carry).alias("state"),
+        F.last("valid_from", ignorenulls=True).over(w_carry).alias("vf"),
+    )
+    return carried.where(F.col("marker") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ISO week rollup — both engines' ISO-8601 builtins agree, so use them
+# --------------------------------------------------------------------------
+
+ISOWEEK_ORACLE = """
+SELECT CAST(EXTRACT(isoyear FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("scalar_isoweek_rollup", ISOWEEK_ORACLE)
+def scalar_isoweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue on the ISO-8601 calendar (week-year boundaries are
+    the classic off-by-one trap: 1995-01-01 is week 52 of ISO year 1994,
+    1996-12-30 is week 1 of 1997). Both engines implement ISO 8601
+    exactly — `yearofweek`/`weekofyear` here, `isoyear`/`weekofyear`
+    there — verified to agree on the boundary cases, so the rollup keys
+    are the builtins, not a reimplementation. One distributive
+    aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("extract(yearofweek FROM to_date(o_orderdate))")
+            .cast("bigint")
+            .alias("iso_year"),
+            F.weekofyear(F.to_date("o_orderdate")).cast("bigint").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing — the hashing trick's collision audit
+# --------------------------------------------------------------------------
+
+FEATURE_HASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(LOWER(TRIM(text)), ' ')) AS term
+  FROM documents
+),
+h AS (
+  SELECT doc_id, term,
+         ('0x' || substr(md5('fh|' || term), 1, 8))::BIGINT % 64 AS bucket
+  FROM tok WHERE term <> ''
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM h GROUP BY bucket
+"""
+
+
+@register("text_feature_hashing", FEATURE_HASH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (fixed 64-dim BOW features with md5 buckets,
+    no vocabulary dictionary) plus its collision audit: per bucket the
+    token mass, how many DISTINCT terms collided into it, and its
+    document reach. At 100 TB the dictionary-free property is the point —
+    no vocab broadcast, no OOV path, one shuffle keyed by a 6-bit
+    bucket. Same md5→int recipe as the split/Bloom queries."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("term"))), 1, 8), 16, 10)
+        .cast("bigint") % 64
+    )
+    h = tok.select("doc_id", "term", bucket.alias("bucket"))
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_count"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — distortion audit
+# --------------------------------------------------------------------------
+
+JL_ORACLE = """
+WITH sample_v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0
+),
+longv AS (
+  SELECT vec_id, u.i AS idx, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM sample_v, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+r AS (
+  SELECT i.idx, j.j,
+         CASE WHEN ('0x' || substr(md5('jl|' || (i.idx - 1) || '|' || (j.j - 1)), 1, 1))::BIGINT < 8
+              THEN 1.0e0 ELSE -1.0e0 END AS sgn
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS idx) i,
+       (SELECT UNNEST(generate_series(1, 16)) AS j) j
+),
+proj AS (
+  SELECT v.vec_id, r.j, SUM(v.x * r.sgn) / SQRT(16.0e0) AS y
+  FROM longv v JOIN r ON r.idx = v.idx
+  GROUP BY 1, 2
+),
+d_orig AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         SQRT(SUM(POW(a.x - b.x, 2))) AS d0
+  FROM longv a JOIN longv b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+d_proj AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         SQRT(SUM(POW(a.y - b.y, 2))) AS d1
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(d1 / d0), 6) AS avg_ratio,
+       ROUND(MIN(d1 / d0), 6) AS min_ratio,
+       ROUND(MAX(d1 / d0), 6) AS max_ratio
+FROM d_orig o JOIN d_proj p ON o.v1 = p.v1 AND o.v2 = p.v2
+"""
+
+
+@register("sim_random_projection_jl", JL_ORACLE)
+def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 random projection with a SEEDED ±1
+    matrix (sign of md5(jl|i|j) — reproducible, so the oracle can build
+    the identical matrix) and the distortion audit JL promises: pairwise
+    distance ratios after/before on a deterministic vector sample. The
+    1024-cell sign matrix broadcasts; projection is one long-form
+    aggregate; distances are equi-joins on the component index. This is
+    the dimensionality-reduction front-end for the ANN family
+    (operators/similarity.py) when 100 TB of embeddings won't fit the
+    index budget."""
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 37 == 0)
+    longv = emb.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("idx0", "x")
+    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "x")
+    idxs = spark.range(1, 65).select(F.col("id").cast("int").alias("idx"))
+    js = spark.range(1, 17).select(F.col("id").cast("int").alias("j"))
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("jl|"),
+                        (F.col("idx") - 1).cast("string"),
+                        F.lit("|"),
+                        (F.col("j") - 1).cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < 8,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    r = idxs.crossJoin(js).select("idx", "j", sgn.alias("sgn"))
+    proj = (
+        longv.join(F.broadcast(r), "idx")
+        .groupBy("vec_id", "j")
+        .agg((F.sum(F.col("x") * F.col("sgn")) / F.sqrt(F.lit(16.0))).alias("y"))
+    )
+    a0 = longv.select(F.col("vec_id").alias("v1"), "idx", F.col("x").alias("xa"))
+    b0 = longv.select(F.col("vec_id").alias("v2"), "idx", F.col("x").alias("xb"))
+    d_orig = (
+        a0.join(b0, "idx")
+        .where(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.sqrt(F.sum(F.pow(F.col("xa") - F.col("xb"), F.lit(2)))).alias("d0"))
+    )
+    a1 = proj.select(F.col("vec_id").alias("v1"), "j", F.col("y").alias("ya"))
+    b1 = proj.select(F.col("vec_id").alias("v2"), "j", F.col("y").alias("yb"))
+    d_proj = (
+        a1.join(b1, "j")
+        .where(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.sqrt(F.sum(F.pow(F.col("ya") - F.col("yb"), F.lit(2)))).alias("d1"))
+    )
+    j = d_orig.join(d_proj, ["v1", "v2"])
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.col("d1") / F.col("d0")), 6).alias("avg_ratio"),
+        F.round(F.min(F.col("d1") / F.col("d0")), 6).alias("min_ratio"),
+        F.round(F.max(F.col("d1") / F.col("d0")), 6).alias("max_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting
+# --------------------------------------------------------------------------
+
+CROSTON_ORACLE = """
+WITH RECURSIVE weekly AS (
+  SELECT l_partkey % 7 AS part_class,
+         date_diff('week', DATE '1992-01-06', CAST(l_shipdate AS DATE)) AS wk,
+         SUM(l_quantity) AS d
+  FROM lineitem WHERE l_partkey % 131 = 0
+  GROUP BY 1, 2
+),
+nz AS (
+  SELECT part_class, wk, d,
+         ROW_NUMBER() OVER (PARTITION BY part_class ORDER BY wk) AS rn,
+         wk - LAG(wk) OVER (PARTITION BY part_class ORDER BY wk) AS q0
+  FROM weekly WHERE d > 0
+),
+ser AS (SELECT part_class, rn, d, COALESCE(q0, 1) AS q FROM nz),
+nmax AS (SELECT part_class, CAST(MAX(rn) AS BIGINT) AS n_demands FROM ser GROUP BY 1),
+rec AS (
+  SELECT part_class, 1 AS i, d AS z, CAST(q AS DOUBLE) AS p
+  FROM ser WHERE rn = 1
+  UNION ALL
+  SELECT s.part_class, r.i + 1,
+         0.2e0 * s.d + 0.8e0 * r.z,
+         0.2e0 * s.q + 0.8e0 * r.p
+  FROM rec r JOIN ser s ON s.part_class = r.part_class AND s.rn = r.i + 1
+)
+SELECT r.part_class, n.n_demands,
+       ROUND(r.z, 4) AS z_final,
+       ROUND(r.p, 4) AS p_final,
+       ROUND(r.z / r.p, 4) AS croston_forecast
+FROM rec r JOIN nmax n ON n.part_class = r.part_class AND r.i = n.n_demands
+"""
+
+
+@register("forecast_croston", CROSTON_ORACLE)
+def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the forecast the naive/
+    seasonal/Holt family gets wrong when most periods are zero): separate
+    EWMAs of nonzero demand size z and inter-demand interval q, forecast
+    z/p. Same engine-portable shape as Holt — Spark folds a struct
+    accumulator over the calendar-bounded nonzero series, the oracle is
+    a recursive CTE (DuckDB's struct list_reduce mutation quirk). alpha
+    =0.2, seeds z1=d1, p1=1."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 131 == 0)
+    weekly = li.groupBy(
+        (F.col("l_partkey") % 7).alias("part_class"),
+        F.floor(
+            F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-06").cast("date")) / 7
+        ).alias("wk"),
+    ).agg(F.sum("l_quantity").alias("d"))
+    wlag = Window.partitionBy("part_class").orderBy("wk")
+    nz = (
+        weekly.where(F.col("d") > 0)
+        .withColumn("q", F.coalesce(F.col("wk") - F.lag("wk").over(wlag), F.lit(1)))
+    )
+    seq = F.array_sort(F.collect_list(F.struct("wk", "d", "q")))
+    ser = nz.groupBy("part_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demands"), seq.alias("seq")
+    )
+
+    def step(acc, s):
+        return F.struct(
+            (F.lit(0.2) * s["d"] + F.lit(0.8) * acc["z"]).alias("z"),
+            (F.lit(0.2) * s["q"].cast("double") + F.lit(0.8) * acc["p"]).alias("p"),
+        )
+
+    first = F.element_at("seq", 1)
+    init = F.struct(
+        first["d"].alias("z"), first["q"].cast("double").alias("p")
+    )
+    fold = F.aggregate(F.slice(F.col("seq"), 2, F.size("seq") - 1), init, step)
+    return ser.withColumn("st", fold).select(
+        "part_class",
+        "n_demands",
+        F.round(F.col("st.z"), 4).alias("z_final"),
+        F.round(F.col("st.p"), 4).alias("p_final"),
+        F.round(F.col("st.z") / F.col("st.p"), 4).alias("croston_forecast"),
+    )

@@ -392,6 +392,13 @@ ALLOWED_NESTED_LOOP = {
     "events_type_pmi",
     "ml_lift_gains_table",
     "privacy_t_closeness",
+    # k-row centroid frame / 1-row doc-count / 1-row divisor broadcasts:
+    "ml_cluster_separation_stats",
+    "text_ctfidf_cluster_terms",
+    "join_relational_division",
+    # 64x16 seeded sign-matrix construction (two range frames crossed,
+    # 1024 rows total, then broadcast):
+    "sim_random_projection_jl",
 }
 
 
@@ -847,3 +854,70 @@ def test_hll_sliding_fanout_over_sketch_frame_not_raw_rows(spark):
     gen_idx = plan.find("Generate explode")
     assert gen_idx > 0
     assert "hll_sketch_agg" in plan[gen_idx:].lower() or "partial" in plan[gen_idx:]
+
+
+def test_cluster_separation_broadcasts_k_centroids(spark):
+    """Corpus must stream once against the k-row broadcast centroid
+    frame (k x n pairs) — never dim x n x k rows through a shuffle."""
+    plan = plan_of(spark, "ml_cluster_separation_stats")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_ctfidf_aggregates_before_joins(spark):
+    """Per-class tf and per-term df must collapse the exploded token
+    stream BEFORE the scoring join (partial aggregates present); ranking
+    windows run per class."""
+    plan = plan_of(spark, "text_ctfidf_cluster_terms")
+    assert "partial_count" in plan
+    assert "Exchange SinglePartition" not in plan or "HashAggregate" in plan
+
+
+def test_relational_division_is_count_match_not_double_anti(spark):
+    """Division must be the count-matching rewrite — one grouped distinct
+    aggregate — never correlated NOT EXISTS pairs (nested anti-joins)."""
+    plan = plan_of(spark, "join_relational_division")
+    assert "LeftAnti" not in plan
+    assert plan.count("Scan parquet") <= 2  # per-customer + divisor subtree
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_scd2_pit_is_single_union_window_no_range_join(spark):
+    """The as-of lookup must be the union + carry-forward window — ONE
+    ordered pass per user, no range/nested-loop join, no per-row argmax
+    subquery."""
+    plan = plan_of(spark, "scd2_point_in_time_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_isoweek_rollup_one_distributive_aggregate(spark):
+    plan = plan_of(spark, "scalar_isoweek_rollup")
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_feature_hashing_no_vocab_join(spark):
+    """The whole point of the hashing trick: no dictionary join — bucket
+    is a scan-stage md5 projection, then one 64-key aggregate."""
+    plan = plan_of(spark, "text_feature_hashing")
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_projection_broadcasts_sign_matrix(spark):
+    """The 1024-cell ±1 matrix must broadcast; distances are equi-joins
+    on the component index, never a vector-pair nested loop."""
+    plan = plan_of(spark, "sim_random_projection_jl")
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_croston_fold_no_python_single_exchange_family(spark):
+    plan = plan_of(spark, "forecast_croston")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan  # per-class groups only

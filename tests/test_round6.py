@@ -920,3 +920,249 @@ def test_hll_sliding_7d_tracks_exact_trailing_distinct(spark):
         # HLL lgK=14 keeps relative error well under 5% at these counts
         assert abs(got[key].approx_users_7d - len(exact)) <= max(3, 0.05 * len(exact))
     assert set(got) == {d.strftime("%Y-%m-%d") for d in days}
+
+
+# --- cluster separation ---------------------------------------------------------
+
+
+def test_cluster_separation_matches_numpy(spark):
+    pdf = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    V = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy()
+    cents = {l: V[labels == l].mean(axis=0) for l in np.unique(labels)}
+    got = {r.label: r for r in registry.QUERIES["ml_cluster_separation_stats"](spark, SF_DIR).collect()}
+    for l in np.unique(labels):
+        sub = V[labels == l]
+        d_own = np.linalg.norm(sub - cents[l], axis=1)
+        d_oth = np.min(
+            [np.linalg.norm(sub - cents[o], axis=1) for o in cents if o != l], axis=0
+        )
+        sil = ((d_oth - d_own) / np.maximum(d_oth, d_own)).mean()
+        assert got[l].n == len(sub)
+        assert got[l].avg_own_dist == pytest.approx(d_own.mean(), abs=2e-6)
+        assert got[l].avg_other_dist == pytest.approx(d_oth.mean(), abs=2e-6)
+        assert got[l].silhouette == pytest.approx(sil, abs=2e-6)
+
+
+# --- c-TF-IDF -------------------------------------------------------------------
+
+
+def test_ctfidf_matches_python_reference(spark):
+    import math
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tf = defaultdict(int)
+    docs_with = defaultdict(set)
+    n_docs = len(rows)
+    for r in rows:
+        for t in r.text.strip().lower().split(" "):
+            if t:
+                tf[(r.lang, t)] += 1
+                docs_with[t].add(r.doc_id)
+    scores = defaultdict(list)
+    for (lang, t), c in tf.items():
+        s = round(c * math.log(n_docs / len(docs_with[t])), 6)
+        scores[lang].append((-s, t, c))
+    got = {}
+    for r in registry.QUERIES["text_ctfidf_cluster_terms"](spark, SF_DIR).collect():
+        got.setdefault(r.lang, []).append((r.rk, r.term, r.tf, r.score))
+    for lang, lst in scores.items():
+        ref = sorted(lst)[:5]
+        g = sorted(got[lang])
+        assert len(g) == min(5, len(lst))
+        for (rk, term, tfv, score), (negs, rterm, rc) in zip(g, ref):
+            assert term == rterm and tfv == rc
+            assert score == pytest.approx(-negs, abs=1e-5)
+
+
+# --- relational division --------------------------------------------------------
+
+
+def test_relational_division_matches_python(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    from collections import defaultdict
+
+    per_cust = defaultdict(set)
+    all_pr = set()
+    for r in rows:
+        per_cust[r.o_custkey].add(r.o_orderpriority)
+        all_pr.add(r.o_orderpriority)
+    qualified = [c for c, s in per_cust.items() if s == all_pr]
+    got = registry.QUERIES["join_relational_division"](spark, SF_DIR).first()
+    assert got.customers_with_orders == len(per_cust)
+    assert got.qualified == len(qualified)
+    assert got.n_priorities == len(all_pr)
+    assert got.qualified_key_sum == sum(qualified)
+
+
+# --- SCD2 point-in-time ---------------------------------------------------------
+
+
+def test_scd2_pit_lookup_matches_backward_search(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    got = {r.event_id: r for r in registry.QUERIES["scd2_point_in_time_lookup"](spark, SF_DIR).collect()}
+    n_checked = 0
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        # version starts where state changes; dedupe per ts keeping last
+        starts = []
+        prev = None
+        for r in rows:
+            if prev is None or r.event_type != prev:
+                starts.append((r.ts, r.event_type))
+            prev = r.event_type
+        dedup = {}
+        for ts, st in starts:
+            dedup[ts] = st  # later start at same ts wins
+        starts = sorted(dedup.items())
+        for r in rows:
+            if r.event_type != "purchase":
+                continue
+            active = [s for s in starts if s[0] <= r.ts][-1]
+            g = got[r.event_id]
+            assert g.state == active[1], (u, r.event_id)
+            assert g.valid_from == active[0].strftime("%Y-%m-%d %H:%M:%S")
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
+
+
+# --- ISO week rollup -------------------------------------------------------------
+
+
+def test_isoweek_rollup_boundary_weeks(spark):
+    import datetime
+
+    rows = registry.QUERIES["scalar_isoweek_rollup"](spark, SF_DIR).collect()
+    got = {(r.iso_year, r.iso_week): r for r in rows}
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    from collections import defaultdict
+
+    ref = defaultdict(lambda: [0, 0.0])
+    for d, p in zip(pdf["d"], pdf["o_totalprice"]):
+        iy, iw, _ = d.isocalendar()
+        ref[(iy, iw)][0] += 1
+        ref[(iy, iw)][1] += p
+    assert set(got) == set(ref)
+    for k, (n, rev) in ref.items():
+        assert got[k].n_orders == n
+        assert got[k].revenue == pytest.approx(rev, abs=0.02)
+
+
+# --- feature hashing -------------------------------------------------------------
+
+
+def test_feature_hashing_partitions_token_mass(spark):
+    import hashlib
+
+    rows = registry.QUERIES["text_feature_hashing"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    from collections import defaultdict
+
+    total = defaultdict(int)
+    terms = defaultdict(set)
+    n_tokens = 0
+    for r in docs:
+        for t in r.text.strip().lower().split(" "):
+            if t:
+                b = int(hashlib.md5(f"fh|{t}".encode()).hexdigest()[:8], 16) % 64
+                total[b] += 1
+                terms[b].add(t)
+                n_tokens += 1
+    got = {r.bucket: r for r in rows}
+    assert set(got) == set(total)
+    assert sum(r.total_count for r in rows) == n_tokens  # mass conserved
+    for b in total:
+        assert got[b].total_count == total[b]
+        assert got[b].n_terms == len(terms[b])
+
+
+# --- JL projection ---------------------------------------------------------------
+
+
+def test_jl_distortion_bounds_and_reference(spark):
+    import hashlib
+
+    got = registry.QUERIES["sim_random_projection_jl"](spark, SF_DIR).first()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.col("vec_id") % 37 == 0)
+        .collect()
+    )
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    R = np.zeros((64, 16))
+    for i in range(64):
+        for j in range(16):
+            R[i, j] = (
+                1.0
+                if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) < 8
+                else -1.0
+            )
+    P = {k: v @ R / np.sqrt(16.0) for k, v in V.items()}
+    ids = sorted(V)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d0 = np.linalg.norm(V[ids[a]] - V[ids[b]])
+            d1 = np.linalg.norm(P[ids[a]] - P[ids[b]])
+            ratios.append(d1 / d0)
+    assert got.n_pairs == len(ratios)
+    assert got.avg_ratio == pytest.approx(np.mean(ratios), abs=2e-6)
+    assert got.min_ratio == pytest.approx(np.min(ratios), abs=2e-6)
+    assert got.max_ratio == pytest.approx(np.max(ratios), abs=2e-6)
+    # JL promise at 16 dims: ratios concentrate around 1
+    assert 0.4 < got.min_ratio and got.max_ratio < 2.0
+
+
+# --- Croston ---------------------------------------------------------------------
+
+
+def test_croston_matches_python_recursion(spark):
+    import datetime
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_partkey") % 131 == 0)
+        .select("l_partkey", F.to_date("l_shipdate").alias("sd"), "l_quantity")
+        .collect()
+    )
+    anchor = datetime.date(1992, 1, 6)
+    from collections import defaultdict
+
+    weekly = defaultdict(float)
+    for r in li:
+        wk = (r.sd - anchor).days // 7
+        weekly[(r.l_partkey % 7, wk)] += r.l_quantity
+    series = defaultdict(list)
+    for (pc, wk), d in sorted(weekly.items()):
+        if d > 0:
+            series[pc].append((wk, d))
+    got = {r.part_class: r for r in registry.QUERIES["forecast_croston"](spark, SF_DIR).collect()}
+    for pc, pts in series.items():
+        z, p = pts[0][1], 1.0
+        prev_wk = pts[0][0]
+        for wk, d in pts[1:]:
+            q = wk - prev_wk
+            z = 0.2 * d + 0.8 * z
+            p = 0.2 * q + 0.8 * p
+            prev_wk = wk
+        assert got[pc].n_demands == len(pts)
+        assert got[pc].z_final == pytest.approx(z, abs=1e-3)
+        assert got[pc].p_final == pytest.approx(p, abs=1e-3)
+        assert got[pc].croston_forecast == pytest.approx(z / p, abs=1e-3)
