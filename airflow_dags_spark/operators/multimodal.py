@@ -227,3 +227,76 @@ def sample_frames(
             )
 
     return df.select("item_id", payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+    ]
+)
+
+
+def fake_pcm_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in audio decoder: md5-seeded 2048-sample float32
+    PCM in [-1, 1). Replaces e.g. ``soundfile.read`` until codecs are
+    available — same injection contract as ``fake_decoder``."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return (rng.rand(2048).astype(np.float32) * 2.0) - 1.0
+
+
+def frame_audio(
+    df: DataFrame,
+    decoder: DecoderFn | None = None,
+    *,
+    frame_length: int = 512,
+    hop: int = 256,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio payloads → overlapping analysis frames with per-frame RMS
+    energy and zero-crossing rate (the canonical audio feature framing:
+    frame_length window, hop stride, FULL frames only).
+
+    Arrow-batched ``mapInPandas`` like ``decode_payload``: one pass, each
+    item fans out to ~(n_samples - frame_length)/hop + 1 rows. Output is
+    SCALAR columns only — per-frame vectors would be a second operator —
+    so the frame table joins/aggregates like any relational input (and the
+    driver harness can canonicalize it; arrays cannot be sort_values keys,
+    the round-3 lesson)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no audio codecs in this container — inject a decoder "
+            "(e.g. soundfile-based) or use multimodal.fake_pcm_decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "item_id": [], "frame_index": [], "n_samples": [],
+                "rms": [], "zcr": [],
+            }
+            for item_id, payload in zip(pdf["item_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                pcm = decoder(bytes(payload)).astype(np.float64)
+                n = len(pcm)
+                i = 0
+                idx = 0
+                while i + frame_length <= n:
+                    fr = pcm[i : i + frame_length]
+                    out["item_id"].append(item_id)
+                    out["frame_index"].append(idx)
+                    out["n_samples"].append(frame_length)
+                    out["rms"].append(float(np.sqrt(np.mean(fr * fr))))
+                    out["zcr"].append(
+                        float(np.mean(np.sign(fr[1:]) != np.sign(fr[:-1])))
+                    )
+                    i += hop
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.select("item_id", payload_col).mapInPandas(run, AUDIO_FRAME_SCHEMA)

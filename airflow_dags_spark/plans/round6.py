@@ -2515,3 +2515,453 @@ def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.p"), 4).alias("p_final"),
         F.round(F.col("st.z") / F.col("st.p"), 4).alias("croston_forecast"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order/line reconciliation — the classic financial DQ audit
+# --------------------------------------------------------------------------
+
+RECONCILE_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS line_total,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus AS status, o.o_totalprice - l.line_total AS diff
+  FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(ABS(diff)), 2) AS avg_abs_diff,
+       ROUND(MAX(ABS(diff)), 2) AS max_abs_diff,
+       CAST(SUM(CASE WHEN ABS(diff) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS reconciled
+FROM j GROUP BY status
+"""
+
+
+@register("dq_order_line_reconciliation", RECONCILE_ORACLE)
+def dq_order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: each order's stated total against
+    the sum of its priced-out lines (the audit every financial pipeline
+    runs before publishing; the synthetic corpus deliberately fails it,
+    which is exactly what the report shows). One keyed aggregate + one
+    equi-join on orderkey — co-partitionable; headerless orders drop out
+    of the inner join and belong to ``dq_referential_integrity``."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("line_total")
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") - F.col("line_total")).alias("diff"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.avg(F.abs("diff")), 2).alias("avg_abs_diff"),
+        F.round(F.max(F.abs("diff")), 2).alias("max_abs_diff"),
+        F.sum(F.when(F.abs("diff") <= 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reconciled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — randomness of daily up/down moves
+# --------------------------------------------------------------------------
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT dt, CASE WHEN y > LAG(y) OVER (ORDER BY dt) THEN 1
+                  WHEN y < LAG(y) OVER (ORDER BY dt) THEN 0 END AS up
+  FROM daily
+),
+x AS (SELECT up, CASE WHEN up <> LAG(up) OVER (ORDER BY dt) THEN 1 ELSE 0 END AS switch
+      FROM s WHERE up IS NOT NULL),
+agg AS (
+  SELECT CAST(SUM(up) AS DOUBLE) AS n1, CAST(SUM(1 - up) AS DOUBLE) AS n2,
+         CAST(SUM(switch) + 1 AS BIGINT) AS runs
+  FROM x
+)
+SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down, runs,
+  ROUND(1 + 2 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+  ROUND((runs - (1 + 2*n1*n2/(n1+n2)))
+        / SQRT(2*n1*n2*(2*n1*n2 - n1 - n2)
+               / (POW(n1+n2, 2) * (n1+n2-1))), 6) + 0.0 AS z
+FROM agg
+"""
+
+
+@register("stats_runs_test", RUNS_TEST_ORACLE)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down sequence of daily revenue
+    — is the series a random walk or does it trend/mean-revert? (z=+18
+    on this corpus: far fewer sign flips than chance, i.e. strongly
+    trending.) Tie days drop out (neither up nor down), matching the
+    classical treatment. Two lag windows over the calendar-bounded
+    daily aggregate, then closed-form moments."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("dt")
+    s = daily.select(
+        "dt",
+        F.when(F.col("y") > F.lag("y").over(w), 1)
+        .when(F.col("y") < F.lag("y").over(w), 0)
+        .alias("up"),
+    )
+    x = s.where(F.col("up").isNotNull()).select(
+        "up",
+        F.when(F.col("up") != F.lag("up").over(w), 1).otherwise(0).alias("switch"),
+    )
+    agg = x.agg(
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+        (F.sum("switch") + 1).cast("bigint").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    exp_runs = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, F.lit(2)) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        "runs",
+        F.round(exp_runs, 4).alias("expected_runs"),
+        (F.round((runs - exp_runs) / F.sqrt(var), 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — revenue credited to the preceding touchpoint
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT COALESCE(last_touch, 'none') AS touch,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS attributed_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("events_attribution_last_touch", ATTRIBUTION_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits its value
+    to the user's most recent NON-purchase touchpoint (the carry-forward
+    window pattern again — one ordered pass per user with an
+    IGNORE-NULLS last_value over the frame ending 1 PRECEDING, no
+    self-join, no per-purchase backward scan). Purchases with no prior
+    touch fall into 'none'."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = ev.select("event_type", "value", touch.alias("last_touch"))
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("purchases"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUME_DIST / PERCENT_RANK — distribution-position windows
+# --------------------------------------------------------------------------
+
+CUME_DIST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y
+  FROM orders GROUP BY 1
+)
+SELECT STRFTIME(dt, '%Y-%m-%d') AS dt, ROUND(y, 2) AS y,
+       ROUND(CUME_DIST() OVER (ORDER BY y), 6) AS cume,
+       ROUND(PERCENT_RANK() OVER (ORDER BY y), 6) AS pct_rank
+FROM daily
+"""
+
+
+@register("window_cume_dist_daily", CUME_DIST_ORACLE)
+def window_cume_dist_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every day's revenue positioned inside the full daily distribution
+    (CUME_DIST + PERCENT_RANK — "today beat X% of days"). The ordered
+    window is single-partition but sits above the calendar-bounded daily
+    aggregate; both engines define the two functions identically
+    (tie-inclusive / (rank-1)/(n-1))."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("y")
+    return daily.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.round("y", 2).alias("y"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential association rules — "first A precedes first B"
+# --------------------------------------------------------------------------
+
+SEQ_RULES_ORACLE = """
+WITH fo AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b,
+         COUNT(*) FILTER (WHERE b.first_ts > a.first_ts) AS a_then_b
+  FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+),
+ua AS (SELECT event_type, COUNT(*) AS users_a FROM fo GROUP BY 1)
+SELECT p.t_a, p.t_b, CAST(u.users_a AS BIGINT) AS users_a,
+       CAST(p.a_then_b AS BIGINT) AS users_a_then_b,
+       ROUND(CAST(p.a_then_b AS DOUBLE) / u.users_a, 6) AS confidence
+FROM pairs p JOIN ua u ON u.event_type = p.t_a
+"""
+
+
+@register("events_sequential_rules", SEQ_RULES_ORACLE)
+def events_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (ordered) association rules — the temporal counterpart
+    of ``basket_association_rules``: for every directed type pair, how
+    many users did A strictly before ever doing B. The raw stream
+    collapses to first-occurrence rows (one per user x type) before the
+    pair join, so the quadratic factor is the type alphabet, not events.
+    Confidence = P(A-then-B | A)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    fo = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    a = fo.select("user_id", F.col("event_type").alias("t_a"), F.col("first_ts").alias("ts_a"))
+    b = fo.select(F.col("user_id").alias("u2"), F.col("event_type").alias("t_b"), F.col("first_ts").alias("ts_b"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("t_a") != F.col("t_b")))
+        .groupBy("t_a", "t_b")
+        .agg(F.sum(F.when(F.col("ts_b") > F.col("ts_a"), 1).otherwise(0)).alias("a_then_b"))
+    )
+    ua = fo.groupBy(F.col("event_type").alias("t_a")).agg(
+        F.count(F.lit(1)).alias("users_a")
+    )
+    return pairs.join(F.broadcast(ua), "t_a").select(
+        "t_a",
+        "t_b",
+        F.col("users_a").cast("bigint").alias("users_a"),
+        F.col("a_then_b").cast("bigint").alias("users_a_then_b"),
+        F.round(F.col("a_then_b").cast("double") / F.col("users_a"), 6).alias(
+            "confidence"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent — rescaled-range (R/S) long-memory estimate
+# --------------------------------------------------------------------------
+
+HURST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y
+  FROM orders GROUP BY 1
+),
+ser AS (SELECT ROW_NUMBER() OVER (ORDER BY dt) AS rn, y FROM daily),
+sizes AS (SELECT UNNEST([16, 32, 64, 128]) AS sz),
+blk AS (
+  SELECT s.sz, CAST(FLOOR((ser.rn - 1) / s.sz) AS BIGINT) AS b, ser.rn, ser.y
+  FROM ser, sizes s
+),
+full_blocks AS (
+  SELECT sz, b FROM blk GROUP BY sz, b HAVING COUNT(*) = MAX(sz)
+),
+bx AS (
+  SELECT k.sz, k.b, k.rn, k.y,
+         AVG(k.y) OVER (PARTITION BY k.sz, k.b) AS mu,
+         STDDEV_POP(k.y) OVER (PARTITION BY k.sz, k.b) AS s
+  FROM blk k JOIN full_blocks f ON f.sz = k.sz AND f.b = k.b
+),
+cum AS (
+  SELECT sz, b, s,
+         SUM(y - mu) OVER (PARTITION BY sz, b ORDER BY rn) AS cd
+  FROM bx
+),
+rs AS (
+  SELECT sz, b, (MAX(cd) - MIN(cd)) / MAX(s) AS rs_val
+  FROM cum GROUP BY sz, b
+),
+per_size AS (
+  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_blocks, AVG(rs_val) AS avg_rs
+  FROM rs GROUP BY sz
+)
+SELECT CAST(sz AS BIGINT) AS sz, n_blocks, ROUND(avg_rs, 6) AS avg_rs,
+       ROUND(REGR_SLOPE(LN(avg_rs), LN(sz)) OVER (), 4) AS hurst
+FROM per_size
+"""
+
+
+@register("stats_hurst_exponent", HURST_ORACLE)
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range analysis: block the
+    daily series at four window sizes, compute R/S (range of cumulative
+    mean deviations over the block stddev) per block, then the log-log
+    slope of mean R/S against block size. H≈0.5 is a random walk; this
+    corpus trends (~0.57). All windows are (size, block)-partitioned over
+    the calendar-bounded daily aggregate; the final regression runs over
+    FOUR rows."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    ser = daily.select(F.row_number().over(Window.orderBy("dt")).alias("rn"), "y")
+    sizes = spark.createDataFrame([(16,), (32,), (64,), (128,)], "sz int")
+    blk = ser.crossJoin(F.broadcast(sizes)).select(
+        "sz", F.floor((F.col("rn") - 1) / F.col("sz")).cast("bigint").alias("b"),
+        "rn", "y",
+    )
+    full_blocks = (
+        blk.groupBy("sz", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("sz").alias("msz"))
+        .where(F.col("cnt") == F.col("msz"))
+        .select("sz", "b")
+    )
+    k = blk.join(full_blocks, ["sz", "b"])
+    wb = Window.partitionBy("sz", "b")
+    bx = k.select(
+        "sz", "b", "rn", "y",
+        F.avg("y").over(wb).alias("mu"),
+        F.stddev_pop("y").over(wb).alias("s"),
+    )
+    wcum = Window.partitionBy("sz", "b").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bx.select(
+        "sz", "b", "s", F.sum(F.col("y") - F.col("mu")).over(wcum).alias("cd")
+    )
+    rs = cum.groupBy("sz", "b").agg(
+        ((F.max("cd") - F.min("cd")) / F.max("s")).alias("rs_val")
+    )
+    per_size = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.avg("rs_val").alias("avg_rs"),
+    )
+    hurst = F.round(
+        F.expr("regr_slope(ln(avg_rs), ln(sz))").over(Window.partitionBy()), 4
+    )
+    return per_size.select(
+        F.col("sz").cast("bigint").alias("sz"),
+        "n_blocks",
+        F.round("avg_rs", 6).alias("avg_rs"),
+        hurst.alias("hurst"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Price elasticity — log-log demand regression per brand
+# --------------------------------------------------------------------------
+
+ELASTICITY_ORACLE = """
+WITH pm AS (
+  SELECT p.p_brand AS brand, DATE_TRUNC('month', CAST(l.l_shipdate AS DATE)) AS m,
+         SUM(l.l_quantity) AS q, SUM(l.l_extendedprice) / SUM(l.l_quantity) AS unit_p
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(REGR_SLOPE(LN(q), LN(unit_p)), 6) + 0.0 AS elasticity,
+       ROUND(REGR_R2(LN(q), LN(unit_p)), 6) AS r2
+FROM pm GROUP BY brand
+"""
+
+
+@register("regr_price_elasticity", ELASTICITY_ORACLE)
+def regr_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per brand: slope of ln(quantity) on
+    ln(unit price) over brand-month aggregates — the log-log regression
+    every pricing team runs. Part dimension broadcasts; the fact scan
+    collapses to brand x month before the regression aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.trunc(F.to_date("l_shipdate"), "month").alias("m"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_p"),
+        )
+    )
+    return pm.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        (
+            F.round(F.expr("regr_slope(ln(q), ln(unit_p))"), 6) + F.lit(0.0)
+        ).alias("elasticity"),
+        F.round(F.expr("regr_r2(ln(q), ln(unit_p))"), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio feature framing (rows-only: mapInPandas plumbing, stub decoder)
+# --------------------------------------------------------------------------
+
+
+@register("multimodal_audio_features", None)  # mapInPandas plumbing → rows-only
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payloads → overlapping 512/256 analysis frames with per-frame
+    RMS + zero-crossing rate (operators/multimodal.py:frame_audio) — the
+    audio leg of the multimodal family, same injected-decoder contract as
+    the image/video stubs (deterministic fake PCM here; no codecs in the
+    container). SCALAR output columns only, rounded — the round-3 array
+    canonicalization crash class can't recur. Summarized per item so the
+    driver row count is item-bounded."""
+    from airflow_dags_spark.operators.multimodal import fake_pcm_decoder, frame_audio
+
+    d = read_table(spark, sf_dir, "documents")
+    mm = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    frames = frame_audio(mm, fake_pcm_decoder, frame_length=512, hop=256)
+    return frames.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.max("rms"), 6).alias("max_rms"),
+        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+    )

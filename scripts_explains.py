@@ -53,6 +53,14 @@ NAMES = [
     "join_hint_shuffle_merge",
     "fuzzy_join_part_names",
     "join_null_safe",
+    # round-6 representatives
+    "stats_corr_matrix",
+    "ml_lift_gains_table",
+    "graph_adamic_adar",
+    "layout_zorder_bucket_stats",
+    "scd2_point_in_time_lookup",
+    "ivm_topk_maintenance",
+    "sketch_hll_sliding_7d",
     "window_range_frame_trailing",
     "graph_pagerank_purchases",
     "sketch_bloom_membership",

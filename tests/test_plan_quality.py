@@ -399,6 +399,8 @@ ALLOWED_NESTED_LOOP = {
     # 64x16 seeded sign-matrix construction (two range frames crossed,
     # 1024 rows total, then broadcast):
     "sim_random_projection_jl",
+    # 4-row block-size frame crossed against the daily aggregate:
+    "stats_hurst_exponent",
 }
 
 
@@ -921,3 +923,50 @@ def test_croston_fold_no_python_single_exchange_family(spark):
     plan = plan_of(spark, "forecast_croston")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan  # per-class groups only
+
+
+def test_reconciliation_copartitioned_join(spark):
+    """One keyed line aggregate + one equi-join on orderkey; at cluster
+    scale both sides co-partition on the same key."""
+    plan = plan_of(spark, "dq_order_line_reconciliation")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_runs_test_windows_over_daily_aggregate(spark):
+    plan = plan_of(spark, "stats_runs_test")
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_attribution_single_user_window_no_self_join(spark):
+    """Carry-forward attribution must be ONE per-user ordered window —
+    no purchase-to-touch self-join."""
+    plan = plan_of(spark, "events_attribution_last_touch")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + groupBy
+
+
+def test_cume_dist_over_daily_aggregate(spark):
+    plan = plan_of(spark, "window_cume_dist_daily")
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_sequential_rules_pair_join_over_first_occurrences(spark):
+    """The pair join must consume the first-occurrence aggregate (one row
+    per user x type), never raw events."""
+    plan = plan_of(spark, "events_sequential_rules")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_hurst_blocks_partitioned_by_size_and_block(spark):
+    plan = plan_of(spark, "stats_hurst_exponent")
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_elasticity_broadcasts_part_dim(spark):
+    plan = plan_of(spark, "regr_price_elasticity")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -1166,3 +1166,230 @@ def test_croston_matches_python_recursion(spark):
         assert got[pc].z_final == pytest.approx(z, abs=1e-3)
         assert got[pc].p_final == pytest.approx(p, abs=1e-3)
         assert got[pc].croston_forecast == pytest.approx(z / p, abs=1e-3)
+
+
+# --- reconciliation --------------------------------------------------------------
+
+
+def test_reconciliation_matches_pandas(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    li["lt"] = li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax)
+    lt = li.groupby("l_orderkey")["lt"].sum()
+    m = o.join(lt, on="o_orderkey", how="inner", rsuffix="_l")
+    m["diff"] = (m["o_totalprice"] - m["lt"]).abs()
+    got = {r.status: r for r in registry.QUERIES["dq_order_line_reconciliation"](spark, SF_DIR).collect()}
+    for st, sub in m.groupby("o_orderstatus"):
+        assert got[st].n_orders == len(sub)
+        assert got[st].avg_abs_diff == pytest.approx(sub["diff"].mean(), abs=0.02)
+        assert got[st].max_abs_diff == pytest.approx(sub["diff"].max(), abs=0.02)
+        assert got[st].reconciled == int((sub["diff"] <= 0.01).sum())
+
+
+# --- runs test -------------------------------------------------------------------
+
+
+def test_runs_test_matches_python(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    y = daily["y"].to_numpy()
+    ups = []
+    for a, b in zip(y, y[1:]):
+        if b > a:
+            ups.append(1)
+        elif b < a:
+            ups.append(0)
+    runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+    n1, n2 = float(sum(ups)), float(len(ups) - sum(ups))
+    exp = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    got = registry.QUERIES["stats_runs_test"](spark, SF_DIR).first()
+    assert (got.n_up, got.n_down, got.runs) == (int(n1), int(n2), runs)
+    assert got.expected_runs == pytest.approx(exp, abs=1e-3)
+    assert got.z == pytest.approx((runs - exp) / np.sqrt(var), abs=1e-5)
+
+
+# --- attribution -----------------------------------------------------------------
+
+
+def test_attribution_matches_python_walk(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    cnt = defaultdict(int)
+    val = defaultdict(float)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last = None
+        for r in rows:
+            if r.event_type == "purchase":
+                k = last or "none"
+                cnt[k] += 1
+                val[k] += r.value or 0.0
+            else:
+                last = r.event_type
+    got = {r.touch: r for r in registry.QUERIES["events_attribution_last_touch"](spark, SF_DIR).collect()}
+    assert set(got) == set(cnt)
+    for k in cnt:
+        assert got[k].purchases == cnt[k]
+        assert got[k].attributed_value == pytest.approx(val[k], abs=0.02)
+
+
+# --- cume_dist -------------------------------------------------------------------
+
+
+def test_cume_dist_definitions(spark):
+    rows = registry.QUERIES["window_cume_dist_daily"](spark, SF_DIR).collect()
+    n = len(rows)
+    ys = sorted(r.y for r in rows)
+    import bisect
+
+    for r in rows:
+        le = bisect.bisect_right(ys, r.y)
+        lt = bisect.bisect_left(ys, r.y)
+        assert r.cume == pytest.approx(le / n, abs=2e-6)
+        assert r.pct_rank == pytest.approx(lt / (n - 1), abs=2e-6)
+
+
+# --- sequential rules ------------------------------------------------------------
+
+
+def test_sequential_rules_match_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+
+    first = {}
+    for r in ev:
+        k = (r.user_id, r.event_type)
+        if k not in first or r.ts < first[k]:
+            first[k] = r.ts
+    by_user = defaultdict(dict)
+    for (u, t), ts in first.items():
+        by_user[u][t] = ts
+    cnt_a = defaultdict(int)
+    a_then_b = defaultdict(int)
+    types = set(t for _, t in first)
+    for u, m in by_user.items():
+        for ta in m:
+            cnt_a[ta] += 1
+            for tb in m:
+                if ta != tb and m[tb] > m[ta]:
+                    a_then_b[(ta, tb)] += 1
+    got = {(r.t_a, r.t_b): r for r in registry.QUERIES["events_sequential_rules"](spark, SF_DIR).collect()}
+    for (ta, tb), r in got.items():
+        assert r.users_a == cnt_a[ta]
+        assert r.users_a_then_b == a_then_b[(ta, tb)]
+        assert r.confidence == pytest.approx(a_then_b[(ta, tb)] / cnt_a[ta], abs=1e-5)
+    # both directions of every co-present pair appear
+    assert len(got) == sum(1 for p in a_then_b) or len(got) >= len(types) * (len(types) - 1) - 5
+
+
+# --- Hurst -----------------------------------------------------------------------
+
+
+def test_hurst_rs_matches_numpy(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    y = daily["y"].to_numpy()
+    got = {r.sz: r for r in registry.QUERIES["stats_hurst_exponent"](spark, SF_DIR).collect()}
+    pts = []
+    for sz in (16, 32, 64, 128):
+        rs_vals = []
+        for b in range(len(y) // sz):
+            seg = y[b * sz : (b + 1) * sz]
+            dev = np.cumsum(seg - seg.mean())
+            rs_vals.append((dev.max() - dev.min()) / seg.std())
+        assert got[sz].n_blocks == len(rs_vals)
+        assert got[sz].avg_rs == pytest.approx(np.mean(rs_vals), abs=1e-4)
+        pts.append((np.log(sz), np.log(np.mean(rs_vals))))
+    X = np.array([p[0] for p in pts])
+    Y = np.array([p[1] for p in pts])
+    slope = np.polyfit(X, Y, 1)[0]
+    assert got[16].hurst == pytest.approx(slope, abs=1e-3)
+    assert 0.0 < got[16].hurst < 1.0
+
+
+# --- elasticity ------------------------------------------------------------------
+
+
+def test_elasticity_matches_numpy_loglog(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    pm = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", F.trunc(F.to_date("l_shipdate"), "month").alias("m"))
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+        .toPandas()
+    )
+    got = {r.brand: r for r in registry.QUERIES["regr_price_elasticity"](spark, SF_DIR).collect()}
+    for brand, sub in pm.groupby("p_brand"):
+        x = np.log(sub["p"].to_numpy(float))
+        yy = np.log(sub["q"].to_numpy(float))
+        slope = np.polyfit(x, yy, 1)[0]
+        r2 = np.corrcoef(x, yy)[0, 1] ** 2
+        assert got[brand].n_months == len(sub)
+        assert got[brand].elasticity == pytest.approx(slope, abs=1e-4)
+        assert got[brand].r2 == pytest.approx(r2, abs=1e-4)
+
+
+# --- audio framing ---------------------------------------------------------------
+
+
+def test_audio_framing_matches_numpy(spark):
+    from airflow_dags_spark.operators.multimodal import fake_pcm_decoder
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).collect()
+    got = {
+        r.item_id: r
+        for r in registry.QUERIES["multimodal_audio_features"](spark, SF_DIR).collect()
+    }
+    for d in docs:
+        pcm = fake_pcm_decoder(d.text.encode()).astype(np.float64)
+        rms, zcr = [], []
+        i = 0
+        while i + 512 <= len(pcm):
+            fr = pcm[i : i + 512]
+            rms.append(np.sqrt((fr * fr).mean()))
+            zcr.append(float(np.mean(np.sign(fr[1:]) != np.sign(fr[:-1]))))
+            i += 256
+        r = got[d.doc_id]
+        assert r.n_frames == len(rms) == 7  # (2048-512)/256 + 1
+        assert r.avg_rms == pytest.approx(np.mean(rms), abs=1e-5)
+        assert r.max_rms == pytest.approx(np.max(rms), abs=1e-5)
+        assert r.avg_zcr == pytest.approx(np.mean(zcr), abs=1e-5)
+
+
+def test_frame_audio_requires_decoder(spark):
+    from airflow_dags_spark.operators.multimodal import frame_audio
+
+    df = spark.createDataFrame([(1, b"x")], "item_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        frame_audio(df)
