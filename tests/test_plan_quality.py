@@ -970,3 +970,39 @@ def test_elasticity_broadcasts_part_dim(spark):
     plan = plan_of(spark, "regr_price_elasticity")
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_banded_tax_branch_free_codegen(spark):
+    """The marginal bands must be GREATEST/LEAST arithmetic in the scan
+    stage — no band-table join, no Python."""
+    plan = plan_of(spark, "scalar_banded_tax")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+
+
+def test_xyz_two_aggregates_no_joins(spark):
+    plan = plan_of(spark, "inventory_xyz_classification")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_p90_merge_audit_grouped_percentiles(spark):
+    plan = plan_of(spark, "agg_percentile_mergeability_audit")
+    assert "percentile" in plan.lower()
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_filter_clause_is_one_aggregate_pass(spark):
+    """Five FILTER-predicated aggregates must compile to ONE partial+final
+    aggregate pair over one scan — never five jobs or a union."""
+    plan = plan_of(spark, "agg_filter_clause_sweep")
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_file_metadata_audit_scan_plus_one_aggregate(spark):
+    plan = plan_of(spark, "source_file_metadata_audit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -8,6 +8,7 @@ import json
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from airflow_dags_spark.functions.json_extract import extract_balanced_json
 from airflow_dags_spark.operators.upsert import ParquetTable
@@ -530,3 +531,81 @@ def test_minmax_ivm_equals_recompute_on_random_change_sets(
     lhs = {(r["k"]): (r["max_v"], r["cnt"]) for r in got.collect()}
     rhs = {(r["k"]): (r["max_v"], r["cnt"]) for r in want.collect()}
     assert lhs == rhs
+
+
+# --- top-k IVM ≡ recompute under random change sets ------------------------------
+
+topk_base = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+    min_size=1,
+    max_size=25,
+)
+topk_inserts = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 100)),
+    max_size=8,
+)
+
+
+@given(base=topk_base, del_mask=st.lists(st.booleans(), min_size=1, max_size=25),
+       inserts=topk_inserts)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_topk_ivm_equals_recompute(spark, base, del_mask, inserts):
+    """merge_topk_state(state, Δ) must equal top-k recomputed from the
+    post-change base for EVERY random change set — including deleting a
+    group's champion, deleting whole groups, and insert-only new groups."""
+    from airflow_dags_spark.operators.maintenance import merge_topk_state, topk_state
+
+    rows = [(k, float(v), i) for i, (k, v) in enumerate(base)]
+    bdf = spark.createDataFrame(rows, "k string, v double, rid bigint")
+    state = topk_state(bdf, {"k": F.col("k")}, F.col("v"), F.col("rid"), 2)
+    deleted = [r for i, r in enumerate(rows) if del_mask[i % len(del_mask)]]
+    kept = [r for r in rows if r not in deleted]
+    ins = [(k, float(v), 1000 + i) for i, (k, v) in enumerate(inserts)]
+    changes_rows = [("delete", k, rid, None) for k, v, rid in deleted] + [
+        ("insert", k, rid, v) for k, v, rid in ins
+    ]
+    if not changes_rows:
+        return
+    changes = spark.createDataFrame(
+        changes_rows, "change_type string, k string, __id long, __v double"
+    )
+    after_rows = [(k, rid, v) for k, v, rid in kept + ins]
+    if not after_rows:
+        return
+    after = spark.createDataFrame(after_rows, "k string, __id long, __v double")
+    got = merge_topk_state(state, changes, after, ["k"], 2)
+
+    import heapq
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for k, rid, v in after_rows:
+        groups[k].append((-v, rid))
+    want = set()
+    for k, items in groups.items():
+        for nv, rid in sorted(items)[:2]:
+            want.add((k, rid, -nv))
+    assert {(r["k"], r["__id"], r["__v"]) for r in got.collect()} == want
+
+
+# --- clamped fold: invariants over arbitrary delta sequences ---------------------
+
+
+@given(deltas=st.lists(st.floats(min_value=-100, max_value=100,
+                                 allow_nan=False, allow_infinity=False),
+                       min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_clamped_fold_expression_matches_python(spark, deltas):
+    """The GREATEST(0, acc+x) fold expression == the Python recursion for
+    arbitrary float sequences (and is always >= the plain running sum)."""
+    df = spark.createDataFrame([(list(map(float, deltas)),)], "ds array<double>")
+    clamped = F.aggregate(
+        F.col("ds"), F.lit(0.0), lambda acc, x: F.greatest(F.lit(0.0), acc + x)
+    )
+    net = F.aggregate(F.col("ds"), F.lit(0.0), lambda acc, x: acc + x)
+    row = df.select(clamped.alias("c"), net.alias("n")).first()
+    acc = 0.0
+    for d in deltas:
+        acc = max(0.0, acc + d)
+    assert row["c"] == acc
+    assert row["c"] >= row["n"] - 1e-9

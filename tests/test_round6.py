@@ -1393,3 +1393,106 @@ def test_frame_audio_requires_decoder(spark):
     df = spark.createDataFrame([(1, b"x")], "item_id long, payload binary")
     with pytest.raises(NotImplementedError):
         frame_audio(df)
+
+
+# --- banded tax ------------------------------------------------------------------
+
+
+def test_banded_tax_matches_bracket_walk(spark):
+    def ref_tax(p):
+        bands = [(125000, 250000, 0.02), (250000, 925000, 0.05),
+                 (925000, 1500000, 0.10), (1500000, float("inf"), 0.12)]
+        return sum(r * max(0.0, min(p, hi) - lo) for lo, hi, r in bands)
+
+    pdf = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice"
+    ).toPandas()
+    pdf["tax"] = pdf["o_totalprice"].map(ref_tax)
+    got = {r.status: r for r in registry.QUERIES["scalar_banded_tax"](spark, SF_DIR).collect()}
+    for st_, sub in pdf.groupby("o_orderstatus"):
+        assert got[st_].n == len(sub)
+        assert got[st_].total_tax == pytest.approx(sub["tax"].sum(), abs=0.02)
+        assert got[st_].zero_band == int((sub["tax"] == 0).sum())
+        rate = (sub["tax"] / sub["o_totalprice"]).mean()
+        assert got[st_].avg_effective_rate == pytest.approx(rate, abs=2e-6)
+    # marginal property: tax is continuous at a band edge
+    assert ref_tax(250000) == pytest.approx(0.02 * 125000)
+    assert ref_tax(250001) == pytest.approx(0.02 * 125000 + 0.05, abs=1e-6)
+
+
+# --- XYZ classification ----------------------------------------------------------
+
+
+def test_xyz_classes_match_pandas(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    md = (
+        li.groupBy("l_partkey", F.trunc(F.to_date("l_shipdate"), "month").alias("m"))
+        .agg(F.sum("l_quantity").alias("q"))
+        .toPandas()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, []])
+    for pk, sub in md.groupby("l_partkey"):
+        if len(sub) < 12:
+            continue
+        q = sub["q"].to_numpy(float)
+        cv = round(q.std() / q.mean(), 6)
+        c = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+        a = agg[c]
+        a[0] += 1
+        a[1] += pk
+        a[2].append(cv)
+    got = {r.xyz: r for r in registry.QUERIES["inventory_xyz_classification"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for c, (n, ks, cvs) in agg.items():
+        assert got[c].n_parts == n and got[c].part_key_sum == ks
+        assert got[c].avg_cv == pytest.approx(np.mean(cvs), abs=2e-6)
+
+
+# --- percentile mergeability ------------------------------------------------------
+
+
+def test_p90_merge_audit_shows_bias(spark):
+    got = registry.QUERIES["agg_percentile_mergeability_audit"](spark, SF_DIR).first()
+    assert got.n_weeks > 100
+    # averaging daily p90s is measurably wrong — that's the lesson
+    assert got.avg_abs_bias > 0
+    assert got.max_abs_bias >= got.avg_abs_bias
+
+
+# --- FILTER clause ---------------------------------------------------------------
+
+
+def test_filter_clause_matches_pandas(spark):
+    pdf = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    got = {r.ls: r for r in registry.QUERIES["agg_filter_clause_sweep"](spark, SF_DIR).collect()}
+    for ls, sub in pdf.groupby("l_linestatus"):
+        assert got[ls].n_discounted == int((sub.l_discount > 0.05).sum())
+        assert got[ls].n_returned == int((sub.l_returnflag == "R").sum())
+        assert got[ls].rev_bulk == pytest.approx(
+            sub.loc[sub.l_quantity >= 25, "l_extendedprice"].sum(), abs=0.02
+        )
+        assert got[ls].avg_untaxed == pytest.approx(
+            sub.loc[sub.l_tax == 0, "l_extendedprice"].mean(), abs=1e-3
+        )
+        assert got[ls].max_undiscounted == pytest.approx(
+            sub.loc[sub.l_discount == 0, "l_extendedprice"].max(), abs=0.01
+        )
+
+
+# --- file metadata audit ---------------------------------------------------------
+
+
+def test_file_metadata_audit_counts_and_sizes(spark):
+    import os
+
+    rows = registry.QUERIES["source_file_metadata_audit"](spark, SF_DIR).collect()
+    total_rows = sum(r.n_rows for r in rows)
+    exact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert total_rows == exact
+    real = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
+    if os.path.isfile(f"{SF_DIR}/lineitem.parquet"):
+        assert sum(r.file_size for r in rows) == real
+    for r in rows:
+        assert r.bytes_per_row == pytest.approx(r.file_size / r.n_rows, abs=0.01)
