@@ -3205,3 +3205,339 @@ def source_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("file_size") / F.col("n_rows"), 2).alias("bytes_per_row"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box Q — portmanteau whiteness test on daily revenue
+# --------------------------------------------------------------------------
+
+LJUNG_BOX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y
+  FROM orders GROUP BY 1
+),
+m AS (SELECT AVG(y) AS mu, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+c AS (SELECT dt, y - (SELECT mu FROM m) AS d FROM daily),
+lags AS (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS k),
+num AS (
+  SELECT l.k, SUM(a.d * b.d) AS s
+  FROM lags l JOIN c a ON TRUE JOIN c b ON b.dt = a.dt + CAST(l.k AS INTEGER)
+  GROUP BY l.k
+),
+den AS (SELECT SUM(d * d) AS s0 FROM c),
+rho AS (SELECT k, num.s / (SELECT s0 FROM den) AS r FROM num)
+SELECT (SELECT n FROM m) AS n_days,
+       ROUND((SELECT n FROM m) * ((SELECT n FROM m) + 2)
+             * SUM(r * r / ((SELECT n FROM m) - k)), 4) AS ljung_box_q
+FROM rho
+"""
+
+
+@register("stats_ljung_box", LJUNG_BOX_ORACLE)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over lags 1..10 of daily revenue — the
+    standard "are the residuals white noise?" gate after any forecast
+    fit (Q ~ chi^2_10 under H0). Same lag machinery as
+    ``stats_ccf_lags``: explode the 10 lags over the CENTERED daily
+    aggregate and equi-join on the shifted date — never a window per
+    lag."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    m = daily.agg(F.avg("y").alias("mu"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "dt", (F.col("y") - F.col("mu")).alias("d"), "n"
+    )
+    a = c.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(10)))).withColumn(
+        "dt_b", F.expr("date_add(dt, k)")
+    )
+    b = c.select(F.col("dt").alias("dt_b"), F.col("d").alias("d_b"))
+    num = a.join(b, "dt_b").groupBy("k", "n").agg(F.sum(F.col("d") * F.col("d_b")).alias("s"))
+    den = c.agg(F.sum(F.col("d") * F.col("d")).alias("s0"))
+    rho = num.crossJoin(F.broadcast(den)).select(
+        "k", "n", (F.col("s") / F.col("s0")).alias("r")
+    )
+    return rho.groupBy("n").agg(
+        F.round(
+            F.col("n") * (F.col("n") + 2)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("ljung_box_q")
+    ).select(F.col("n").alias("n_days"), "ljung_box_q")
+
+
+# --------------------------------------------------------------------------
+# Chi-square standardized residuals — which cells drive the dependence
+# --------------------------------------------------------------------------
+
+CHISQ_CELLS_ORACLE = """
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, r.r_name AS reg, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS t FROM obs),
+rowm AS (SELECT seg, SUM(o) AS rs FROM obs GROUP BY seg),
+colm AS (SELECT reg, SUM(o) AS cs FROM obs GROUP BY reg)
+SELECT obs.seg, obs.reg, CAST(obs.o AS BIGINT) AS observed,
+       ROUND(rowm.rs * colm.cs / (SELECT t FROM tot), 4) AS expected,
+       ROUND((obs.o - rowm.rs * colm.cs / (SELECT t FROM tot))
+             / SQRT(rowm.rs * colm.cs / (SELECT t FROM tot)), 6) + 0.0
+         AS std_residual
+FROM obs JOIN rowm USING (seg) JOIN colm USING (reg)
+"""
+
+
+@register("stats_chisq_residual_cells", CHISQ_CELLS_ORACLE)
+def stats_chisq_residual_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell standardized residuals (O-E)/sqrt(E) of the segment x
+    region contingency table — ``stats_chi_square`` says WHETHER the
+    table is dependent; this says WHICH cells. One contingency
+    aggregate, marginals broadcast back over the |cells| frame."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = read_table(spark, sf_dir, "region")
+    obs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("reg"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("t"))
+    rowm = obs.groupBy("seg").agg(F.sum("o").alias("rs"))
+    colm = obs.groupBy("reg").agg(F.sum("o").alias("cs"))
+    e = F.col("rs") * F.col("cs") / F.col("t")
+    return (
+        obs.join(F.broadcast(rowm), "seg")
+        .join(F.broadcast(colm), "reg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "reg",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            (F.round((F.col("o") - e) / F.sqrt(e), 6) + F.lit(0.0)).alias(
+                "std_residual"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox check — aggregate vs per-group association direction
+# --------------------------------------------------------------------------
+
+SIMPSONS_ORACLE = """
+WITH g AS (
+  SELECT l_linestatus AS grp, REGR_SLOPE(l_extendedprice, l_discount) AS slope,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+o AS (SELECT REGR_SLOPE(l_extendedprice, l_discount) AS oslope FROM lineitem)
+SELECT g.grp, g.n, ROUND(g.slope, 4) + 0.0 AS group_slope,
+       ROUND(o.oslope, 4) + 0.0 AS overall_slope,
+       CASE WHEN SIGN(g.slope) <> SIGN(o.oslope) THEN 1 ELSE 0 END AS sign_flip
+FROM g, o
+"""
+
+
+@register("stats_simpsons_check", SIMPSONS_ORACLE)
+def stats_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the price~discount slope computed
+    overall AND within each group, with a sign_flip flag where the
+    within-group association contradicts the aggregate one — the
+    sanity check every segmented-metrics report should run before
+    publishing a trend. Two aggregates over one scan lineage, the
+    1-row overall slope broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    g = li.groupBy(F.col("l_linestatus").alias("grp")).agg(
+        F.expr("regr_slope(l_extendedprice, l_discount)").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    o = li.agg(F.expr("regr_slope(l_extendedprice, l_discount)").alias("oslope"))
+    return g.crossJoin(F.broadcast(o)).select(
+        "grp",
+        "n",
+        (F.round("slope", 4) + F.lit(0.0)).alias("group_slope"),
+        (F.round("oslope", 4) + F.lit(0.0)).alias("overall_slope"),
+        F.when(F.signum("slope") != F.signum("oslope"), 1).otherwise(0).alias(
+            "sign_flip"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test — two-cohort survival comparison (time to first purchase)
+# --------------------------------------------------------------------------
+
+LOGRANK_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS ref_end FROM events),
+fe AS (SELECT user_id, user_id % 2 AS grp, MIN(ts) AS start_ts
+       FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+fp AS (SELECT user_id, MIN(ts) AS p_ts FROM events
+       WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY user_id),
+obs AS (
+  SELECT fe.grp,
+         CASE WHEN fp.p_ts IS NOT NULL
+              THEN date_diff('hour', date_trunc('hour', fe.start_ts),
+                             date_trunc('hour', fp.p_ts))
+              ELSE date_diff('hour', date_trunc('hour', fe.start_ts),
+                             date_trunc('hour', (SELECT ref_end FROM bounds))) END AS t,
+         CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fe LEFT JOIN fp ON fp.user_id = fe.user_id
+),
+times AS (SELECT t, grp, SUM(ev) AS d, COUNT(*) AS ends FROM obs GROUP BY t, grp),
+tot AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n0 FROM obs GROUP BY grp),
+evtimes AS (SELECT DISTINCT t FROM times WHERE d > 0),
+grid AS (SELECT e.t, g.grp, 0 AS marker, NULL::BIGINT AS ends, NULL::BIGINT AS d
+         FROM evtimes e, (SELECT DISTINCT grp FROM tot) g),
+frame AS (
+  SELECT t, grp, 1 AS marker, ends, d FROM times
+  UNION ALL SELECT t, grp, marker, ends, d FROM grid
+),
+carried AS (
+  SELECT t, grp, marker, d,
+         COALESCE(SUM(ends) OVER (PARTITION BY grp ORDER BY t, marker
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS gone
+  FROM frame
+),
+atrisk AS (
+  SELECT c.t, c.grp, tot.n0 - c.gone AS n_risk
+  FROM carried c JOIN tot ON tot.grp = c.grp
+  WHERE c.marker = 0
+),
+dsum AS (
+  SELECT t,
+    SUM(CASE WHEN grp = 0 THEN d ELSE 0 END) AS d0,
+    SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS d1
+  FROM times GROUP BY t
+),
+et AS (
+  SELECT a.t,
+    COALESCE(ds.d0, 0) AS d0, COALESCE(ds.d1, 0) AS d1,
+    SUM(CASE WHEN a.grp = 0 THEN a.n_risk ELSE 0 END) AS n0r,
+    SUM(CASE WHEN a.grp = 1 THEN a.n_risk ELSE 0 END) AS n1r
+  FROM atrisk a JOIN dsum ds ON ds.t = a.t
+  GROUP BY a.t, ds.d0, ds.d1
+  HAVING COALESCE(ds.d0, 0) + COALESCE(ds.d1, 0) > 0
+),
+s AS (
+  SELECT SUM(d1) AS o1,
+         SUM((d0 + d1) * n1r / (n0r + n1r)) AS e1,
+         SUM((d0 + d1) * (n0r / (n0r + n1r)) * (n1r / (n0r + n1r))
+             * (n0r + n1r - d0 - d1) / (n0r + n1r - 1)) AS v1
+  FROM et WHERE n0r + n1r > 1
+)
+SELECT CAST(o1 AS BIGINT) AS observed_g1, ROUND(e1, 4) AS expected_g1,
+       ROUND(v1, 4) AS variance_g1,
+       ROUND((o1 - e1) / SQRT(v1), 6) + 0.0 AS logrank_z
+FROM s
+"""
+
+
+@register("stats_logrank_test", LOGRANK_ORACLE)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) comparison of time-to-first-purchase
+    between two user cohorts, right-censored at the corpus end — the
+    hypothesis test that belongs with the KM / Nelson-Aalen estimators.
+    At each event time: observed vs hypergeometric-expected group-1
+    events and variance, summed; z = (O-E)/sqrt(V). The at-risk counts
+    come from a per-group cumulative window over the bounded
+    distinct-time frame (the oracle's self-join form, decorrelated).
+    Minute→hour truncation keeps the NTZ arithmetic engine-neutral."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # ref_end as a driver-side literal (the stats_kaplan_meier precedent):
+    # a 1-row crossJoin here would be re-planned once per consumer of the
+    # obs lineage — six bounded nested loops for one constant
+    ref_end = ev.agg(F.max("ts").alias("m")).first()["m"]
+    fe = ev.groupBy("user_id").agg(F.min("ts").alias("start_ts"))
+    fe = fe.select("user_id", (F.col("user_id") % 2).alias("grp"), "start_ts")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    ref = f"TIMESTAMP_NTZ '{ref_end}'"
+    obs = fe.join(fp, "user_id", "left").select(
+        "grp",
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(
+                "timestampdiff(HOUR, date_trunc('hour', start_ts),"
+                " date_trunc('hour', p_ts))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "timestampdiff(HOUR, date_trunc('hour', start_ts),"
+                f" date_trunc('hour', {ref}))"
+            )
+        )
+        .alias("t"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = obs.groupBy("t", "grp").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("ends")
+    )
+    tot = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    evtimes = times.where(F.col("d") > 0).select("t").distinct()
+    groups = tot.select("grp")
+    grid = evtimes.crossJoin(F.broadcast(groups)).select(
+        "t", "grp", F.lit(0).alias("marker"),
+        F.lit(None).cast("bigint").alias("ends"),
+        F.lit(None).cast("bigint").alias("d"),
+    )
+    frame = times.select(
+        "t", "grp", F.lit(1).alias("marker"),
+        F.col("ends").cast("bigint"), F.col("d").cast("bigint"),
+    ).unionByName(grid)
+    w_carry = (
+        Window.partitionBy("grp")
+        .orderBy("t", "marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = frame.select(
+        "t", "grp", "marker", "d",
+        F.coalesce(F.sum("ends").over(w_carry), F.lit(0)).alias("gone"),
+    )
+    atrisk = (
+        carried.where(F.col("marker") == 0)
+        .join(F.broadcast(tot), "grp")
+        .select("t", "grp", (F.col("n0") - F.col("gone")).alias("n_risk"))
+    )
+    dsum = times.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0)).alias("d1"),
+    )
+    et = (
+        atrisk.join(dsum, "t")
+        .groupBy("t", "d0", "d1")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("n_risk")).otherwise(0)).alias("n0r"),
+            F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0)).alias("n1r"),
+        )
+        .where(F.col("d0") + F.col("d1") > 0)
+        .where(F.col("n0r") + F.col("n1r") > 1)
+    )
+    nt = F.col("n0r") + F.col("n1r")
+    dd = F.col("d0") + F.col("d1")
+    s = et.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(dd * F.col("n1r") / nt).alias("e1"),
+        F.sum(
+            dd * (F.col("n0r") / nt) * (F.col("n1r") / nt) * (nt - dd) / (nt - 1)
+        ).alias("v1"),
+    )
+    return s.select(
+        F.col("o1").cast("bigint").alias("observed_g1"),
+        F.round("e1", 4).alias("expected_g1"),
+        F.round("v1", 4).alias("variance_g1"),
+        (
+            F.round((F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1")), 6) + F.lit(0.0)
+        ).alias("logrank_z"),
+    )

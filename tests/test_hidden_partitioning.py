@@ -124,3 +124,34 @@ def test_bad_transform_rejected(spark, tmp_path):
         HiddenPartitionTable(spark, str(tmp_path / "x"), [("p", "year", "ts", None)])
     with pytest.raises(ValueError, match="bucket transform"):
         HiddenPartitionTable(spark, str(tmp_path / "x"), [("p", "bucket", "id", 0)])
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """POSITIVE DPP gate (the static-pruning test above asserts hidden
+    partitioning needs NO runtime subquery; this asserts Spark's runtime
+    pruning DOES arm when the partition key is only known via a join):
+    fact partitioned on priority x selectively-filtered dim → the fact
+    scan must carry a dynamicpruningexpression partition filter, so at
+    100 TB only the matching partition directories are listed/read."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    o.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("5-LOW", "l")], "pri string, tag string"
+    )
+    j = (
+        fact.join(dim.where(F.col("tag") == "u"), fact.o_orderpriority == dim.pri)
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the pruned result equals the statically-filtered one
+    want = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .first()["s"]
+    )
+    assert abs(j.first()["s"] - want) < 1e-6

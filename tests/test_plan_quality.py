@@ -401,6 +401,12 @@ ALLOWED_NESTED_LOOP = {
     "sim_random_projection_jl",
     # 4-row block-size frame crossed against the daily aggregate:
     "stats_hurst_exponent",
+    # 1-row means/overall-slope/total/ref-end broadcasts + tiny grid
+    # crosses (event-times x 2 groups):
+    "stats_ljung_box",
+    "stats_chisq_residual_cells",
+    "stats_simpsons_check",
+    "stats_logrank_test",
 }
 
 
@@ -1006,3 +1012,32 @@ def test_file_metadata_audit_scan_plus_one_aggregate(spark):
     plan = plan_of(spark, "source_file_metadata_audit")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ljung_box_lag_fanout_over_centered_aggregate(spark):
+    plan = plan_of(spark, "stats_ljung_box")
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_chisq_cells_marginals_broadcast(spark):
+    plan = plan_of(spark, "stats_chisq_residual_cells")
+    assert plan.count("BroadcastHashJoin") >= 2
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_simpsons_check_two_aggregates_one_lineage(spark):
+    plan = plan_of(spark, "stats_simpsons_check")
+    assert plan.count("Scan parquet") <= 2
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_logrank_at_risk_from_cumulative_window_not_self_join(spark):
+    """The Spark plan must use the per-group cumulative window for
+    at-risk counts (decorrelated), never the oracle's t<t self-join."""
+    plan = plan_of(spark, "stats_logrank_test")
+    # allowed nested loops: the 1-row ref_end broadcast and the
+    # (event-times x 2 groups) grid — both bounded frames
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    _single_partitions_fed_by_aggregates_only(plan)

@@ -1496,3 +1496,141 @@ def test_file_metadata_audit_counts_and_sizes(spark):
         assert sum(r.file_size for r in rows) == real
     for r in rows:
         assert r.bytes_per_row == pytest.approx(r.file_size / r.n_rows, abs=0.01)
+
+
+# --- Ljung-Box -------------------------------------------------------------------
+
+
+def test_ljung_box_matches_numpy(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    # NOTE: the query joins on calendar date + k DAYS; with a dense daily
+    # series this equals index-lag autocorrelation
+    y = daily["y"].to_numpy()
+    d = y - y.mean()
+    n = len(y)
+    q = 0.0
+    dates = daily["dt"].tolist()
+    pos = {dt: i for i, dt in enumerate(dates)}
+    import datetime
+
+    for k in range(1, 11):
+        s = 0.0
+        for i, dt in enumerate(dates):
+            j = pos.get(dt + datetime.timedelta(days=k))
+            if j is not None:
+                s += d[i] * d[j]
+        r = s / (d * d).sum()
+        q += r * r / (n - k)
+    q *= n * (n + 2)
+    got = registry.QUERIES["stats_ljung_box"](spark, SF_DIR).first()
+    assert got.n_days == n
+    assert got.ljung_box_q == pytest.approx(q, abs=1e-2)
+
+
+# --- chi-square residuals ---------------------------------------------------------
+
+
+def test_chisq_residuals_match_numpy(spark):
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    r = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    pdf = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("c_mktsegment", "r_name")
+        .count()
+        .toPandas()
+    )
+    tab = pdf.pivot(index="c_mktsegment", columns="r_name", values="count").fillna(0)
+    obs = tab.to_numpy(float)
+    e = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / obs.sum()
+    resid = (obs - e) / np.sqrt(e)
+    got = {(r_.seg, r_.reg): r_ for r_ in registry.QUERIES["stats_chisq_residual_cells"](spark, SF_DIR).collect()}
+    for i, seg in enumerate(tab.index):
+        for j, reg in enumerate(tab.columns):
+            if obs[i, j] == 0 and (seg, reg) not in got:
+                continue
+            g = got[(seg, reg)]
+            assert g.observed == obs[i, j]
+            assert g.expected == pytest.approx(e[i, j], abs=1e-3)
+            assert g.std_residual == pytest.approx(resid[i, j], abs=2e-6)
+    # residuals of a contingency table sum to ~0 weighted by sqrt(E)
+    tot = sum(g.std_residual * np.sqrt(g.expected) for g in got.values())
+    assert abs(tot) < 1e-2
+
+
+# --- Simpson check ---------------------------------------------------------------
+
+
+def test_simpsons_check_slopes_match_numpy(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_linestatus", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    x, yy = pdf["l_discount"].to_numpy(float), pdf["l_extendedprice"].to_numpy(float)
+    oslope = np.polyfit(x, yy, 1)[0]
+    got = {r.grp: r for r in registry.QUERIES["stats_simpsons_check"](spark, SF_DIR).collect()}
+    for grp, sub in pdf.groupby("l_linestatus"):
+        gs = np.polyfit(sub["l_discount"], sub["l_extendedprice"], 1)[0]
+        assert got[grp].group_slope == pytest.approx(gs, abs=1e-2)
+        assert got[grp].overall_slope == pytest.approx(oslope, abs=1e-2)
+        assert got[grp].sign_flip == (1 if np.sign(gs) != np.sign(oslope) else 0)
+
+
+# --- log-rank ---------------------------------------------------------------------
+
+
+def test_logrank_matches_python_reference(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    from collections import defaultdict
+
+    ref_end = max(r.ts for r in ev)
+    start = {}
+    first_p = {}
+    for r in ev:
+        if r.user_id not in start or r.ts < start[r.user_id]:
+            start[r.user_id] = r.ts
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    trunc = lambda t: t.replace(minute=0, second=0, microsecond=0)
+    obs = []
+    for u, s0 in start.items():
+        grp = u % 2
+        if u in first_p:
+            t = int((trunc(first_p[u]) - trunc(s0)).total_seconds() // 3600)
+            obs.append((grp, t, 1))
+        else:
+            t = int((trunc(ref_end) - trunc(s0)).total_seconds() // 3600)
+            obs.append((grp, t, 0))
+    times = sorted({t for _, t, e in obs if e == 1})
+    o1 = e1 = v1 = 0.0
+    for t in times:
+        n0r = sum(1 for g, tt, _ in obs if g == 0 and tt >= t)
+        n1r = sum(1 for g, tt, _ in obs if g == 1 and tt >= t)
+        d0 = sum(1 for g, tt, e in obs if g == 0 and tt == t and e == 1)
+        d1 = sum(1 for g, tt, e in obs if g == 1 and tt == t and e == 1)
+        nt, dd = n0r + n1r, d0 + d1
+        if nt <= 1:
+            continue
+        o1 += d1
+        e1 += dd * n1r / nt
+        v1 += dd * (n0r / nt) * (n1r / nt) * (nt - dd) / (nt - 1)
+    got = registry.QUERIES["stats_logrank_test"](spark, SF_DIR).first()
+    assert got.observed_g1 == int(o1)
+    assert got.expected_g1 == pytest.approx(e1, abs=1e-3)
+    assert got.variance_g1 == pytest.approx(v1, abs=1e-3)
+    assert got.logrank_z == pytest.approx((o1 - e1) / np.sqrt(v1), abs=1e-4)
