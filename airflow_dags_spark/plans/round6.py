@@ -3541,3 +3541,157 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1")), 6) + F.lit(0.0)
         ).alias("logrank_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration / reliability bins + per-bin Brier — the lift table's sibling
+# --------------------------------------------------------------------------
+
+CALIBRATION_ORACLE = """
+WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+s AS (
+  SELECT (c_acctbal - b.lo) / (b.hi - b.lo) AS score,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0e0 ELSE 0.0e0 END AS label
+  FROM customer, b
+),
+x AS (SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin, score, label FROM s)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS avg_score,
+       ROUND(AVG(label), 6) AS avg_label,
+       ROUND(AVG(POW(score - label, 2)), 6) AS brier_bin
+FROM x GROUP BY bin
+"""
+
+
+@register("ml_calibration_bins", CALIBRATION_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data: scores min-max-normalized to [0,1],
+    ten equal-width probability bins, per-bin mean predicted vs observed
+    rate plus the bin's Brier contribution — calibration is the eval
+    ``ml_lift_gains_table`` (ranking) cannot see. One 1-row bounds
+    broadcast, one grouped aggregate."""
+    c = read_table(spark, sf_dir, "customer").select("c_acctbal", "c_mktsegment")
+    b = c.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    s = c.crossJoin(F.broadcast(b)).select(
+        ((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+            "score"
+        ),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0).otherwise(0.0).alias("label"),
+    )
+    x = s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("bigint").alias("bin"),
+        "score",
+        "label",
+    )
+    return x.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg("label"), 6).alias("avg_label"),
+        F.round(F.avg(F.pow(F.col("score") - F.col("label"), F.lit(2))), 6).alias(
+            "brier_bin"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 30-day correlation — co-movement drift of two daily series
+# --------------------------------------------------------------------------
+
+ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, CAST(COUNT(*) AS DOUBLE) AS c,
+         AVG(o_totalprice) AS ap
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT dt,
+    COUNT(*) OVER w AS n, SUM(c) OVER w AS sx, SUM(ap) OVER w AS sy,
+    SUM(c * ap) OVER w AS sxy, SUM(c * c) OVER w AS sxx,
+    SUM(ap * ap) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY dt ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(dt, '%Y-%m-%d') AS dt, CAST(n AS BIGINT) AS n_win,
+  CASE WHEN n = 30 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       THEN ROUND((n * sxy - sx * sy)
+                  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) + 0.0
+  END AS rolling_corr
+FROM m
+"""
+
+
+@register("window_rolling_corr_30d", ROLLING_CORR_ORACLE)
+def window_rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-row correlation between daily order count and daily
+    average price — does the count/price relationship drift? CORR as a
+    WINDOW aggregate over the calendar-bounded frame (both engines
+    support aggregate-as-window natively; scale-free output is
+    rounding-safe)."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("c"),
+            F.avg("o_totalprice").alias("ap"),
+        )
+    )
+    w = Window.orderBy("dt").rowsBetween(-29, 0)
+    m = daily.select(
+        "dt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+        F.sum("ap").over(w).alias("sy"),
+        F.sum(F.col("c") * F.col("ap")).over(w).alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sxx"),
+        F.sum(F.col("ap") * F.col("ap")).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = (n * F.col("sxy") - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    # explicit moment windows instead of corr().over(): Spark 4's ANSI
+    # mode raises DIVIDE_BY_ZERO inside window corr on deficient frames,
+    # and a projection-level guard cannot stop the window evaluation
+    return m.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        n.cast("bigint").alias("n_win"),
+        F.when((n == 30) & (vx > 0) & (vy > 0), F.round(r, 6) + F.lit(0.0)).alias(
+            "rolling_corr"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Readability proxy — Flesch-shaped quality signal per language
+# --------------------------------------------------------------------------
+
+READABILITY_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(AVG(len(string_split(TRIM(text), ' '))), 4) AS avg_words,
+  ROUND(AVG(CAST(len(REPLACE(text, ' ', '')) AS DOUBLE)
+        / len(string_split(TRIM(text), ' '))), 4) AS avg_word_len,
+  ROUND(AVG(206.835 - 1.015 * len(string_split(TRIM(text), ' '))
+        - 84.6 * (CAST(len(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / len(string_split(TRIM(text), ' ')) / 3.0)), 4) AS flesch_proxy
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_readability_proxy", READABILITY_ORACLE)
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-shaped readability proxy per language
+    (sentence length ≈ doc word count on this single-sentence corpus;
+    syllables/word ≈ chars/word / 3) — the cheap curation signal between
+    raw length stats and a learned quality model. Pure string builtins
+    in the scan stage, one grouped aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), " "))
+    chars = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+    wlen = chars / words
+    flesch = F.lit(206.835) - F.lit(1.015) * words - F.lit(84.6) * (wlen / 3.0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(words), 4).alias("avg_words"),
+        F.round(F.avg(wlen), 4).alias("avg_word_len"),
+        F.round(F.avg(flesch), 4).alias("flesch_proxy"),
+    )

@@ -407,6 +407,8 @@ ALLOWED_NESTED_LOOP = {
     "stats_chisq_residual_cells",
     "stats_simpsons_check",
     "stats_logrank_test",
+    # 1-row min/max bounds broadcast for score normalization:
+    "ml_calibration_bins",
 }
 
 
@@ -1041,3 +1043,23 @@ def test_logrank_at_risk_from_cumulative_window_not_self_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
     _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_calibration_bins_one_pass_after_bounds(spark):
+    plan = plan_of(spark, "ml_calibration_bins")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_rolling_corr_shares_one_window_spec(spark):
+    """All six moment sums must run in ONE window operator over the daily
+    aggregate — six separate Window nodes would re-sort six times."""
+    plan = plan_of(spark, "window_rolling_corr_30d")
+    assert plan.count("Window") == 1
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_readability_stays_in_scan_stage(spark):
+    plan = plan_of(spark, "text_readability_proxy")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -1634,3 +1634,72 @@ def test_logrank_matches_python_reference(spark):
     assert got.expected_g1 == pytest.approx(e1, abs=1e-3)
     assert got.variance_g1 == pytest.approx(v1, abs=1e-3)
     assert got.logrank_z == pytest.approx((o1 - e1) / np.sqrt(v1), abs=1e-4)
+
+
+# --- calibration bins ------------------------------------------------------------
+
+
+def test_calibration_bins_match_numpy(spark):
+    pdf = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_acctbal", "c_mktsegment"
+    ).toPandas()
+    lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+    score = (pdf["c_acctbal"] - lo) / (hi - lo)
+    label = (pdf["c_mktsegment"] == "BUILDING").astype(float)
+    bins = np.minimum(np.floor(score * 10), 9).astype(int)
+    got = {r.bin: r for r in registry.QUERIES["ml_calibration_bins"](spark, SF_DIR).collect()}
+    for b in sorted(set(bins)):
+        m = bins == b
+        assert got[b].n == int(m.sum())
+        assert got[b].avg_score == pytest.approx(score[m].mean(), abs=2e-6)
+        assert got[b].avg_label == pytest.approx(label[m].mean(), abs=2e-6)
+        assert got[b].brier_bin == pytest.approx(((score[m] - label[m]) ** 2).mean(), abs=2e-6)
+    # overall Brier decomposes as the n-weighted mean of bin briers
+    total_b = sum(got[b].brier_bin * got[b].n for b in got) / sum(got[b].n for b in got)
+    assert total_b == pytest.approx(((score - label) ** 2).mean(), abs=1e-4)
+
+
+# --- rolling correlation ---------------------------------------------------------
+
+
+def test_rolling_corr_matches_pandas(spark):
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"), F.avg("o_totalprice").alias("ap"))
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    ref = daily["c"].rolling(30).corr(daily["ap"])
+    got = (
+        registry.QUERIES["window_rolling_corr_30d"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    assert (got["n_win"].iloc[:29] < 30).all()
+    assert got["rolling_corr"].iloc[:29].isna().all()
+    for i in range(29, len(daily)):
+        assert got["rolling_corr"][i] == pytest.approx(ref[i], abs=2e-6)
+
+
+# --- readability -----------------------------------------------------------------
+
+
+def test_readability_proxy_matches_python(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for r in rows:
+        words = r.text.strip().split(" ")
+        chars = len(r.text.replace(" ", ""))
+        wl = chars / len(words)
+        agg[r.lang].append((len(words), wl, 206.835 - 1.015 * len(words) - 84.6 * wl / 3.0))
+    got = {r.lang: r for r in registry.QUERIES["text_readability_proxy"](spark, SF_DIR).collect()}
+    for lang, vals in agg.items():
+        assert got[lang].n_docs == len(vals)
+        assert got[lang].avg_words == pytest.approx(np.mean([v[0] for v in vals]), abs=1e-3)
+        assert got[lang].avg_word_len == pytest.approx(np.mean([v[1] for v in vals]), abs=1e-3)
+        assert got[lang].flesch_proxy == pytest.approx(np.mean([v[2] for v in vals]), abs=1e-3)
