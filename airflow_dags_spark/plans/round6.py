@@ -3695,3 +3695,149 @@ def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(wlen), 4).alias("avg_word_len"),
         F.round(F.avg(flesch), 4).alias("flesch_proxy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonality / trend strength — STL-style variance-ratio metrics
+# --------------------------------------------------------------------------
+
+SEASONALITY_STRENGTH_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, SUM(o_totalprice) AS y
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT dt, y, AVG(y) OVER w AS trend, COUNT(*) OVER w AS wn,
+         ((CAST(dt - DATE '1970-01-05' AS INTEGER) % 7) + 7) % 7 AS wk
+  FROM daily WINDOW w AS (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (SELECT dt, wk, y, trend, y - trend AS dtr FROM tr WHERE wn = 7),
+seas0 AS (SELECT wk, AVG(dtr) AS s0 FROM det GROUP BY wk),
+seas AS (SELECT wk, s0 - (SELECT AVG(s0) FROM seas0) AS seasonal FROM seas0),
+comp AS (
+  SELECT d.y, d.trend, s.seasonal, d.dtr - s.seasonal AS resid
+  FROM det d JOIN seas s USING (wk)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(GREATEST(0, 1 - VAR_POP(resid) / VAR_POP(seasonal + resid)), 6)
+    AS f_seasonal,
+  ROUND(GREATEST(0, 1 - VAR_POP(resid) / VAR_POP(trend + resid)), 6) AS f_trend
+FROM comp
+"""
+
+
+@register("timeseries_seasonality_strength", SEASONALITY_STRENGTH_ORACLE)
+def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style strength metrics over the classical decomposition
+    (``timeseries_decompose_ma``'s components reduced to two
+    scale-free numbers): F_seasonal = 1 - Var(R)/Var(S+R), F_trend =
+    1 - Var(R)/Var(T+R) — the triage that says whether a seasonal model
+    is worth fitting at all (this corpus: trend 0.17, seasonality
+    ~0.003). Same plan shape as the decomposition plus one 1-row
+    variance aggregate."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("dt").rowsBetween(-3, 3)
+    tr = daily.select(
+        "dt",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.pmod(F.datediff(F.col("dt"), F.lit("1970-01-05").cast("date")), F.lit(7)).alias("wk"),
+    )
+    det = tr.where(F.col("wn") == 7).select(
+        "wk", "y", "trend", (F.col("y") - F.col("trend")).alias("dtr")
+    )
+    seas0 = det.groupBy("wk").agg(F.avg("dtr").alias("s0"))
+    seas = seas0.select(
+        "wk", (F.col("s0") - F.avg("s0").over(Window.partitionBy())).alias("seasonal")
+    )
+    comp = det.join(F.broadcast(seas), "wk").select(
+        "trend", "seasonal", (F.col("dtr") - F.col("seasonal")).alias("resid")
+    )
+    return comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_pop("resid") / F.var_pop(F.col("seasonal") + F.col("resid")),
+            ),
+            6,
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_pop("resid") / F.var_pop(F.col("trend") + F.col("resid")),
+            ),
+            6,
+        ).alias("f_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekday x hour activity profile — the operations heat map
+# --------------------------------------------------------------------------
+
+PEAK_PROFILE_ORACLE = """
+SELECT ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS INTEGER) % 7) + 7) % 7 AS wd,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(COALESCE(value, 0)), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_peak_hour_profile", PEAK_PROFILE_ORACLE)
+def events_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour-of-day activity heat map (capacity planning's first
+    chart). Weekday via the Monday-anchor modular form (engine-neutral),
+    hour via both engines' identical EXTRACT. One distributive aggregate
+    over a 168-cell key space — partial rows per task are bounded by the
+    grid, not the data."""
+    ev = read_table(spark, sf_dir, "events")
+    wd = F.pmod(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    )
+    return ev.groupBy(
+        wd.alias("wd"), F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.avg(F.coalesce("value", F.lit(0.0))), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram of group sizes — the double aggregation
+# --------------------------------------------------------------------------
+
+GROUP_SIZE_HIST_ORACLE = """
+WITH sz AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1)
+SELECT CAST(n_lines AS BIGINT) AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) * 1.0e0 / (SELECT COUNT(*) FROM sz), 6) AS share
+FROM sz GROUP BY n_lines
+"""
+
+
+@register("agg_group_size_histogram", GROUP_SIZE_HIST_ORACLE)
+def agg_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of lines-per-order — the DOUBLE aggregation (count of
+    counts) that profiles group-size skew before choosing join/agg
+    strategies: a fat tail here is the argument for the salted paths.
+    Two aggregates, second over the order-count frame; the 1-row total
+    broadcasts for shares."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    tot = sz.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        sz.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.col("n_orders") / F.col("t"), 6).alias("share"),
+        )
+    )

@@ -409,6 +409,8 @@ ALLOWED_NESTED_LOOP = {
     "stats_logrank_test",
     # 1-row min/max bounds broadcast for score normalization:
     "ml_calibration_bins",
+    # 1-row distinct-order total broadcast for shares:
+    "agg_group_size_histogram",
 }
 
 
@@ -1063,3 +1065,22 @@ def test_readability_stays_in_scan_stage(spark):
     plan = plan_of(spark, "text_readability_proxy")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_seasonality_strength_single_partition_above_daily(spark):
+    plan = plan_of(spark, "timeseries_seasonality_strength")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastHashJoin" in plan  # 7-row seasonal frame broadcasts
+
+
+def test_peak_profile_one_distributive_aggregate(spark):
+    plan = plan_of(spark, "events_peak_hour_profile")
+    assert "partial_count" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_group_size_histogram_double_aggregate(spark):
+    plan = plan_of(spark, "agg_group_size_histogram")
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    _single_partitions_fed_by_aggregates_only(plan)

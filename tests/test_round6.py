@@ -1703,3 +1703,54 @@ def test_readability_proxy_matches_python(spark):
         assert got[lang].avg_words == pytest.approx(np.mean([v[0] for v in vals]), abs=1e-3)
         assert got[lang].avg_word_len == pytest.approx(np.mean([v[1] for v in vals]), abs=1e-3)
         assert got[lang].flesch_proxy == pytest.approx(np.mean([v[2] for v in vals]), abs=1e-3)
+
+
+# --- seasonality strength --------------------------------------------------------
+
+
+def test_seasonality_strength_consistent_with_decomposition(spark):
+    comp = registry.QUERIES["timeseries_decompose_ma"](spark, SF_DIR).toPandas()
+    resid = comp["resid"].to_numpy()
+    f_seas = max(0.0, 1 - resid.var() / (comp["seasonal"] + comp["resid"]).to_numpy().var())
+    f_trend = max(0.0, 1 - resid.var() / (comp["trend"] + comp["resid"]).to_numpy().var())
+    got = registry.QUERIES["timeseries_seasonality_strength"](spark, SF_DIR).first()
+    assert got.n_days == len(comp)
+    # decompose rounds components to 2-4 dp, so match loosely
+    assert got.f_seasonal == pytest.approx(f_seas, abs=1e-4)
+    assert got.f_trend == pytest.approx(f_trend, abs=1e-4)
+    assert 0.0 <= got.f_seasonal <= 1.0 and 0.0 <= got.f_trend <= 1.0
+
+
+# --- peak profile ----------------------------------------------------------------
+
+
+def test_peak_profile_matches_python(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "value").collect()
+    import datetime
+    from collections import defaultdict
+
+    anchor = datetime.date(1970, 1, 5)
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        wd = (r.ts.date() - anchor).days % 7
+        a = agg[(wd, r.ts.hour)]
+        a[0] += 1
+        a[1] += r.value or 0.0
+    got = {(r.wd, r.hr): r for r in registry.QUERIES["events_peak_hour_profile"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for k, (n, v) in agg.items():
+        assert got[k].n_events == n
+        assert got[k].avg_value == pytest.approx(v / n, abs=1e-3)
+
+
+# --- group size histogram --------------------------------------------------------
+
+
+def test_group_size_histogram_mass_conserved(spark):
+    rows = registry.QUERIES["agg_group_size_histogram"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_orders = li.select("l_orderkey").distinct().count()
+    n_lines = li.count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert sum(r.n_lines * r.n_orders for r in rows) == n_lines
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-3)
