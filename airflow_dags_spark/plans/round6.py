@@ -3841,3 +3841,111 @@ def agg_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Session bounce rate — single-event-session share
+# --------------------------------------------------------------------------
+
+BOUNCE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+),
+per AS (SELECT user_id, session_no, COUNT(*) AS n_ev FROM sess GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       ROUND(AVG(CASE WHEN n_ev = 1 THEN 1.0e0 ELSE 0.0e0 END), 6) AS bounce_rate,
+       ROUND(AVG(n_ev), 4) AS avg_events_per_session,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+FROM per
+"""
+
+
+@register("events_session_bounce_rate", BOUNCE_ORACLE)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute-gap sessions: the share of sessions
+    that never got a second event, plus session-size moments — the
+    product metric built directly on the ``sessionize_lag_cumsum``
+    machinery (same lag+cumsum windows, one exchange per user, then two
+    bounded aggregates)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = gaps.select(
+        "user_id", F.sum("new_session").over(w_cum).alias("session_no")
+    )
+    per = sess.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_ev"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bounces"),
+        F.round(F.avg(F.when(F.col("n_ev") == 1, 1.0).otherwise(0.0)), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(F.avg("n_ev"), 4).alias("avg_events_per_session"),
+        F.max("n_ev").cast("bigint").alias("max_session_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily event-mix entropy — behavioural-diversity drift monitor
+# --------------------------------------------------------------------------
+
+ENTROPY_DAILY_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+t AS (SELECT dt, SUM(c) AS tot FROM d GROUP BY dt)
+SELECT STRFTIME(d.dt, '%Y-%m-%d') AS dt, CAST(t.tot AS BIGINT) AS n_events,
+       ROUND(-SUM((d.c * 1.0e0 / t.tot) * LN(d.c * 1.0e0 / t.tot)), 6)
+         AS entropy_nats
+FROM d JOIN t USING (dt) GROUP BY d.dt, t.tot
+"""
+
+
+@register("events_type_entropy_daily", ENTROPY_DAILY_ORACLE)
+def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each day's event-type mix — the one-number
+    drift monitor for behavioural diversity (a crash in entropy means a
+    bot or an outage skewed the mix; pair with drift_psi_price for the
+    numeric column side). Two distributive aggregates joined on the
+    calendar key."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("dt"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = d.groupBy("dt").agg(F.sum("c").alias("tot"))
+    p = F.col("c") / F.col("tot")
+    return (
+        d.join(t, "dt")
+        .groupBy("dt", "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            F.col("tot").cast("bigint").alias("n_events"),
+            "entropy_nats",
+        )
+    )

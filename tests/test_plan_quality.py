@@ -1084,3 +1084,17 @@ def test_group_size_histogram_double_aggregate(spark):
     plan = plan_of(spark, "agg_group_size_histogram")
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_bounce_rate_shares_sessionize_exchange(spark):
+    """Both session windows must share the per-user exchange; the final
+    metrics are two bounded aggregates."""
+    plan = plan_of(spark, "events_session_bounce_rate")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_entropy_daily_two_aggregates_calendar_join(spark):
+    plan = plan_of(spark, "events_type_entropy_daily")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan

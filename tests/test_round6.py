@@ -1754,3 +1754,65 @@ def test_group_size_histogram_mass_conserved(spark):
     assert sum(r.n_orders for r in rows) == n_orders
     assert sum(r.n_lines * r.n_orders for r in rows) == n_lines
     assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-3)
+
+
+# --- bounce rate -----------------------------------------------------------------
+
+
+def test_bounce_rate_matches_python_sessionizer(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    from collections import defaultdict
+    import datetime
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    sizes = []
+    gap = datetime.timedelta(minutes=30)
+    for rows in by_user.values():
+        rows.sort()
+        cur = 0
+        prev = None
+        for ts, _ in rows:
+            if prev is None or ts - prev > gap:
+                if cur:
+                    sizes.append(cur)
+                cur = 1
+            else:
+                cur += 1
+            prev = ts
+        sizes.append(cur)
+    got = registry.QUERIES["events_session_bounce_rate"](spark, SF_DIR).first()
+    assert got.n_sessions == len(sizes)
+    assert got.bounces == sum(1 for s in sizes if s == 1)
+    assert got.bounce_rate == pytest.approx(got.bounces / got.n_sessions, abs=1e-5)
+    assert got.avg_events_per_session == pytest.approx(np.mean(sizes), abs=1e-3)
+    assert got.max_session_events == max(sizes)
+
+
+# --- daily entropy ---------------------------------------------------------------
+
+
+def test_entropy_daily_bounds_and_reference(spark):
+    rows = registry.QUERIES["events_type_entropy_daily"](spark, SF_DIR).collect()
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.to_date("ts").alias("dt"), "event_type")
+        .count()
+        .toPandas()
+    )
+    import math
+
+    got = {r.dt: r for r in rows}
+    for dt, sub in pdf.groupby("dt"):
+        p = sub["count"] / sub["count"].sum()
+        h = -(p * np.log(p)).sum()
+        k = str(dt)
+        assert got[k].n_events == sub["count"].sum()
+        assert got[k].entropy_nats == pytest.approx(h, abs=2e-6)
+        assert 0 <= got[k].entropy_nats <= math.log(len(sub)) + 1e-9
