@@ -3949,3 +3949,85 @@ def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding — leakage-free categorical features
+# --------------------------------------------------------------------------
+
+LOO_ENCODING_ORACLE = """
+WITH s AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0e0 ELSE 0.0e0 END AS label
+  FROM customer
+),
+g AS (SELECT c_nationkey, SUM(label) AS ls, COUNT(*) AS n FROM s GROUP BY 1)
+SELECT s.c_custkey, s.c_nationkey,
+       CASE WHEN g.n > 1
+            THEN ROUND((g.ls - s.label) / (g.n - 1), 6)
+       END AS loo_encoding,
+       CAST(g.n AS BIGINT) AS group_n
+FROM s JOIN g USING (c_nationkey)
+"""
+
+
+@register("ml_loo_target_encoding", LOO_ENCODING_ORACLE)
+def ml_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-free way to turn high-cardinality categories into numbers:
+    each row gets its GROUP's label mean computed WITHOUT itself,
+    (sum - own)/(n - 1), so the row's own label never leaks into its
+    feature. One grouped aggregate broadcast back over the streamed
+    rows; singleton groups yield NULL (no peers to average)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0).otherwise(0.0).alias("label"),
+    )
+    g = c.groupBy("c_nationkey").agg(
+        F.sum("label").alias("ls"), F.count(F.lit(1)).alias("n")
+    )
+    return c.join(F.broadcast(g), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("ls") - F.col("label")) / (F.col("n") - 1), 6),
+        ).alias("loo_encoding"),
+        F.col("n").cast("bigint").alias("group_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-N per key WITH TIES — RANK semantics, not ROW_NUMBER
+# --------------------------------------------------------------------------
+
+TOPN_TIES_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 0) AS p,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY ROUND(o_totalprice, 0) DESC) AS rk
+  FROM orders
+)
+SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, p
+FROM r WHERE rk <= 2
+"""
+
+
+@register("window_topn_with_ties", TOPN_TIES_ORACLE)
+def window_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer WITH TIES (SQL FETCH ... WITH TIES /
+    RANK semantics): equal-price orders share a rank and ALL of them
+    survive the cut, where ``window_topn_per_customer``'s row_number
+    arbitrarily drops tied peers — a real difference for audits that
+    must not silently discard a tied record. Prices rounded to whole
+    units so tie groups are engine-identical. One per-key window."""
+    o = read_table(spark, sf_dir, "orders")
+    p = F.round("o_totalprice", 0)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("p"))
+    return (
+        o.select("o_custkey", "o_orderkey", p.alias("p"))
+        .withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", F.col("rk").cast("bigint").alias("rk"), "o_orderkey", "p")
+    )

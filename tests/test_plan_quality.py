@@ -1098,3 +1098,19 @@ def test_entropy_daily_two_aggregates_calendar_join(spark):
     plan = plan_of(spark, "events_type_entropy_daily")
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_loo_encoding_broadcasts_group_stats(spark):
+    """The k-row group stats must broadcast over the streamed rows —
+    the LOO arithmetic never re-aggregates per row."""
+    plan = plan_of(spark, "ml_loo_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_topn_with_ties_single_window(spark):
+    plan = plan_of(spark, "window_topn_with_ties")
+    # count Window NODES ("Window [...") — "Window" alone also matches
+    # RunningWindowFunction markers inside the node text
+    assert plan.count("Window [") == 1, plan
+    assert "Exchange SinglePartition" not in plan

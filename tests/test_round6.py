@@ -1816,3 +1816,57 @@ def test_entropy_daily_bounds_and_reference(spark):
         assert got[k].n_events == sub["count"].sum()
         assert got[k].entropy_nats == pytest.approx(h, abs=2e-6)
         assert 0 <= got[k].entropy_nats <= math.log(len(sub)) + 1e-9
+
+
+# --- LOO target encoding ---------------------------------------------------------
+
+
+def test_loo_encoding_no_self_leakage(spark):
+    pdf = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).toPandas()
+    pdf["label"] = (pdf["c_mktsegment"] == "BUILDING").astype(float)
+    got = {r.c_custkey: r for r in registry.QUERIES["ml_loo_target_encoding"](spark, SF_DIR).collect()}
+    for nk, sub in pdf.groupby("c_nationkey"):
+        ls, n = sub["label"].sum(), len(sub)
+        for ck, lab in zip(sub["c_custkey"], sub["label"]):
+            r = got[ck]
+            assert r.group_n == n
+            if n > 1:
+                assert r.loo_encoding == pytest.approx((ls - lab) / (n - 1), abs=2e-6)
+            else:
+                assert r.loo_encoding is None
+    # leakage check: for a two-member group the encodings are each
+    # other's labels — flipping one's label changes only the OTHER's
+    # encoding (structural property of the formula)
+    two = [nk for nk, sub in pdf.groupby("c_nationkey") if len(sub) == 2]
+    for nk in two:
+        sub = pdf[pdf.c_nationkey == nk]
+        a, b = sub.iloc[0], sub.iloc[1]
+        assert got[a.c_custkey].loo_encoding == pytest.approx(b.label, abs=1e-9)
+        assert got[b.c_custkey].loo_encoding == pytest.approx(a.label, abs=1e-9)
+
+
+# --- top-n with ties -------------------------------------------------------------
+
+
+def test_topn_with_ties_keeps_all_tied_peers(spark):
+    rows = registry.QUERIES["window_topn_with_ties"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.o_custkey].append(r)
+    pdf = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 0).alias("p")
+    ).toPandas()
+    for ck, sub in pdf.groupby("o_custkey"):
+        prices = sorted(sub["p"], reverse=True)
+        distinct = sorted(set(prices), reverse=True)[:2]
+        want = sub[sub["p"].isin(distinct)]
+        grp = per[ck]
+        assert len(grp) == len(want)
+        assert {r.o_orderkey for r in grp} == set(want["o_orderkey"])
+        # rank 1 rows all share the max price
+        top = [r for r in grp if r.rk == 1]
+        assert all(r.p == max(prices) for r in top)
