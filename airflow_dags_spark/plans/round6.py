@@ -4031,3 +4031,53 @@ def window_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 2)
         .select("o_custkey", F.col("rk").cast("bigint").alias("rk"), "o_orderkey", "p")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-order gap statistics — repeat-purchase cadence per segment
+# --------------------------------------------------------------------------
+
+ORDER_GAP_ORACLE = """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders JOIN customer c ON o_custkey = c.c_custkey
+),
+g AS (
+  SELECT seg,
+         date_diff('day',
+                   LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+                   d) AS gap
+  FROM o
+)
+SELECT seg, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(MEDIAN(gap), 1) AS median_gap_days,
+       ROUND(AVG(gap), 4) AS avg_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY seg
+"""
+
+
+@register("orders_interpurchase_gap", ORDER_GAP_ORACLE)
+def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: median/mean days between a customer's
+    consecutive orders, rolled up by segment — the number behind
+    replenishment reminders and churn thresholds (the KM queries' 7-day
+    cutoff came from exactly this distribution). One per-customer lag
+    window (same-date ties broken by orderkey so the gap multiset is
+    engine-identical), then a grouped aggregate."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "o_custkey", "o_orderkey", "d"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = j.select(
+        "seg", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return g.groupBy("seg").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 1).alias("median_gap_days"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+    )

@@ -1114,3 +1114,10 @@ def test_topn_with_ties_single_window(spark):
     # RunningWindowFunction markers inside the node text
     assert plan.count("Window [") == 1, plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_interpurchase_gap_one_lag_window(spark):
+    plan = plan_of(spark, "orders_interpurchase_gap")
+    assert plan.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -1870,3 +1870,28 @@ def test_topn_with_ties_keeps_all_tied_peers(spark):
         # rank 1 rows all share the max price
         top = [r for r in grp if r.rk == 1]
         assert all(r.p == max(prices) for r in top)
+
+
+# --- inter-purchase gaps ---------------------------------------------------------
+
+
+def test_interpurchase_gap_matches_python(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    pdf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d"))
+        .toPandas()
+    )
+    from collections import defaultdict
+
+    gaps = defaultdict(list)
+    for (seg, ck), sub in pdf.groupby(["c_mktsegment", "o_custkey"]):
+        ds = sub.sort_values(["d", "o_orderkey"])["d"].tolist()
+        for a, b in zip(ds, ds[1:]):
+            gaps[seg].append((b - a).days)
+    got = {r.seg: r for r in registry.QUERIES["orders_interpurchase_gap"](spark, SF_DIR).collect()}
+    for seg, g in gaps.items():
+        assert got[seg].n_gaps == len(g)
+        assert got[seg].median_gap_days == pytest.approx(np.median(g), abs=0.05)
+        assert got[seg].avg_gap_days == pytest.approx(np.mean(g), abs=1e-3)
