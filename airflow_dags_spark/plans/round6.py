@@ -4081,3 +4081,46 @@ def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap, 0.5)"), 1).alias("median_gap_days"),
         F.round(F.avg("gap"), 4).alias("avg_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Power-law tail fit — Clauset-style continuous MLE on user activity
+# --------------------------------------------------------------------------
+
+POWER_LAW_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+xmin AS (SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY k) AS xm FROM act),
+t AS (SELECT a.k, x.xm FROM act a, xmin x WHERE a.k >= x.xm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(MAX(xm), 1) AS x_min,
+       ROUND(1.0e0 + COUNT(*) / SUM(LN(k / xm)), 6) AS alpha_mle,
+       ROUND((1.0e0 + COUNT(*) / SUM(LN(k / xm)) - 1.0e0)
+             / SQRT(COUNT(*)), 6) AS alpha_se
+FROM t
+"""
+
+
+@register("stats_power_law_mle", POWER_LAW_ORACLE)
+def stats_power_law_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent of the user-activity distribution by the
+    continuous power-law MLE (alpha = 1 + n/Σ ln(k/x_min), SE =
+    (alpha-1)/sqrt(n) — the Clauset-Shalizi-Newman estimator, vs the
+    rank-regression Zipf fit in round5 that CSN exists to correct).
+    x_min fixed at the activity P25 so both engines cut the identical
+    tail. One per-user aggregate, a 1-row threshold broadcast, one
+    tail aggregate."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    act = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("k"))
+    xmin = act.agg(F.expr("percentile(k, 0.25)").alias("xm"))
+    t = act.crossJoin(F.broadcast(xmin)).where(F.col("k") >= F.col("xm"))
+    n = F.count(F.lit(1))
+    alpha = F.lit(1.0) + n / F.sum(F.log(F.col("k") / F.col("xm")))
+    return t.agg(
+        n.cast("bigint").alias("n_tail"),
+        F.round(F.max("xm"), 1).alias("x_min"),
+        F.round(alpha, 6).alias("alpha_mle"),
+        F.round((alpha - 1.0) / F.sqrt(n), 6).alias("alpha_se"),
+    )

@@ -411,6 +411,8 @@ ALLOWED_NESTED_LOOP = {
     "ml_calibration_bins",
     # 1-row distinct-order total broadcast for shares:
     "agg_group_size_histogram",
+    # 1-row x_min threshold broadcast for the tail cut:
+    "stats_power_law_mle",
 }
 
 
@@ -1121,3 +1123,8 @@ def test_interpurchase_gap_one_lag_window(spark):
     assert plan.count("Window [") == 1
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_power_law_mle_two_aggregates_one_broadcast(spark):
+    plan = plan_of(spark, "stats_power_law_mle")
+    _single_partitions_fed_by_aggregates_only(plan)

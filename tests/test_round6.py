@@ -1895,3 +1895,26 @@ def test_interpurchase_gap_matches_python(spark):
         assert got[seg].n_gaps == len(g)
         assert got[seg].median_gap_days == pytest.approx(np.median(g), abs=0.05)
         assert got[seg].avg_gap_days == pytest.approx(np.mean(g), abs=1e-3)
+
+
+# --- power-law MLE ---------------------------------------------------------------
+
+
+def test_power_law_mle_matches_numpy(spark):
+    act = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .toPandas()["count"]
+        .to_numpy(float)
+    )
+    xm = np.percentile(act, 25)
+    tail = act[act >= xm]
+    alpha = 1 + len(tail) / np.log(tail / xm).sum()
+    got = registry.QUERIES["stats_power_law_mle"](spark, SF_DIR).first()
+    assert got.n_tail == len(tail)
+    assert got.x_min == pytest.approx(xm, abs=0.05)
+    assert got.alpha_mle == pytest.approx(alpha, abs=1e-4)
+    assert got.alpha_se == pytest.approx((alpha - 1) / np.sqrt(len(tail)), abs=1e-4)
+    assert got.alpha_mle > 1.0  # MLE lower bound for a valid tail
