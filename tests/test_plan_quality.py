@@ -1128,3 +1128,18 @@ def test_interpurchase_gap_one_lag_window(spark):
 def test_power_law_mle_two_aggregates_one_broadcast(spark):
     plan = plan_of(spark, "stats_power_law_mle")
     _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_pk_audit_each_leg_map_side_combined(spark):
+    plan = plan_of(spark, "dq_primary_key_audit")
+    assert "Union" in plan
+    assert "partial_count" in plan
+    _single_partitions_fed_by_aggregates_only(plan)
+
+
+def test_ytd_share_windows_share_year_partition(spark):
+    plan = plan_of(spark, "window_ytd_share")
+    assert "Exchange SinglePartition" not in plan
+    # (yr, mo) aggregate exchange + yr window exchange — both windows
+    # share the second; a third would be a regression
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -1918,3 +1918,41 @@ def test_power_law_mle_matches_numpy(spark):
     assert got.alpha_mle == pytest.approx(alpha, abs=1e-4)
     assert got.alpha_se == pytest.approx((alpha - 1) / np.sqrt(len(tail)), abs=1e-4)
     assert got.alpha_mle > 1.0  # MLE lower bound for a valid tail
+
+
+# --- PK audit --------------------------------------------------------------------
+
+
+def test_pk_audit_finds_lineitem_grain_violation(spark):
+    rows = {r.tbl: r for r in registry.QUERIES["dq_primary_key_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {"orders", "customer", "part", "supplier", "events", "lineitem"}
+    for t in ("orders", "customer", "part", "supplier", "events"):
+        assert rows[t].dup_rows == 0, t
+        assert rows[t].n_rows == rows[t].n_keys
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    k = li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["lineitem"].n_rows == n
+    assert rows["lineitem"].n_keys == k
+    assert rows["lineitem"].dup_rows == n - k
+
+
+# --- YTD share -------------------------------------------------------------------
+
+
+def test_ytd_share_monotone_and_ends_at_one(spark):
+    rows = registry.QUERIES["window_ytd_share"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    per_year = defaultdict(list)
+    for r in rows:
+        per_year[r.yr].append(r)
+    for yr, ms in per_year.items():
+        ms.sort(key=lambda r: r.mo)
+        shares = [r.ytd_share for r in ms]
+        assert all(b >= a for a, b in zip(shares, shares[1:])), yr
+        assert shares[-1] == pytest.approx(1.0, abs=1e-5)
+        run = 0.0
+        for r in ms:
+            run += r.rev
+            assert r.ytd_rev == pytest.approx(run, abs=0.05)
