@@ -142,7 +142,10 @@ def main() -> None:
         med = runs[len(runs) // 2] if n_runs % 2 else (
             (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
         )
-        timings[name] = round(med, 3)
+        # 2 decimals: 10 ms granularity is below the ±13% run-to-run noise
+        # band, and the shorter rendering keeps the stdout line inside the
+        # driver's ~2 KB tail capture (see the stdout-contract note below)
+        timings[name] = round(med, 2)
         spreads[name] = round((runs[-1] - runs[0]) / med, 3) if med > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
@@ -152,22 +155,43 @@ def main() -> None:
     # the JVM; here the session is warm but queries haven't run), so
     # load1 >> cpus means something else was burning the box and the run
     # should not be compared across rounds.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_spread": spreads,
-                "bench_runs_per_query": n_runs,
-                "sf": sf,
-                "load_avg_at_start": LOAD_AT_START,
-                "cpus": os.cpu_count(),
-                "idle_run": LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
-            }
-        )
+    #
+    # The stdout contract is ONE minimal JSON line: the external driver
+    # captures only a ~2 KB stdout tail, and round 4's line (42 medians + a
+    # same-size query_spread map ≈ 2.9 KB) overflowed it, truncating the head
+    # and leaving the round with an unparseable bench record. Everything
+    # beyond {metric, value, unit, queries, sf, load_avg_at_start, idle_run}
+    # now goes to stderr + the BENCH_DETAIL.json sidecar, the parsed line
+    # uses compact separators + 2-decimal per-query medians, and
+    # tests/test_bench_contract.py pins the line under the capture budget.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "load_avg_at_start": LOAD_AT_START,
+            "idle_run": LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
+        },
+        separators=(",", ":"),
     )
+    detail = {
+        "query_spread": spreads,
+        "bench_runs_per_query": n_runs,
+        "cpus": os.cpu_count(),
+        "stdout_line_bytes": len(line),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stderr copy above is the record
+    print(line)
     spark.stop()
 
 
