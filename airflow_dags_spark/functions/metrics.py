@@ -172,11 +172,20 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None):
     beyond the single-row final. Sums in DECIMAL(38,0): 2^32-bounded
     words never overflow it below ~10^28 rows. Caller renders
     floats/timestamps deterministically BEFORE calling when the table has
-    them (engines differ in raw float formatting)."""
+    them (engines differ in raw float formatting).
+
+    Each field is LENGTH-PREFIXED before joining: a bare '|' join is
+    ambiguous at column boundaries (rows ('a|b','c') and ('a','b|c')
+    would render identically and fingerprint equal), while with
+    '<len>:<value>' the prefix pins every boundary, so no rearrangement
+    of characters across columns can collide."""
     cols = cols or df.columns
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL")) for c in cols]
-    )
+
+    def field(c: str):
+        s = F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
+        return F.concat(F.length(s).cast("string"), F.lit(":"), s)
+
+    canon = F.concat_ws("|", *[field(c) for c in cols])
     h = F.md5(canon)
     w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(20,0)")
     w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("decimal(20,0)")

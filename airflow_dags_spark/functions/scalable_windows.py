@@ -212,7 +212,18 @@ def bucketed_prefix_min(
     rows — what dominance tests need): the within-bucket frame ends at
     ``-1`` and prior-bucket mins are strictly earlier by monotonicity.
     First row overall → NULL. ``F.least`` is null-skipping, which is
-    exactly the union semantics."""
+    exactly the union semantics.
+
+    CONTRACT: ``order_cols`` must be a TOTAL order within each bucket
+    (append a unique id as the final tiebreaker when the natural ordering
+    can tie). The strict frame is ``rowsBetween(unboundedPreceding, -1)``,
+    so "strictly earlier" is decided by physical row position — with ties
+    in ``order_cols`` the intra-tie order is nondeterministic and so is
+    which of the tied rows sees the other in its prefix. A rangeBetween
+    frame is not a fix here (it needs a single numeric order column and
+    would EXCLUDE all tied peers, a different semantics); callers that
+    want tie-exclusive prefixes should pre-aggregate per order-key
+    instead."""
     b = df.withColumn("__bucket", bucket_expr)
     end = -1 if strict else 0
     w_in = (

@@ -19,9 +19,12 @@ with:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import urllib.request
 from collections.abc import Callable
+
+log = logging.getLogger(__name__)
 
 ENV_VAR = "ENGINE_WEBHOOK_URL"
 
@@ -52,13 +55,20 @@ def notify(
     NEVER raises — notification is best-effort by contract."""
     url = webhook_url if webhook_url is not None else os.environ.get(ENV_VAR)
     if not url:
-        print(f"[notify] (no {ENV_VAR} set) {message}")
+        log.info("[notify] (no %s set) %s", ENV_VAR, message)
         return False
     try:
         (poster or post_json)(url, {"content": message})
         return True
-    except Exception as e:  # noqa: BLE001 — best-effort sink
-        print(f"[notify] failed to deliver webhook: {e}")
+    except Exception:  # noqa: BLE001 — best-effort sink
+        # never-raise is the contract (a dead webhook must not fail the
+        # pipeline), but log-and-continue so the dead webhook is
+        # DISCOVERABLE in scheduler logs — a silent swallow hides an
+        # outage until someone notices the channel went quiet
+        log.warning(
+            "[notify] failed to deliver webhook notification: %s", message,
+            exc_info=True,
+        )
         return False
 
 

@@ -567,12 +567,26 @@ def merge_topk_state(
     - every other group merges its inserts against the k-row state and
       re-ranks O(k + |Δg|) rows — no base scan.
 
-    ``changes`` columns: ``change_type`` (insert|delete), the group keys,
-    ``__id``, ``__v`` (null for deletes). ``base_after`` columns: keys,
-    ``__id``, ``__v``. Result ≡ recomputing top-k from ``base_after`` —
-    the registry oracle asserts exactly that equivalence."""
+    ``changes`` columns: ``change_type`` (insert|delete|update), the
+    group keys, ``__id``, ``__v`` (null for deletes). As in
+    ``merge_minmax_state``, an ``update`` counts as retract(old id) +
+    assert(new value) within ONE group — if the updated id sits in the
+    group's top-k state the group recomputes, otherwise the new value
+    merges like an insert. Any OTHER change_type raises (a silently
+    dropped change kind would leave stale state with no error; the
+    validation is a distinct() over the delta's one column — deltas are
+    small by the IVM premise). ``base_after`` columns: keys, ``__id``,
+    ``__v``. Result ≡ recomputing top-k from ``base_after`` — the
+    registry oracle asserts exactly that equivalence."""
     ct = F.col("change_type")
-    dels = changes.where(ct == "delete").select(*keys, "__id")
+    known = {"insert", "delete", "update"}
+    seen = {r[0] for r in changes.select("change_type").distinct().collect()}
+    if not seen <= known:
+        raise ValueError(
+            f"merge_topk_state: unrecognized change_type values {sorted(seen - known)}; "
+            f"expected {sorted(known)}"
+        )
+    dels = changes.where(ct != "insert").select(*keys, "__id")
     affected = dels.join(state, keys + ["__id"], "semi").select(*keys).distinct()
     recomputed = base_after.join(F.broadcast(affected), keys, "semi")
     w = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.asc("__id"))
@@ -583,7 +597,7 @@ def merge_topk_state(
     )
     survivors = state.join(F.broadcast(affected), keys, "anti")
     ins = (
-        changes.where(ct == "insert")
+        changes.where(ct != "delete")
         .select(*keys, "__id", "__v")
         .join(F.broadcast(affected), keys, "anti")
     )

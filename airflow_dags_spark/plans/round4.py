@@ -164,15 +164,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- portable order-insensitive table checksum --------------------------------
 
 CHECKSUM_ORACLE = """
-WITH canon AS (
-  SELECT concat_ws('|',
-    coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL'),
-    coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL'),
-    coalesce(o_orderstatus, chr(1) || 'NULL'),
-    coalesce(o_orderpriority, chr(1) || 'NULL'),
-    coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1) || 'NULL')
-  ) AS c
+WITH vals AS (
+  SELECT
+    coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL') AS v1,
+    coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL') AS v2,
+    coalesce(o_orderstatus, chr(1) || 'NULL') AS v3,
+    coalesce(o_orderpriority, chr(1) || 'NULL') AS v4,
+    coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1) || 'NULL') AS v5
   FROM orders
+), canon AS (
+  SELECT concat_ws('|',
+    CAST(length(v1) AS VARCHAR) || ':' || v1,
+    CAST(length(v2) AS VARCHAR) || ':' || v2,
+    CAST(length(v3) AS VARCHAR) || ':' || v3,
+    CAST(length(v4) AS VARCHAR) || ':' || v4,
+    CAST(length(v5) AS VARCHAR) || ':' || v5
+  ) AS c
+  FROM vals
 )
 SELECT CAST(CAST(SUM(('0x' || substr(md5(c), 1, 8))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_hi,
        CAST(CAST(SUM(('0x' || substr(md5(c), 9, 8))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_lo,

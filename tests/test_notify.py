@@ -46,6 +46,23 @@ def test_notify_swallows_poster_errors(capture):
     assert N.notify("m", poster=bad_poster) is False
 
 
+def test_notify_logs_warning_on_delivery_failure(capture, caplog):
+    """Never-raise is the contract, but the failure must be DISCOVERABLE:
+    a dead webhook emits a WARNING (with the traceback) so an operator can
+    find the outage in scheduler logs instead of a silently quiet channel."""
+    _, _ = capture
+
+    def bad_poster(url, payload):
+        raise OSError("connection refused")
+
+    with caplog.at_level("WARNING", logger=N.log.name):
+        assert N.notify("monthly load done", poster=bad_poster) is False
+    warn = [r for r in caplog.records if r.levelname == "WARNING"]
+    assert warn, "delivery failure must log a warning"
+    assert "monthly load done" in warn[0].getMessage()
+    assert warn[0].exc_info is not None  # traceback attached for diagnosis
+
+
 def test_success_and_failure_message_shapes(capture):
     sent, poster = capture
     N.notify_success("Oxford Price Paid Data (Monthly Update)", poster=poster)

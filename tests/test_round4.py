@@ -167,6 +167,18 @@ def test_table_checksum_detects_single_cell_change(spark):
     assert table_checksum(a).first() != table_checksum(b).first()
 
 
+def test_table_checksum_column_boundaries_unambiguous(spark):
+    """A bare '|' join would render ('a|b','c') and ('a','b|c') identically;
+    the length-prefixed canonical form must distinguish them."""
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert table_checksum(a).first() != table_checksum(b).first()
+    # same shape with the length prefix's own delimiter in the data
+    c = spark.createDataFrame([("1:x", "y")], "x string, y string")
+    d = spark.createDataFrame([("1", "x:y")], "x string, y string")
+    assert table_checksum(c).first() != table_checksum(d).first()
+
+
 def test_table_checksum_null_vs_literal(spark):
     """NULL must not collide with any string rendering of null."""
     a = spark.createDataFrame([(1, None)], "k bigint, s string")

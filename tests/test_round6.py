@@ -885,6 +885,69 @@ def test_ivm_topk_operator_handles_delete_of_champion(spark):
     assert got == [(1, 99.0), (2, 98.0), (3, 97.0)]
 
 
+def test_ivm_topk_update_of_champion_recomputes(spark):
+    """An 'update' retracts the old id: updating the current #1 downward
+    must demote it (affected-group recompute), not leave stale state."""
+    from airflow_dags_spark.operators.maintenance import merge_topk_state, topk_state
+
+    base = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(6)], "pri string, k long, v double"
+    )
+    state = topk_state(base, {"pri": F.col("pri")}, F.col("v"), F.col("k"), 3)
+    # champion k=0 drops from 100.0 to 1.0 — falls out of the top-3
+    changes = spark.createDataFrame(
+        [("update", "g", 0, 1.0)],
+        "change_type string, pri string, __id long, __v double",
+    )
+    base_after = base.withColumn(
+        "v", F.when(F.col("k") == 0, F.lit(1.0)).otherwise(F.col("v"))
+    ).selectExpr("pri", "k AS __id", "v AS __v")
+    merged = merge_topk_state(state, changes, base_after, ["pri"], 3).collect()
+    got = sorted((r["__id"], r["__v"]) for r in merged)
+    assert got == [(1, 99.0), (2, 98.0), (3, 97.0)]
+
+
+def test_ivm_topk_update_outside_state_merges_like_insert(spark):
+    """An 'update' whose id is NOT in top-k state must still assert its
+    new value — if the new value climbs into the top-k it enters without a
+    base recompute (the unaffected-group merge path)."""
+    from airflow_dags_spark.operators.maintenance import merge_topk_state, topk_state
+
+    base = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(6)], "pri string, k long, v double"
+    )
+    state = topk_state(base, {"pri": F.col("pri")}, F.col("v"), F.col("k"), 3)
+    # k=5 (v=95.0, outside the top-3) jumps to 99.5 — must enter at rank 2
+    changes = spark.createDataFrame(
+        [("update", "g", 5, 99.5)],
+        "change_type string, pri string, __id long, __v double",
+    )
+    base_after = base.withColumn(
+        "v", F.when(F.col("k") == 5, F.lit(99.5)).otherwise(F.col("v"))
+    ).selectExpr("pri", "k AS __id", "v AS __v")
+    merged = merge_topk_state(state, changes, base_after, ["pri"], 3).collect()
+    got = sorted((r["__id"], r["__v"]) for r in merged)
+    assert got == [(0, 100.0), (1, 99.0), (5, 99.5)]
+
+
+def test_ivm_topk_unknown_change_type_raises(spark):
+    """A silently dropped change kind would leave stale state forever —
+    unrecognized change_type values must raise."""
+    import pytest
+
+    from airflow_dags_spark.operators.maintenance import merge_topk_state, topk_state
+
+    base = spark.createDataFrame([("g", 1, 1.0)], "pri string, k long, v double")
+    state = topk_state(base, {"pri": F.col("pri")}, F.col("v"), F.col("k"), 3)
+    changes = spark.createDataFrame(
+        [("upsert", "g", 1, 2.0)],
+        "change_type string, pri string, __id long, __v double",
+    )
+    after = base.selectExpr("pri", "k AS __id", "v AS __v")
+    with pytest.raises(ValueError, match="change_type.*upsert"):
+        merge_topk_state(state, changes, after, ["pri"], 3)
+
+
 # --- sliding HLL ----------------------------------------------------------------
 
 
