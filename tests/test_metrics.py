@@ -68,3 +68,30 @@ def test_broadcast_join_query_shuffles_little(spark):
     s = scan_summary(df)
     assert s["rows_scanned"] > 0
     assert s["shuffle_records_written"] < s["rows_scanned"]
+
+
+def test_adamic_adar_shuffle_budget(spark):
+    """Shuffle-byte budget gate (SCALE.md §shuffle-budgets): the wedge
+    enumeration is the engine's biggest shuffler; with the md5 basket cap
+    its volume is Θ(customers·cap²). At sf0.01 (1,500 customers) the
+    measured shuffle is ~12.7 MiB / ~1.07M records — budget 2× headroom.
+    A cap regression (unbounded baskets) blows this up quadratically in
+    basket size and fails here long before it kills a 100 TB run."""
+    df = registry.QUERIES["graph_adamic_adar"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 2 * 12_750_000
+    assert s["shuffle_records_written"] < 2 * 1_100_000
+    assert s["spill_bytes"] == 0
+
+
+def test_sorted_neighborhood_shuffle_budget(spark):
+    """The positional near-dup join must shuffle O(docs·window), never
+    O(docs²): sf0.01 measured ~193 KiB / 560 records — budget 3× headroom
+    (records bound 10× since tiny counts are noisy at this SF)."""
+    df = registry.QUERIES["dedup_sorted_neighborhood"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 200_000
+    assert s["shuffle_records_written"] < 10 * 560
+    assert s["spill_bytes"] == 0
