@@ -112,8 +112,12 @@ def weighted_median_bucketed(
     weight_col: str,
     tie_cols: list[str],
     n_buckets: int = 1024,
+    frac: float = 0.5,
+    out_col: str = "weighted_median",
 ) -> DataFrame:
-    """Weighted median per group WITHOUT a full per-group ordered window.
+    """Weighted quantile per group WITHOUT a full per-group ordered window
+    (``frac`` = cumulative-weight crossing point; the default 0.5 is the
+    weighted median and the function's historical name).
 
     The naive form (cumulative weight window over every row of the group)
     serializes each group onto one reducer — with a handful of heavy
@@ -132,10 +136,12 @@ def weighted_median_bucketed(
        below the bucket — the crossing row is identical to the full
        window's because prefix weights agree exactly.
 
-    Result: one row per group, ``(group, weighted_median)`` — the lowest
-    value whose cumulative weight reaches half the group total under the
-    (value, *tie_cols) order. Hash-identical to the window form (oracle).
-    Null values/weights are excluded."""
+    Result: one row per group, ``(group, <out_col>)`` — the lowest
+    value whose cumulative weight reaches ``frac`` of the group total
+    under the (value, *tie_cols) order. Hash-identical to the window form
+    (oracle). Null values/weights are excluded."""
+    if not (0.0 < frac < 1.0):
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
     spark = df.sparkSession
     base = df.where(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
@@ -169,7 +175,7 @@ def weighted_median_bucketed(
         tw = sum(w for _, w in lst)
         cum = 0.0
         for bk, w in lst:
-            if cum + w >= tw / 2.0:
+            if cum + w >= tw * frac:
                 targets.append((g, bk, float(cum), float(tw)))
                 break
             cum += w
@@ -189,9 +195,9 @@ def weighted_median_bucketed(
     )
     return (
         sub.withColumn("__cum", F.sum(weight_col).over(w) + F.col("__prev"))
-        .where(F.col("__cum") >= F.col("__tw") / 2.0)
+        .where(F.col("__cum") >= F.col("__tw") * F.lit(frac))
         .groupBy(group_col)
-        .agg(F.min(value_col).alias("weighted_median"))
+        .agg(F.min(value_col).alias(out_col))
     )
 
 

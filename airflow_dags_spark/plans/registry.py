@@ -65,4 +65,5 @@ def load_all() -> None:
         round4,
         round5,
         round6,
+        round7,
     )
