@@ -298,3 +298,96 @@ def bucketed_running_sum_grouped(
         .withColumn(out_col, F.col("__in_sum") + F.col("__offset"))
         .drop("__bucket", "__in_sum", "__offset")
     )
+
+
+def weighted_quantiles_bucketed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tie_cols: list[str],
+    fracs: dict[str, float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Several weighted quantiles per group from ONE scan + ONE histogram.
+
+    The multi-fraction form of ``weighted_median_bucketed``: the parallel
+    (group, bucket) weight histogram is built once, the driver walk
+    locates EVERY fraction's crossing bucket in the same pass, and the
+    refinement window runs over the union of target buckets tagged by
+    fraction (a bucket shared by two fractions just joins twice — still
+    ~|fracs|/n_buckets of the rows). Three separate
+    ``weighted_median_bucketed`` calls measured 1.61× at 10× data purely
+    from the repeated scans; this form keeps the scan count flat in
+    |fracs|.
+
+    ``fracs`` maps output column name -> crossing fraction in (0, 1).
+    Result: one row per group with one column per fraction — each value
+    hash-identical to the single-fraction form and the window oracle."""
+    for name, f in fracs.items():
+        if not (0.0 < f < 1.0):
+            raise ValueError(f"frac {name} must be in (0, 1), got {f}")
+    spark = df.sparkSession
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    rng = base.groupBy(group_col).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    b = base.join(F.broadcast(rng), group_col)
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    b = b.withColumn("__bucket", bucket)
+    hist = b.groupBy(group_col, "__bucket").agg(
+        F.sum(weight_col).alias("__w")
+    ).collect()
+
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append((r["__bucket"], r["__w"]))
+    targets = []
+    for g, lst in per_group.items():
+        lst.sort()
+        tw = sum(w for _, w in lst)
+        for name, frac in fracs.items():
+            cum = 0.0
+            for bk, w in lst:
+                if cum + w >= tw * frac:
+                    targets.append((g, name, bk, float(cum), float(tw), frac))
+                    break
+                cum += w
+    gtype = df.schema[group_col].dataType.simpleString()
+    tgt = spark.createDataFrame(
+        targets,
+        f"__g {gtype}, __q string, __tb int, __prev double, __tw double,"
+        " __frac double",
+    )
+    sub = b.join(
+        F.broadcast(tgt),
+        (F.col(group_col) == F.col("__g")) & (F.col("__bucket") == F.col("__tb")),
+    )
+    w = (
+        Window.partitionBy(group_col, "__q")
+        .orderBy(value_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    crossed = (
+        sub.withColumn("__cum", F.sum(weight_col).over(w) + F.col("__prev"))
+        .where(F.col("__cum") >= F.col("__tw") * F.col("__frac"))
+        .groupBy(group_col, "__q")
+        .agg(F.min(value_col).alias("__v"))
+    )
+    aggs = [
+        F.min(F.when(F.col("__q") == name, F.col("__v"))).alias(name)
+        for name in fracs
+    ]
+    return crossed.groupBy(group_col).agg(*aggs)

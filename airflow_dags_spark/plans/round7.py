@@ -675,9 +675,13 @@ WITH w AS (
       WHEN u < 0.999916758850712 THEN 6
       ELSE 7 END AS wt
   FROM (
+    -- one md5 yields FOUR 32-bit uniform words (replica i uses word i%4 of
+    -- the digest seeded by i//4) — 50 digests per row instead of 200; the
+    -- Spark side mirrors the split exactly
     SELECT o_totalprice AS x, b.i,
            ((('0x' || substr(md5('pb|' || CAST(o_orderkey AS VARCHAR) || '|'
-                                 || CAST(b.i AS VARCHAR)), 1, 8))::BIGINT
+                                 || CAST(b.i // 4 AS VARCHAR)),
+                             1 + 8 * (b.i % 4), 8))::BIGINT
              % 999999) + 0.5e0) / 1000000.0e0 AS u
     FROM orders, UNNEST(generate_series(0, 199)) AS b(i)
   ) t
@@ -710,28 +714,49 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (both engines share the digits), so all 200 replica means
     are deterministic and cross-engine identical to double rounding."""
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    reps = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("rep"),
+    # FAN OUT BEFORE THE MULTIPLIER: the explode turns every input split
+    # into 200× the rows, so partitioning must be decided on the INPUT —
+    # a small file that arrives as one split would otherwise push the
+    # whole 200× expansion through one task (measured exactly that:
+    # sf0.1 orders is a single ~30 MB split → ~20 s single-core). The
+    # count must be EXPLICIT: AQE coalesces a column-only repartition by
+    # its pre-explosion byte size (3 MB → back to one partition, blind to
+    # the 200× multiplier downstream), but honors a user-specified count.
+    # At 100 TB the scan has thousands of splits and this is a cheap
+    # rebalance of pre-explosion rows either way.
+    o = o.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "o_orderkey"
     )
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("pb|"),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("rep").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = ((h32 % 999999) + 0.5) / 1000000.0
+    # one md5 digest is 128 bits = four 32-bit uniform words: explode 50
+    # seed groups and posexplode the digest's four words so each row pays
+    # 50 hash evaluations for its 200 replica weights, not 200
+    seeded = o.select(
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("g"),
+        F.col("o_orderkey").cast("string").alias("__k"),
+    ).select(
+        "o_totalprice",
+        "g",
+        F.md5(
+            F.concat(F.lit("pb|"), F.col("__k"), F.lit("|"), F.col("g").cast("string"))
+        ).alias("__h"),
+    )
+    words = F.array(
+        *[
+            F.conv(F.substring(F.col("__h"), 1 + 8 * j, 8), 16, 10).cast("bigint")
+            for j in range(4)
+        ]
+    )
+    reps = seeded.select(
+        "o_totalprice",
+        "g",
+        F.posexplode(words).alias("j", "w32"),
+    ).select(
+        "o_totalprice",
+        (F.col("g") * 4 + F.col("j")).alias("rep"),
+        F.col("w32"),
+    )
+    u = ((F.col("w32") % 999999) + 0.5) / 1000000.0
     wt = (
         F.when(u < 0.367879441171442, 0)
         .when(u < 0.735758882342885, 1)
@@ -795,30 +820,28 @@ FROM w GROUP BY 1
 @register("agg_weighted_quantiles", WEIGHTED_QUANTILES_ORACLE)
 def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted price quartiles per return flag through the
-    GENERALIZED two-phase bucket refinement
-    (``weighted_median_bucketed(frac=...)`` — round 5 added the fraction
-    parameter): each quartile locates its crossing bucket from the same
-    parallel (group, bucket) weight histogram shape and windows only
-    inside that bucket. 0.25/0.5/0.75 are dyadic, so ``tw * frac`` is
-    exact in doubles on both engines and the crossing rows are identical
-    to the full-window oracle's."""
+    MULTI-FRACTION two-phase bucket refinement
+    (``weighted_quantiles_bucketed`` — one scan + one parallel (group,
+    bucket) weight histogram locates ALL three crossing buckets; the
+    refinement window runs over the tagged union of target buckets,
+    ~3/1024 of the rows). Three independent single-fraction calls
+    measured 1.61× at 10× data purely from the repeated scans; this form
+    keeps scan count flat in the number of quantiles. 0.25/0.5/0.75 are
+    dyadic, so ``tw * frac`` is exact in doubles on both engines and the
+    crossing rows are identical to the full-window oracle's."""
     from airflow_dags_spark.functions.scalable_windows import (
-        weighted_median_bucketed,
+        weighted_quantiles_bucketed,
     )
 
     li = read_table(spark, sf_dir, "lineitem")
-    out = None
-    for frac, name in ((0.25, "w_p25"), (0.5, "w_p50"), (0.75, "w_p75")):
-        q = weighted_median_bucketed(
-            li,
-            "l_returnflag",
-            "l_extendedprice",
-            "l_quantity",
-            ["l_orderkey", "l_linenumber"],
-            frac=frac,
-            out_col=name,
-        )
-        out = q if out is None else out.join(q, "l_returnflag")
+    out = weighted_quantiles_bucketed(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        {"w_p25": 0.25, "w_p50": 0.5, "w_p75": 0.75},
+    )
     return out.select(
         "l_returnflag",
         F.round("w_p25", 2).alias("w_p25"),

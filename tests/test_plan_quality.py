@@ -381,6 +381,15 @@ ALLOWED_NESTED_LOOP = {
     # the canonical plan):
     "stats_anova_f",
     "stats_corr_matrix",
+    # round 7: 1-row / k-row broadcast frames against a streamed side —
+    # the canonical tiny-broadcast plans, same class as the entries above:
+    # LLR's 1-row bigram-total frame; Theil's 1-row global (N, mu) frame;
+    # the 9-row threshold grid crossed with the scored scan; the 1-row
+    # point-estimate frame joined to the 1-row bootstrap summary:
+    "text_collocation_llr",
+    "stats_theil_index",
+    "ml_threshold_sweep_prf",
+    "stats_poisson_bootstrap_ci",
     # calendar-bounded O(n^2) pair statistics: the non-equi self-pair runs
     # over the ~100-row monthly / ~2.4k-row daily AGGREGATE (broadcast),
     # never the raw fact rows — quadratic in the calendar only:
