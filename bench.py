@@ -75,6 +75,10 @@ HEADLINE = [
     "ml_lift_gains_table",
     "graph_adamic_adar",
     "layout_zorder_bucket_stats",
+    # round-7: multi-fraction weighted-quantile refinement, Poisson
+    # bootstrap (explode fan-out + 4-words-per-md5)
+    "agg_weighted_quantiles",
+    "stats_poisson_bootstrap_ci",
 ]
 
 

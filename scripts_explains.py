@@ -57,6 +57,8 @@ NAMES = [
     "stats_corr_matrix",
     "ml_lift_gains_table",
     "graph_adamic_adar",
+    "agg_weighted_quantiles",
+    "stats_poisson_bootstrap_ci",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
     "ivm_topk_maintenance",
