@@ -724,13 +724,13 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 200× multiplier downstream), but honors a user-specified count.
     # At 100 TB the scan has thousands of splits and this is a cheap
     # rebalance of pre-explosion rows either way.
-    o = o.repartition(
+    fanned = o.repartition(
         max(spark.sparkContext.defaultParallelism, 8), "o_orderkey"
     )
     # one md5 digest is 128 bits = four 32-bit uniform words: explode 50
     # seed groups and posexplode the digest's four words so each row pays
     # 50 hash evaluations for its 200 replica weights, not 200
-    seeded = o.select(
+    seeded = fanned.select(
         "o_totalprice",
         F.explode(F.sequence(F.lit(0), F.lit(49))).alias("g"),
         F.col("o_orderkey").cast("string").alias("__k"),
