@@ -431,12 +431,23 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 THEIL_ORACLE = """
 WITH cust AS (
-  SELECT c.c_nationkey, o.o_custkey, SUM(o.o_totalprice) AS x
+  -- exact integer cents: o_totalprice has 2 decimals, so the per-customer
+  -- and per-nation sums are EXACT bigints in both engines; the doubles
+  -- derived from them (x, mu_g) are then bit-identical cross-engine,
+  -- which keeps ROUND stable at .xx5 knife edges (a plain double SUM
+  -- differs in last-ulp by partition order and flips the 2-dp round)
+  SELECT c.c_nationkey, o.o_custkey,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_nationkey, o.o_custkey
 ),
+custx AS (
+  SELECT c_nationkey, o_custkey, cents / 100.0e0 AS x FROM cust
+),
 grp AS (
-  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g, AVG(x) AS mu_g
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) / 100.0e0 / COUNT(*) AS mu_g
   FROM cust GROUP BY c_nationkey
 ),
 tot_all AS (
@@ -446,7 +457,7 @@ tot_all AS (
 tw AS (
   SELECT c.c_nationkey,
          AVG((c.x / g.mu_g) * LN(c.x / g.mu_g)) AS t_within
-  FROM cust c JOIN grp g ON c.c_nationkey = g.c_nationkey
+  FROM custx c JOIN grp g ON c.c_nationkey = g.c_nationkey
   GROUP BY c.c_nationkey
 ),
 rows_out AS (
@@ -477,17 +488,26 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike Gini it decomposes additively, so each data partition's
     contribution aggregates without a global sort; compare
     ``stats_gini_revenue``). Customer revenues aggregate distributively;
-    the decomposition runs on the 25-row nation frame."""
+    the decomposition runs on the 25-row nation frame. Revenue sums go
+    through EXACT integer cents (2-decimal input × 100 → bigint) so the
+    derived doubles (x, mu_g) are bit-identical cross-engine and the
+    2-dp mean rounding is stable at .xx5 knife edges — a plain double
+    SUM's last ulp depends on partition order and flipped the round."""
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents_row = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     cust = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
-        .agg(F.sum("o_totalprice").alias("x"))
+        .agg(F.sum(cents_row).alias("cents"))
+        .withColumn("x", F.col("cents") / 100.0)
     )
     grp = cust.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"), F.avg("x").alias("mu_g")
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        (
+            F.sum("cents").cast("bigint") / 100.0 / F.count(F.lit(1))
+        ).alias("mu_g"),
     )
     tw = (
         cust.join(F.broadcast(grp), "c_nationkey")
