@@ -351,16 +351,31 @@ def test_adamic_adar_matches_python_reference(spark):
     adj = {}
     for r in edges:
         adj.setdefault(r.o_custkey, set()).add(r.l_partkey)
-    import itertools, math
+    import hashlib
+    import itertools
+    import math
     from collections import defaultdict
+
+    from airflow_dags_spark.plans.round6 import ADAMIC_ADAR_BASKET_CAP
+
+    def capped(cust, parts):
+        # mirror the query's md5-deterministic per-customer basket cap
+        return sorted(
+            parts,
+            key=lambda p: (
+                hashlib.md5(f"aa|{cust}|{p}".encode()).hexdigest(),
+                p,
+            ),
+        )[:ADAMIC_ADAR_BASKET_CAP]
 
     aa = defaultdict(float)
     common = defaultdict(int)
     for cust, parts in adj.items():
-        if len(parts) < 2:
+        kept = capped(cust, parts)
+        if len(kept) < 2:
             continue
-        wgt = 1.0 / math.log(len(parts))
-        for p1, p2 in itertools.combinations(sorted(parts), 2):
+        wgt = 1.0 / math.log(len(kept))
+        for p1, p2 in itertools.combinations(sorted(kept), 2):
             aa[(p1, p2)] += wgt
             common[(p1, p2)] += 1
     ref = sorted(
