@@ -488,3 +488,96 @@ def lsh_ann_topk(
         .where(F.col("rn") <= k)
         .select("qid", "cid", "sim")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    pool: int = 50,
+    lam: float = 0.7,
+    query_key: str = "qid",
+    corpus_key: str = "cid",
+    query_vec: str = "qv",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the standard RAG diversification step: from each query's top-``pool``
+    relevance candidates, greedily select ``k`` maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)`` so near-duplicate hits
+    don't crowd the context window.
+
+    Scale shape: the expensive part — scoring every corpus vector — is the
+    distributed ``cosine_topk`` pass (query side broadcast, corpus streams,
+    no shuffle). The greedy selection is inherently sequential BUT only
+    ever sees ``pool`` candidates per query (k·pool dot products), so it
+    runs on the driver over a bounded collect — the same bounded-driver
+    contract as the IVF quantizer training. Candidate relevance uses the
+    ROUNDED similarity with key tiebreak (deterministic cutoffs), and the
+    greedy argmax tie-breaks on (score desc, cid asc), so the selection is
+    reproducible across engines and runs.
+
+    Output: one row per (query, rank 1..k) with the selected candidate,
+    its query relevance, and its max-redundancy against the earlier picks
+    at selection time."""
+    if k > pool:
+        raise ValueError(f"k ({k}) must be <= pool ({pool})")
+    cands = cosine_topk(
+        queries,
+        corpus,
+        pool,
+        query_key=query_key,
+        corpus_key=corpus_key,
+        query_vec=query_vec,
+        corpus_vec=corpus_vec,
+    )
+    vecs = corpus.join(
+        cands.select(F.col(corpus_key)).distinct(), corpus_key, "semi"
+    ).select(corpus_key, corpus_vec)
+    cand_rows = cands.collect()  # bounded: |queries| × pool
+    vec_map = {
+        r[corpus_key]: np.asarray(r[corpus_vec], dtype=np.float64)
+        for r in vecs.collect()  # bounded: ≤ |queries| × pool vectors
+    }
+    for key, v in vec_map.items():
+        n = np.linalg.norm(v)
+        vec_map[key] = v / n if n > 0 else v
+
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r[query_key], []).append((r[corpus_key], float(r["sim"])))
+    out = []
+    for qid, lst in by_q.items():
+        rel = dict(lst)
+        remaining = sorted(rel, key=lambda c: (-rel[c], c))
+        selected: list = []
+        while remaining and len(selected) < k:
+            best = None  # (score, cid, redundancy); argmax by score, tie → min cid
+            for c in remaining:
+                red = max(
+                    (float(vec_map[c] @ vec_map[s]) for s in selected),
+                    default=0.0,
+                )
+                score = round(lam * rel[c] - (1.0 - lam) * red, 6)
+                if (
+                    best is None
+                    or score > best[0]
+                    or (score == best[0] and c < best[1])
+                ):
+                    best = (score, c, red)
+            score, c, red = best
+            selected.append(c)
+            remaining.remove(c)
+            out.append(
+                (qid, len(selected), c, round(rel[c], 6), round(red, 6),
+                 score)
+            )
+    spark = queries.sparkSession
+    qtype = queries.schema[query_key].dataType.simpleString()
+    ctype = corpus.schema[corpus_key].dataType.simpleString()
+    return spark.createDataFrame(
+        out,
+        f"{query_key} {qtype}, rank int, {corpus_key} {ctype},"
+        " relevance double, redundancy double, mmr_score double",
+    )

@@ -15,7 +15,9 @@ these 8 fill genuine surface gaps):
 - Poisson-bootstrap confidence interval (THE scale-out resampling scheme:
   per-row independent weights, no resample materialization);
 - grouped weighted quantiles (p25/p50/p75) through the generalized
-  ``weighted_median_bucketed(frac=...)`` two-phase refinement.
+  ``weighted_median_bucketed(frac=...)`` two-phase refinement;
+- MMR diversified re-ranking (rows-only: the greedy selection is
+  iterative; exact numpy reference in tests/test_round7.py).
 
 Registered LAST (after plans/round6 in registry.load_all) so these append
 AFTER every existing query in the driver's self-rotating verification
@@ -868,3 +870,32 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_p50", 2).alias("w_p50"),
         F.round("w_p75", 2).alias("w_p75"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (rows-only: greedy selection is iterative,
+# not SQL-expressible; tests/test_round7.py pins an exact numpy reference)
+# --------------------------------------------------------------------------
+
+
+@register("sim_mmr_rerank", None)  # iterative greedy → rows-only
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking over the embeddings table —
+    the RAG diversification step between retrieval and the context
+    window (operators/similarity.py:mmr_rerank). Queries = the first 5
+    vectors (broadcast); the distributed cosine_topk pass builds each
+    query's 50-candidate relevance pool (corpus streams, no shuffle);
+    the greedy λ·relevance − (1−λ)·redundancy selection then runs on a
+    BOUNDED driver collect (|queries|·pool rows — same bounded-driver
+    contract as IVF quantizer training). Deterministic: rounded
+    similarities, (score desc, cid asc) tie-break."""
+    from airflow_dags_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return mmr_rerank(queries, corpus, k=10, pool=50, lam=0.7)

@@ -394,3 +394,82 @@ def test_weighted_quantiles_bucketed_rejects_bad_frac(spark):
         weighted_quantiles_bucketed(
             li, "l_returnflag", "l_extendedprice", "l_quantity", [], {"q": 1.5}
         )
+
+
+# --- MMR re-ranking -------------------------------------------------------------
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """Exact greedy reference: same rounded relevances, same λ·rel −
+    (1−λ)·max-redundancy objective, same (score desc, cid asc)
+    tie-break — row-identical to the operator."""
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    unit = {
+        k: (v / np.linalg.norm(v) if np.linalg.norm(v) > 0 else v)
+        for k, v in emb.items()
+    }
+    lam, pool, k = 0.7, 50, 10
+    expect = []
+    for qid in range(5):
+        sims = {
+            cid: round(float(unit[qid] @ unit[cid]), 6) for cid in emb
+        }
+        cands = sorted(sims, key=lambda c: (-sims[c], c))[:pool]
+        rel = {c: sims[c] for c in cands}
+        selected = []
+        remaining = list(cands)
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:
+                red = max(
+                    (float(unit[c] @ unit[s]) for s in selected), default=0.0
+                )
+                score = round(lam * rel[c] - (1 - lam) * red, 6)
+                if best is None or score > best[0] or (
+                    score == best[0] and c < best[1]
+                ):
+                    best = (score, c, red)
+            score, c, red = best
+            selected.append(c)
+            remaining.remove(c)
+            expect.append((qid, len(selected), c, rel[c], round(red, 6), score))
+
+    got = sorted(
+        registry.QUERIES["sim_mmr_rerank"](spark, SF_DIR).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert len(got) == len(expect) == 50
+    for row, (qid, rank, cid, r_rel, r_red, r_score) in zip(got, expect):
+        assert (row.qid, row.rank, row.cid) == (qid, rank, cid)
+        assert row.relevance == pytest.approx(r_rel, abs=1e-9)
+        assert row.redundancy == pytest.approx(r_red, abs=1e-9)
+        assert row.mmr_score == pytest.approx(r_score, abs=1e-9)
+
+
+def test_mmr_rank1_is_pure_relevance_and_diversity_kicks_in(spark):
+    rows = registry.QUERIES["sim_mmr_rerank"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda r: r.rank)
+        # rank 1 has no prior picks: zero redundancy, max relevance
+        assert lst[0].redundancy == 0.0
+        assert lst[0].relevance == max(r.relevance for r in lst)
+        # the query vector itself is its own top hit (cosine 1.0)
+        assert lst[0].cid == qid and lst[0].relevance == pytest.approx(1.0)
+        # later picks pay a redundancy penalty
+        assert any(r.redundancy > 0 for r in lst[1:])
+
+
+def test_mmr_rejects_k_above_pool(spark):
+    from airflow_dags_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    with pytest.raises(ValueError, match="pool"):
+        mmr_rerank(q, c, k=60, pool=50)
