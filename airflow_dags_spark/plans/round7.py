@@ -899,3 +899,182 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return mmr_rerank(queries, corpus, k=10, pool=50, lam=0.7)
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction over the per-brand Wilcoxon family
+# --------------------------------------------------------------------------
+
+BH_FDR_ORACLE = """
+WITH pairs AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+         SUM(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1994
+                  THEN l.l_quantity ELSE 0 END) AS q94,
+         SUM(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1995
+                  THEN l.l_quantity ELSE 0 END) AS q95,
+         COUNT(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1994 THEN 1 END)
+           AS n94,
+         COUNT(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1995 THEN 1 END)
+           AS n95
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+),
+d AS (
+  SELECT brand, pk, q95 - q94 AS diff, ABS(q95 - q94) AS ad
+  FROM pairs WHERE n94 > 0 AND n95 > 0 AND q95 <> q94
+),
+r AS (
+  SELECT brand, diff,
+         RANK() OVER (PARTITION BY brand ORDER BY ad)
+           + (COUNT(*) OVER (PARTITION BY brand, ad) - 1) / 2.0e0 AS avg_rank
+  FROM d
+),
+ties AS (
+  SELECT brand, SUM(t * t * t - t) / 48.0e0 AS tie_corr
+  FROM (SELECT DISTINCT brand, ad,
+               COUNT(*) OVER (PARTITION BY brand, ad) AS t FROM d) x
+  GROUP BY brand
+),
+stat AS (
+  SELECT s.brand, s.n,
+         (s.w_plus - s.n * (s.n + 1) / 4.0e0)
+           / SQRT(s.n * (s.n + 1) * (2 * s.n + 1) / 24.0e0 - t.tie_corr) AS z
+  FROM (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CASE WHEN diff > 0 THEN avg_rank ELSE 0 END) AS w_plus
+    FROM r GROUP BY brand
+  ) s JOIN ties t ON s.brand = t.brand
+  WHERE s.n >= 10
+),
+pv AS (
+  -- two-sided p via the Abramowitz-Stegun 7.1.26 erf approximation:
+  -- IDENTICAL arithmetic on both engines (neither exposes erf), so the
+  -- p-values hash-match exactly
+  SELECT brand, n, z,
+    2.0e0 * (1.0e0 - (0.5e0 * (1.0e0 + (
+      1.0e0 - (((((1.061405429e0 * tt - 1.453152027e0) * tt) + 1.421413741e0)
+                 * tt - 0.284496736e0) * tt + 0.254829592e0) * tt
+               * EXP(-(ABS(z) / 1.4142135623730951e0)
+                     * (ABS(z) / 1.4142135623730951e0))
+    )))) AS p
+  FROM (
+    SELECT brand, n, z,
+           1.0e0 / (1.0e0 + 0.3275911e0 * (ABS(z) / 1.4142135623730951e0)) AS tt
+    FROM stat
+  ) t0
+),
+ranked AS (
+  SELECT brand, n, z, p,
+         ROW_NUMBER() OVER (ORDER BY p, brand) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+),
+adj AS (
+  SELECT brand, n, z, p, i, m,
+         MIN(p * m / i) OVER (
+           ORDER BY i DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p_adj_raw
+  FROM ranked
+)
+SELECT brand, n, ROUND(z, 6) + 0.0 AS z, ROUND(p, 6) + 0.0 AS p_value,
+       ROUND(LEAST(p_adj_raw, 1.0e0), 6) + 0.0 AS p_adjusted,
+       CAST(LEAST(p_adj_raw, 1.0e0) < 0.05 AS BOOLEAN) AS significant_q05
+FROM adj
+"""
+
+
+@register("stats_bh_fdr", BH_FDR_ORACLE)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-brand Wilcoxon
+    z-scores — the multiple-testing step every grouped hypothesis-test
+    family needs (25 brands tested at once ⇒ raw p<0.05 overfires).
+    Two-sided p-values come from the Abramowitz-Stegun 7.1.26 erf
+    polynomial — both engines run the IDENTICAL arithmetic, so the
+    p-values are hash-exact without either engine exposing erf. The BH
+    step-up (suffix-min of p·m/i) runs on the m-row test frame — m =
+    number of GROUPS, so the unpartitioned windows are bounded by the
+    brand universe, not data volume."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate")
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(yr == 1994, F.col("l_quantity")).otherwise(0)).alias("q94"),
+            F.sum(F.when(yr == 1995, F.col("l_quantity")).otherwise(0)).alias("q95"),
+            F.count(F.when(yr == 1994, 1)).alias("n94"),
+            F.count(F.when(yr == 1995, 1)).alias("n95"),
+        )
+    )
+    d = pairs.where(
+        (F.col("n94") > 0) & (F.col("n95") > 0) & (F.col("q95") != F.col("q94"))
+    ).select(
+        "brand",
+        (F.col("q95") - F.col("q94")).alias("diff"),
+        F.abs(F.col("q95") - F.col("q94")).alias("ad"),
+    )
+    avg_rank = F.rank().over(Window.partitionBy("brand").orderBy("ad")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("brand", "ad")) - 1
+    ) / 2.0
+    t_sz = F.count(F.lit(1)).over(Window.partitionBy("brand", "ad"))
+    r = d.select("brand", "diff", avg_rank.alias("avg_rank"), t_sz.alias("t"), "ad")
+    stat = r.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("avg_rank")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+    )
+    ties = (
+        r.select("brand", "ad", "t")
+        .distinct()
+        .groupBy("brand")
+        .agg(
+            (F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")) / 48.0).alias(
+                "tie_corr"
+            )
+        )
+    )
+    n = F.col("n")
+    z = (F.col("w_plus") - n * (n + 1) / 4.0) / F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie_corr")
+    )
+    zf = stat.join(ties, "brand").where(n >= 10).select("brand", "n", z.alias("z"))
+    # portable normal CDF: A&S 7.1.26 erf polynomial, identical both engines
+    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (
+        ((((1.061405429 * tt - 1.453152027) * tt) + 1.421413741) * tt
+          - 0.284496736) * tt + 0.254829592
+    ) * tt * F.exp(-x * x)
+    pv = zf.select(
+        "brand", "n", "z", (2.0 * (1.0 - (0.5 * (1.0 + erf)))).alias("p")
+    )
+    w_rank = Window.orderBy("p", "brand")
+    ranked = pv.select(
+        "brand",
+        "n",
+        "z",
+        "p",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    w_suffix = Window.orderBy(F.desc("i")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.withColumn(
+        "p_adj_raw",
+        F.min(F.col("p") * F.col("m") / F.col("i")).over(w_suffix),
+    )
+    return adj.select(
+        "brand",
+        "n",
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        (F.round("p", 6) + F.lit(0.0)).alias("p_value"),
+        (F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 6) + F.lit(0.0)).alias(
+            "p_adjusted"
+        ),
+        (F.least(F.col("p_adj_raw"), F.lit(1.0)) < 0.05).alias("significant_q05"),
+    )

@@ -473,3 +473,57 @@ def test_mmr_rejects_k_above_pool(spark):
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     with pytest.raises(ValueError, match="pool"):
         mmr_rerank(q, c, k=60, pool=50)
+
+
+# --- Benjamini-Hochberg FDR -----------------------------------------------------
+
+
+def test_bh_fdr_matches_python_reference(spark):
+    """Reference uses math.erf (exact) for the sanity band and the exact
+    A&S 7.1.26 polynomial for the row-level equality, plus an independent
+    numpy BH step-up."""
+    wil = {
+        r.brand: r.z
+        for r in registry.QUERIES["stats_wilcoxon_signed_rank"](
+            spark, SF_DIR
+        ).collect()
+    }
+    got = sorted(
+        registry.QUERIES["stats_bh_fdr"](spark, SF_DIR).collect(),
+        key=lambda r: (r.p_value, r.brand),
+    )
+    assert {r.brand for r in got} == set(wil)
+
+    def phi_as(z):
+        x = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        erf = 1.0 - (
+            ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+              - 0.284496736) * t + 0.254829592
+        ) * t * math.exp(-x * x)
+        return 0.5 * (1.0 + erf)
+
+    ps = {}
+    for brand, z in wil.items():
+        p_as = 2.0 * (1.0 - phi_as(z))
+        p_exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0))))
+        assert abs(p_as - p_exact) < 3e-7  # A&S max error bound
+        ps[brand] = p_as
+    # z in the output matches the Wilcoxon query's z (same stat frame)
+    for r in got:
+        assert r.z == pytest.approx(wil[r.brand], abs=2e-6)
+        assert r.p_value == pytest.approx(ps[r.brand], abs=2e-6)
+    # independent BH step-up
+    order = sorted(ps, key=lambda b: (ps[b], b))
+    m = len(order)
+    raw = [ps[b] * m / (i + 1) for i, b in enumerate(order)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    expect = {b: min(a, 1.0) for b, a in zip(order, adj)}
+    for r in got:
+        assert r.p_adjusted == pytest.approx(expect[r.brand], abs=2e-6)
+        assert r.significant_q05 == (expect[r.brand] < 0.05)
+    # monotone in p: adjusted values are non-decreasing along raw-p order
+    adj_seq = [r.p_adjusted for r in got]
+    assert adj_seq == sorted(adj_seq)
