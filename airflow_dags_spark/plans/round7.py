@@ -1,6 +1,6 @@
 """Round-7 registry additions — consolidation-round batch (VERDICT r4 asked
 for ≤15 new queries so the driver window drains the verification backlog;
-these 8 fill genuine surface gaps):
+these 10 fill genuine surface gaps):
 
 - URL canonicalization dedup (the CommonCrawl-style pre-dedup normalize:
   case-fold host, strip default port / www / tracking params / fragments);
@@ -17,7 +17,10 @@ these 8 fill genuine surface gaps):
 - grouped weighted quantiles (p25/p50/p75) through the generalized
   ``weighted_median_bucketed(frac=...)`` two-phase refinement;
 - MMR diversified re-ranking (rows-only: the greedy selection is
-  iterative; exact numpy reference in tests/test_round7.py).
+  iterative; exact numpy reference in tests/test_round7.py);
+- Benjamini-Hochberg FDR correction over the grouped Wilcoxon family
+  (portable A&S erf polynomial — hash-exact p-values without either
+  engine exposing erf).
 
 Registered LAST (after plans/round6 in registry.load_all) so these append
 AFTER every existing query in the driver's self-rotating verification
