@@ -508,15 +508,20 @@ def mmr_rerank(
     ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)`` so near-duplicate hits
     don't crowd the context window.
 
-    Scale shape: the expensive part — scoring every corpus vector — is the
-    distributed ``cosine_topk`` pass (query side broadcast, corpus streams,
-    no shuffle). The greedy selection is inherently sequential BUT only
-    ever sees ``pool`` candidates per query (k·pool dot products), so it
-    runs on the driver over a bounded collect — the same bounded-driver
-    contract as the IVF quantizer training. Candidate relevance uses the
-    ROUNDED similarity with key tiebreak (deterministic cutoffs), and the
-    greedy argmax tie-breaks on (score desc, cid asc), so the selection is
-    reproducible across engines and runs.
+    Scale shape — fully executor-side, the driver never sees a candidate
+    row. Stage 1 (the expensive part): the distributed ``cosine_topk``
+    pass scores every corpus vector (query side broadcast, corpus streams,
+    no shuffle). Stage 2: ONE equi-join attaches each candidate's vector —
+    the candidate side is tiny (|queries|×pool rows) and broadcast, so the
+    corpus streams once more without shuffling. Stage 3: the greedy
+    selection is inherently sequential per query BUT only ever sees
+    ``pool`` candidates (k·pool dot products), so it runs inside
+    ``applyInPandas`` grouped by the query key — each executor re-ranks
+    its own queries, a 1M-query batch spreads across the cluster, and the
+    only shuffle is |queries|×pool candidate rows into groups. Candidate
+    relevance uses the ROUNDED similarity with key tiebreak (deterministic
+    cutoffs), and the greedy argmax tie-breaks on (score desc, cid asc),
+    so the selection is reproducible across engines and runs.
 
     Output: one row per (query, rank 1..k) with the selected candidate,
     its query relevance, and its max-redundancy against the earlier picks
@@ -532,31 +537,36 @@ def mmr_rerank(
         query_vec=query_vec,
         corpus_vec=corpus_vec,
     )
-    vecs = corpus.join(
-        cands.select(F.col(corpus_key)).distinct(), corpus_key, "semi"
-    ).select(corpus_key, corpus_vec)
-    cand_rows = cands.collect()  # bounded: |queries| × pool
-    vec_map = {
-        r[corpus_key]: np.asarray(r[corpus_vec], dtype=np.float64)
-        for r in vecs.collect()  # bounded: ≤ |queries| × pool vectors
-    }
-    for key, v in vec_map.items():
-        n = np.linalg.norm(v)
-        vec_map[key] = v / n if n > 0 else v
+    # one pass attaches vectors: broadcast the tiny candidate set so the
+    # corpus side streams (never shuffles) — and the cosine_topk plan runs
+    # exactly once (collecting cands AND a cands-derived semi-join would
+    # execute the scoring scan twice)
+    pool_df = corpus.select(corpus_key, corpus_vec).join(
+        F.broadcast(cands), corpus_key
+    )
 
-    by_q: dict = {}
-    for r in cand_rows:
-        by_q.setdefault(r[query_key], []).append((r[corpus_key], float(r["sim"])))
-    out = []
-    for qid, lst in by_q.items():
-        rel = dict(lst)
+    out_cols = [query_key, "rank", corpus_key, "relevance", "redundancy",
+                "mmr_score"]
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_key].iloc[0]
+        unit: dict = {}
+        rel: dict = {}
+        for cid, sim, v in zip(
+            pdf[corpus_key], pdf["sim"], pdf[corpus_vec]
+        ):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            unit[cid] = a / n if n > 0 else a
+            rel[cid] = float(sim)
         remaining = sorted(rel, key=lambda c: (-rel[c], c))
         selected: list = []
+        rows = []
         while remaining and len(selected) < k:
-            best = None  # (score, cid, redundancy); argmax by score, tie → min cid
+            best = None  # (score, cid, redundancy); argmax, tie → min cid
             for c in remaining:
                 red = max(
-                    (float(vec_map[c] @ vec_map[s]) for s in selected),
+                    (float(unit[c] @ unit[s]) for s in selected),
                     default=0.0,
                 )
                 score = round(lam * rel[c] - (1.0 - lam) * red, 6)
@@ -569,15 +579,16 @@ def mmr_rerank(
             score, c, red = best
             selected.append(c)
             remaining.remove(c)
-            out.append(
+            rows.append(
                 (qid, len(selected), c, round(rel[c], 6), round(red, 6),
                  score)
             )
-    spark = queries.sparkSession
+        return pd.DataFrame(rows, columns=out_cols)
+
     qtype = queries.schema[query_key].dataType.simpleString()
     ctype = corpus.schema[corpus_key].dataType.simpleString()
-    return spark.createDataFrame(
-        out,
+    return pool_df.groupBy(query_key).applyInPandas(
+        _greedy,
         f"{query_key} {qtype}, rank int, {corpus_key} {ctype},"
         " relevance double, redundancy double, mmr_score double",
     )

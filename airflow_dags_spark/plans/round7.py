@@ -341,7 +341,14 @@ def ml_threshold_sweep_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NDCG_ORACLE = """
 WITH acts AS (
-  SELECT event_type, user_id, SUM(value) AS v
+  -- exact integer cents (the Theil-fix discipline): a raw double SUM(value)
+  -- is partition-order dependent in the last ulp, so two users whose true
+  -- sums tie could swap rank order per engine — and a swap at the top-10
+  -- boundary changes dcg by more than the 6-dp rounding. events.value has
+  -- 2 decimals, so the cents sum is an EXACT bigint in both engines and
+  -- the user_id tiebreak fires exactly on true ties.
+  SELECT event_type, user_id,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
   FROM events WHERE user_id IS NOT NULL
   GROUP BY event_type, user_id
 ),
@@ -382,8 +389,9 @@ FROM dcg d JOIN idcg i ON d.event_type = i.event_type
 
 @register("ml_ndcg_at_k", NDCG_ORACLE)
 def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 per event segment: rank users by total event value
-    (the 'predicted' ordering), grade relevance by purchase count, and
+    """NDCG@10 per event segment: rank users by total event value in exact
+    integer cents (the 'predicted' ordering), grade relevance by purchase
+    count, and
     compare against the ideal relevance ordering. Both top-10 extractions
     go through ``salted_topn_per_key`` — an event_type is a HOT key (5
     segments over all users at 100 TB), so the plain per-key window would
@@ -395,7 +403,11 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_dags_spark.functions.scalable_windows import salted_topn_per_key
 
     e = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    acts = e.groupBy("event_type", "user_id").agg(F.sum("value").alias("v"))
+    # exact integer cents (see NDCG_ORACLE comment): the 'predicted' rank
+    # key must be partition-order independent or an ulp tie-swap at the
+    # top-10 boundary flips cross-engine hash parity
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    acts = e.groupBy("event_type", "user_id").agg(F.sum(cents).alias("v"))
     rel = (
         e.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -888,10 +900,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (operators/similarity.py:mmr_rerank). Queries = the first 5
     vectors (broadcast); the distributed cosine_topk pass builds each
     query's 50-candidate relevance pool (corpus streams, no shuffle);
-    the greedy λ·relevance − (1−λ)·redundancy selection then runs on a
-    BOUNDED driver collect (|queries|·pool rows — same bounded-driver
-    contract as IVF quantizer training). Deterministic: rounded
-    similarities, (score desc, cid asc) tie-break."""
+    one broadcast equi-join attaches candidate vectors (corpus streams
+    again, still no shuffle); the greedy λ·relevance − (1−λ)·redundancy
+    selection runs inside applyInPandas grouped by qid — each executor
+    re-ranks its own queries over ≤pool rows, the driver never sees a
+    candidate row. Deterministic: rounded similarities,
+    (score desc, cid asc) tie-break."""
     from airflow_dags_spark.operators.similarity import mmr_rerank
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -141,10 +141,12 @@ def test_ndcg_matches_python_reference(spark):
     ).collect()
     from collections import defaultdict
 
-    v = defaultdict(float)
+    # exact integer cents, mirroring the impl/oracle: a float accumulator
+    # here could rank-swap a true tie that the engines break on user_id
+    v = defaultdict(int)
     rel = defaultdict(int)
     for r in ev:
-        v[(r.event_type, r.user_id)] += r.value
+        v[(r.event_type, r.user_id)] += round(r.value * 100)
         if r.event_type == "purchase":
             rel[r.user_id] += 1
     by_et = defaultdict(list)
