@@ -582,9 +582,13 @@ def merge_topk_state(
     known = {"insert", "delete", "update"}
     seen = {r[0] for r in changes.select("change_type").distinct().collect()}
     if not seen <= known:
+        # key=repr: a NULL change_type arrives as None, which is not
+        # orderable against str — a plain sorted() would raise TypeError
+        # and mask this diagnostic
+        bad = sorted(seen - known, key=repr)
         raise ValueError(
-            f"merge_topk_state: unrecognized change_type values {sorted(seen - known)}; "
-            f"expected {sorted(known)}"
+            f"merge_topk_state: unrecognized change_type values {bad} "
+            f"(NULL shown as None); expected {sorted(known)}"
         )
     dels = changes.where(ct != "insert").select(*keys, "__id")
     affected = dels.join(state, keys + ["__id"], "semi").select(*keys).distinct()

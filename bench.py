@@ -87,6 +87,32 @@ HEADLINE = [
 LOAD_AT_START = round(os.getloadavg()[0], 2)
 
 
+def render_stdout_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    load_avg_at_start: float,
+    idle_run: bool,
+) -> str:
+    """The ONE stdout JSON line — the driver's ~2 KB tail capture is the
+    contract. This is the single source of truth for the line's fields and
+    rendering: main() prints exactly this, and tests/test_bench_contract.py
+    calls THIS function (not a hand-mirrored copy) so any field someone
+    re-adds here is counted against the byte budget by the test too."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "load_avg_at_start": load_avg_at_start,
+            "idle_run": idle_run,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -168,17 +194,12 @@ def main() -> None:
     # now goes to stderr + the BENCH_DETAIL.json sidecar, the parsed line
     # uses compact separators + 2-decimal per-query medians, and
     # tests/test_bench_contract.py pins the line under the capture budget.
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "load_avg_at_start": LOAD_AT_START,
-            "idle_run": LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
-        },
-        separators=(",", ":"),
+    line = render_stdout_line(
+        timings,
+        total,
+        sf,
+        LOAD_AT_START,
+        LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
     )
     detail = {
         "query_spread": spreads,

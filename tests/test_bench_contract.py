@@ -18,22 +18,13 @@ import bench
 
 
 def _render_line(headline: list[str]) -> str:
-    # mirror bench.py's stdout rendering with worst-case numeric widths:
-    # per-query medians are round(x, 2) -> at most like 12.34 (5 chars for
-    # any query under 100 s); total is round(x, 3) three-digit seconds.
+    # call bench.py's OWN renderer (not a hand-mirrored copy — a mirror
+    # would keep passing if someone re-added a field like query_spread to
+    # the real line) with worst-case numeric widths: per-query medians are
+    # round(x, 2) -> at most like 99.99 (5 chars for any query under
+    # 100 s); total is round(x, 3) three-digit seconds.
     timings = {name: 99.99 for name in headline}
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": 999.999,
-            "unit": "sec",
-            "queries": timings,
-            "sf": 0.1,
-            "load_avg_at_start": 31.97,
-            "idle_run": False,
-        },
-        separators=(",", ":"),
-    )
+    return bench.render_stdout_line(timings, 999.999, 0.1, 31.97, False)
 
 
 def test_stdout_line_fits_tail_capture():

@@ -963,6 +963,27 @@ def test_ivm_topk_unknown_change_type_raises(spark):
         merge_topk_state(state, changes, after, ["pri"], 3)
 
 
+def test_ivm_topk_null_plus_unknown_change_type_raises_valueerror(spark):
+    """A NULL change_type alongside an unknown string used to crash the
+    diagnostic itself: sorted(seen - known) can't order None against str,
+    so the intended ValueError was masked by a TypeError. The message
+    sorts by repr instead."""
+    import pytest
+
+    from airflow_dags_spark.operators.maintenance import merge_topk_state, topk_state
+
+    base = spark.createDataFrame([("g", 1, 1.0)], "pri string, k long, v double")
+    state = topk_state(base, {"pri": F.col("pri")}, F.col("v"), F.col("k"), 3)
+    changes = spark.createDataFrame(
+        [("upsert", "g", 1, 2.0), (None, "g", 2, 3.0)],
+        "change_type string, pri string, __id long, __v double",
+    )
+    after = base.selectExpr("pri", "k AS __id", "v AS __v")
+    # repr-sort puts "'upsert'" before "None" (quote < 'N' in ASCII)
+    with pytest.raises(ValueError, match="change_type.*upsert.*None"):
+        merge_topk_state(state, changes, after, ["pri"], 3)
+
+
 # --- sliding HLL ----------------------------------------------------------------
 
 
