@@ -95,3 +95,60 @@ def test_sorted_neighborhood_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 200_000
     assert s["shuffle_records_written"] < 10 * 560
     assert s["spill_bytes"] == 0
+
+
+def test_weighted_quantiles_shuffle_budget(spark):
+    """The multi-fraction histogram rewrite's whole point: the shuffle
+    carries (group, bucket) partial weights — 177 records / ~4.7 KiB at
+    sf0.01 (120K rows scanned) — NOT the data rows a per-group sort would
+    move. Budget 3× headroom."""
+    df = registry.QUERIES["agg_weighted_quantiles"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 4_800
+    assert s["shuffle_records_written"] < 3 * 180
+    assert s["spill_bytes"] == 0
+
+
+def test_poisson_bootstrap_shuffle_budget(spark):
+    """The bootstrap explodes B=32 resample tags per order but aggregates
+    partially BEFORE the exchange: sf0.01 measured ~363 KiB / ~21.4K
+    records (B × groups partials, not B × 15K orders). Budget 2× headroom —
+    a lost map-side combine multiplies records by the group fan-in and
+    fails here long before it kills a 100 TB run."""
+    df = registry.QUERIES["stats_poisson_bootstrap_ci"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 2 * 371_000
+    assert s["shuffle_records_written"] < 2 * 21_500
+    assert s["spill_bytes"] == 0
+
+
+def test_minhash_bands_zero_shuffle(spark):
+    """The signature computation is a pure scan-stage map (tokens →
+    shingles → md5 min-hash per band) — ZERO shuffle by design; the band
+    self-join downstream is where shuffle legitimately happens. Any
+    exchange appearing here means an accidental repartition/distinct crept
+    into the per-doc pipeline."""
+    df = registry.QUERIES["dedup_minhash_bands"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] == 0
+    assert s["shuffle_records_written"] == 0
+    assert s["spill_bytes"] == 0
+
+
+def test_ivf_topk_shuffle_budget(spark):
+    """IVF probe: cells are pruned before the distance pass, and the final
+    exchange carries only the per-query top-k survivors (~50 records /
+    ~0.9 KiB at sf0.01) — never the corpus. Budget 4× headroom (tiny
+    counts are noisy). The kmeans training shuffles are separate bounded
+    jobs (k-row treeAggregate partials), not part of this probe plan."""
+    df = registry.QUERIES["sim_ann_ivf_topk"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 4 * 1_000
+    assert s["shuffle_records_written"] < 4 * 50
+    assert s["spill_bytes"] == 0
