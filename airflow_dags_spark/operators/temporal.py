@@ -20,6 +20,8 @@ predicates exist there natively).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -183,4 +185,65 @@ def asof_join_cogrouped(
         left.groupBy(key)
         .cogroup(right.select(key, ts, *value_cols).groupBy(key))
         .applyInPandas(merge, out_schema)
+    )
+
+
+def dtw_pairwise(
+    series: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """All-pairs dynamic-time-warping distance between BOUNDED per-entity
+    sequences (Sakoe & Chiba 1978 DP, symmetric step, |a−b| local cost).
+
+    Contract and scale shape: ``series`` is one row per ENTITY with its
+    whole (short) sequence as an array — entities are dimension-bounded
+    (nations, SKUs, sensors), never fact-scale, so the a<b pair frame is
+    |entities|²/2 rows and the broadcast non-equi join is the intended
+    plan, not an accident. The DP itself is an Arrow-batched pandas UDF
+    (len(a)·len(b) cells per pair — bounded by the sequence contract),
+    distributed across executors per pair row. For fact-scale inputs
+    aggregate to per-entity sequences FIRST; this operator refuses nothing
+    but its cost is Θ(pairs · len²) by construction.
+
+    Deterministic: pure arithmetic on the input arrays, no seeds, ties
+    need no breaking (min of floats)."""
+    from pyspark.sql.functions import pandas_udf
+
+    a = series.select(
+        F.col(key_col).alias("key_a"), F.col(seq_col).alias("seq_a")
+    )
+    b = series.select(
+        F.col(key_col).alias("key_b"), F.col(seq_col).alias("seq_b")
+    )
+
+    @pandas_udf("double")
+    def _dtw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(sa, sb):
+            A = np.asarray(va, dtype=np.float64)
+            B = np.asarray(vb, dtype=np.float64)
+            n, m = len(A), len(B)
+            if n == 0 or m == 0:
+                out.append(float("nan"))
+                continue
+            D = np.full((n + 1, m + 1), np.inf)
+            D[0, 0] = 0.0
+            for i in range(1, n + 1):
+                cost = np.abs(A[i - 1] - B)
+                row, prev = D[i], D[i - 1]
+                for j in range(1, m + 1):
+                    row[j] = cost[j - 1] + min(
+                        prev[j], row[j - 1], prev[j - 1]
+                    )
+            out.append(float(D[n, m]))
+        return pd.Series(out)
+
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.round(_dtw("seq_a", "seq_b"), 6).alias("dtw"),
+        )
     )

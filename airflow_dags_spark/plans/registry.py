@@ -66,4 +66,5 @@ def load_all() -> None:
         round5,
         round6,
         round7,
+        round8,
     )

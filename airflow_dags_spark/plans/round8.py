@@ -1,0 +1,897 @@
+"""Round-8 registry additions — second consolidation batch (VERDICT r5 asks
+for ≤15 new queries while the driver window drains the remaining backlog;
+these 10 fill genuine surface gaps):
+
+- ROC AUC via the tie-aware rank-sum identity (midranks over score groups —
+  the classifier-eval twin of ``stats_mann_whitney``);
+- mean reciprocal rank @10 (the third classic ranking-eval metric next to
+  ``ml_ndcg_at_k`` and ``ml_lift_gains_table``);
+- Cramér's V categorical-association strength (chi-square normalized to
+  [0,1] — the effect-size companion of ``stats_chi_square``);
+- Cohen's kappa inter-rater agreement between two deterministic
+  order-value classifiers (chance-corrected agreement);
+- leave-one-out jackknife standard error of a per-group ratio estimator
+  (resampling-free variance from group totals — the deterministic cousin
+  of ``stats_poisson_bootstrap_ci``);
+- partial correlation (price ⊥ quantity | discount) from exact integer
+  moment sums;
+- Tukey HSD pairwise post-hoc q statistics after ``stats_anova_f``;
+- MinHash Jaccard-estimate error audit: 16-hash signature estimate vs the
+  exact shingle Jaccard per candidate pair — the measured answer to "how
+  good is the sketch?";
+- pairwise DTW distance between per-nation monthly revenue shapes
+  (rows-only: the DP is iterative; exact numpy reference in
+  tests/test_round8.py);
+- IVF ANN recall@10 self-audit against the brute-force oracle (rows-only:
+  seeded quantizer).
+
+Registered LAST (after plans/round7 in registry.load_all) so these append
+AFTER every existing query in the driver's self-rotating verification
+window — new names must never displace the queued unverified queries of
+the current round.
+
+Scale notes (100 TB): every oracle query aggregates distributively before
+any window; the only windows run over (segment, distinct-score) group rows
+(AUC midranks), k-row group frames (Tukey pairs, Cramér cells) or bounded
+per-entity series (DTW months); the MinHash audit joins consecutive-id
+pairs (linear, never all-pairs); exact-integer-cents sums keep every
+derived double bit-identical cross-engine (the Theil/NDCG discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# ROC AUC via the rank-sum identity (tie-aware midranks)
+# --------------------------------------------------------------------------
+
+AUC_ROC_ORACLE = f"""
+WITH g AS (
+  -- group by (segment, exact-cents score): the midrank of every row in a
+  -- tie group is identical, so ranking GROUPS loses nothing and the window
+  -- below sorts distinct scores, not rows
+  SELECT o_orderpriority AS prio, {_CENTS} AS cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_cnt
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT prio, cnt, pos_cnt,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt + (cnt + 1) / 2.0e0 AS midrank
+  FROM g
+)
+SELECT prio,
+       CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg,
+       ROUND((SUM(pos_cnt * midrank)
+              - SUM(pos_cnt) * (SUM(pos_cnt) + 1) / 2.0e0)
+             / (SUM(pos_cnt) * SUM(cnt - pos_cnt)), 6) AS auc
+FROM r GROUP BY prio
+"""
+
+
+@register("ml_auc_roc", AUC_ROC_ORACLE)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per order-priority segment via the Mann-Whitney rank-sum
+    identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻), with midranks for tied
+    scores. Score = order value in EXACT integer cents (partition-order
+    independent), positive class = finalized orders ('F').
+
+    Scale shape: one partial+final hash agg collapses rows to (segment,
+    distinct-score) groups BEFORE the midrank window, so the window sorts
+    |distinct prices| rows per segment, not data rows; midranks are
+    integers-or-halves, so every sum below 2⁵² is exact in both engines
+    and the AUC double is bit-identical."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("pos_cnt"),
+    )
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.withColumn(
+        "midrank",
+        F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0,
+    )
+    n_pos, n_neg = F.sum("pos_cnt"), F.sum(F.col("cnt") - F.col("pos_cnt"))
+    return r.groupBy("prio").agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(
+            (F.sum(F.col("pos_cnt") * F.col("midrank"))
+             - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * n_neg),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean reciprocal rank @10 — first relevant hit per ranked segment
+# --------------------------------------------------------------------------
+
+MRR_ORACLE = """
+WITH acts AS (
+  SELECT event_type, user_id,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+rel AS (
+  SELECT user_id, COUNT(*) AS r FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+pred AS (
+  SELECT a.event_type, COALESCE(rel.r, 0) AS r,
+         ROW_NUMBER() OVER (PARTITION BY a.event_type
+                            ORDER BY a.v DESC, a.user_id) AS pos
+  FROM acts a LEFT JOIN rel ON a.user_id = rel.user_id
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN r > 0 THEN pos END) AS BIGINT) AS first_hit_pos,
+       ROUND(COALESCE(
+         CASE WHEN MIN(CASE WHEN r > 0 THEN pos END) <= 10
+              THEN 1.0e0 / MIN(CASE WHEN r > 0 THEN pos END) END, 0.0e0),
+         6) AS rr_at_10
+FROM pred GROUP BY event_type
+"""
+
+
+@register("ml_mrr_at_k", MRR_ORACLE)
+def ml_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 per event segment: users ranked by exact-cents
+    activity value (the 'predicted' ordering, same key discipline as
+    ml_ndcg_at_k); a hit = any purchase. RR = 1/first-hit-position if it
+    lands in the top 10, else 0.
+
+    Scale shape — NO ranking window at all (an event_type is a hot key; a
+    plain per-segment window would serialize all users of a segment
+    through one reducer): the best relevant user per segment is one
+    distributive MIN over the (−v, user_id) order key, and its position is
+    1 + the count of users ordered before it — a k-row broadcast join plus
+    one more conditional aggregate. Two hash aggs, zero sorts."""
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    acts = e.groupBy("event_type", "user_id").agg(F.sum(cents).alias("v"))
+    rel = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    cand = acts.join(rel, "user_id", "left").select(
+        "event_type", "user_id", "v", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    # best relevant user per segment under the (v desc, user_id asc) total
+    # order = distributive MIN of the struct (−v, user_id) over hits
+    best = cand.where(F.col("r") > 0).groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("v")).alias("nv"), F.col("user_id").alias("uid"))
+        ).alias("best")
+    )
+    ordered_before = (
+        (F.col("v") > F.col("best.nv") * -1)
+        | (
+            (F.col("v") == F.col("best.nv") * -1)
+            & (F.col("user_id") < F.col("best.uid"))
+        )
+    )
+    joined = cand.join(F.broadcast(best), "event_type", "left")
+    first_hit = F.when(
+        F.max(F.when(F.col("best.uid").isNotNull(), 1).otherwise(0)) == 1,
+        F.sum(F.when(ordered_before, 1).otherwise(0)) + 1,
+    )
+    return joined.groupBy("event_type").agg(
+        first_hit.cast("bigint").alias("first_hit_pos"),
+        F.round(
+            F.coalesce(
+                F.when(first_hit <= 10, 1.0 / first_hit), F.lit(0.0)
+            ),
+            6,
+        ).alias("rr_at_10"),
+    )
+
+# --------------------------------------------------------------------------
+# Cramér's V — categorical association strength (priority × status)
+# --------------------------------------------------------------------------
+
+CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS rkey, o_orderstatus AS ckey,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(COUNT(DISTINCT rkey) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT ckey) AS BIGINT) AS c
+  FROM cells
+),
+rt AS (SELECT rkey, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+ct AS (SELECT ckey, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+chi AS (
+  SELECT SUM(
+    POWER(cells.n - rt.rn * ct.cn / CAST(t.n_tot AS DOUBLE), 2)
+    / (rt.rn * ct.cn / CAST(t.n_tot AS DOUBLE))
+  ) AS chi2
+  FROM cells
+  JOIN rt ON cells.rkey = rt.rkey
+  JOIN ct ON cells.ckey = ct.ckey
+  CROSS JOIN tot t
+)
+SELECT t.n_tot AS n, t.r AS n_levels_row, t.c AS n_levels_col,
+       ROUND(chi.chi2, 6) AS chi2,
+       ROUND(SQRT(chi.chi2 / (t.n_tot * (LEAST(t.r, t.c) - 1))), 6)
+         AS cramers_v
+FROM chi CROSS JOIN tot t
+"""
+
+
+@register("stats_cramers_v", CRAMERS_V_ORACLE)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and order
+    status: V = sqrt(χ² / (n·(min(r,c)−1))) — the [0,1] effect size that
+    χ² alone (stats_chi_square) doesn't give.
+
+    Scale shape: one hash agg collapses the fact table to r×c contingency
+    cells; everything after runs on that k-row frame (row/col marginals
+    are k-row aggregates, the χ² reduction is a sum over ≤ r·c cells), so
+    the 1-row total broadcast and the final reduction are free at any
+    scale."""
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("rkey"),
+        F.col("o_orderstatus").alias("ckey"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count_distinct("rkey").cast("bigint").alias("r"),
+        F.count_distinct("ckey").cast("bigint").alias("c"),
+    )
+    rt = cells.groupBy("rkey").agg(F.sum("n").cast("bigint").alias("rn"))
+    ct = cells.groupBy("ckey").agg(F.sum("n").cast("bigint").alias("cn"))
+    exp = F.col("rn") * F.col("cn") / F.col("n_tot").cast("double")
+    chi = (
+        cells.join(F.broadcast(rt), "rkey")
+        .join(F.broadcast(ct), "ckey")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("n") - exp, 2) / exp).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n_tot").alias("n"),
+        F.col("r").alias("n_levels_row"),
+        F.col("c").alias("n_levels_col"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_tot") * (F.least("r", "c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement of two deterministic raters
+# --------------------------------------------------------------------------
+
+COHENS_KAPPA_ORACLE = f"""
+WITH lc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  -- rater A: order value above 250k (exact cents); rater B: 4+ line items
+  SELECT o.o_orderpriority AS prio,
+         CASE WHEN {_CENTS.replace('o_totalprice', 'o.o_totalprice')}
+                   > 25000000 THEN 1 ELSE 0 END AS a,
+         CASE WHEN COALESCE(lc.n_lines, 0) >= 4 THEN 1 ELSE 0 END AS b
+  FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey
+),
+m AS (
+  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01,
+         CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
+  FROM j GROUP BY prio
+)
+SELECT prio, n, n11, n10, n01, n00,
+  ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+  ROUND(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        / (CAST(n AS DOUBLE) * n), 6) AS pe,
+  ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+           / (CAST(n AS DOUBLE) * n))
+        / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+               / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM m
+"""
+
+
+@register("stats_cohens_kappa", COHENS_KAPPA_ORACLE)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per order-priority segment between two deterministic
+    'raters' of order importance — A: value > 250k (exact cents), B: 4+
+    line items. κ = (pₒ − pₑ)/(1 − pₑ) corrects raw agreement for chance.
+
+    Scale shape: the line-count side pre-aggregates lineitem to one row
+    per order before the join (map-side combine does the heavy lift); the
+    2×2 confusion counts are one more hash agg; every derived double
+    comes from exact integer counts, so both engines agree bit-for-bit."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    j = o.join(lc, o.o_orderkey == lc.l_orderkey, "left").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(cents > 25_000_000, 1).otherwise(0).alias("a"),
+        F.when(F.coalesce("n_lines", F.lit(0)) >= 4, 1).otherwise(0).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    m = j.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (nd * F.col("n"))
+    return m.select(
+        "prio", "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+# --------------------------------------------------------------------------
+# Leave-one-out jackknife SE of a per-nation ratio estimator
+# --------------------------------------------------------------------------
+
+JACKKNIFE_ORACLE = """
+WITH cust AS (
+  SELECT c.c_nationkey AS nk, o.o_custkey,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS r_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT nk, CAST(SUM(r_cents) AS BIGINT) AS sr,
+         CAST(SUM(n_orders) AS BIGINT) AS so,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cust GROUP BY nk
+),
+loo AS (
+  -- deviation of each leave-one-out ratio from the full ratio: both are
+  -- doubles derived from EXACT bigint totals (identical cross-engine),
+  -- and centering on the full ratio keeps the magnitudes small so the
+  -- sum-of-squares below has no catastrophic cancellation
+  SELECT c.nk, t.n, t.sr, t.so,
+         (t.sr - c.r_cents) / 100.0e0 / (t.so - c.n_orders)
+           - t.sr / 100.0e0 / t.so AS dev
+  FROM cust c JOIN tot t ON c.nk = t.nk
+  WHERE t.n > 1 AND t.so > c.n_orders
+)
+SELECT n.n_name AS nation, l.n AS n_customers,
+       ROUND(l.sr / 100.0e0 / l.so, 6) AS revenue_per_order,
+       ROUND(SQRT((l.n - 1.0e0) / l.n
+             * (SUM(l.dev * l.dev) - SUM(l.dev) * SUM(l.dev) / l.n)), 6)
+         AS jackknife_se
+FROM loo l JOIN nation n ON l.nk = n.n_nationkey
+GROUP BY n.n_name, l.n, l.sr, l.so
+"""
+
+
+@register("stats_jackknife_ratio_se", JACKKNIFE_ORACLE)
+def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out jackknife standard error of revenue-per-order per
+    nation, with customers as the resampling unit. Each LOO replicate is
+    computed FROM GROUP TOTALS — (S_r − r_i)/(S_o − o_i) — so the
+    'resampling' costs one broadcast join, not n re-aggregations; SE =
+    sqrt((n−1)/n · Σ(dev²) − (Σdev)²/n) over deviations centered on the
+    full ratio (small magnitudes → no catastrophic cancellation).
+
+    Scale shape: two hash aggs (orders→customer, customer→nation), one
+    25-row totals broadcast back over customer rows, one final agg. Exact
+    integer cents keep every replicate bit-identical cross-engine."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(cents).alias("r_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    tot = cust.groupBy("nk").agg(
+        F.sum("r_cents").cast("bigint").alias("sr"),
+        F.sum("n_orders").cast("bigint").alias("so"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = (F.col("sr") - F.col("r_cents")) / 100.0 / (
+        F.col("so") - F.col("n_orders")
+    ) - F.col("sr") / 100.0 / F.col("so")
+    loo = (
+        cust.join(F.broadcast(tot), "nk")
+        .where((F.col("n") > 1) & (F.col("so") > F.col("n_orders")))
+        .select("nk", "n", "sr", "so", dev.alias("dev"))
+    )
+    agg = loo.groupBy("nk", "n", "sr", "so").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("ss"),
+        F.sum("dev").alias("s"),
+    )
+    return agg.join(
+        F.broadcast(nat), agg.nk == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sr") / 100.0 / F.col("so"), 6).alias(
+            "revenue_per_order"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation from exact integer moment sums
+# --------------------------------------------------------------------------
+
+PARTIAL_CORR_ORACLE = """
+WITH m AS (
+  -- all three variables have ≤2 decimals → exact integer units; every
+  -- moment sum is exact (DuckDB HUGEINT / decimal(38)), so the derived
+  -- correlation doubles are bit-identical cross-engine
+  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS DOUBLE) AS sz,
+    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        AS BIGINT) AS DECIMAL(38,0))
+      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        AS BIGINT) AS DECIMAL(38,0))
+      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+      AS sxz,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))
+      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+      AS syz,
+    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        AS BIGINT) AS DECIMAL(38,0))
+      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))
+      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        AS DECIMAL(38,0))
+      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+      AS szz
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT flag, n,
+    (n * sxy - sx * sy)
+      / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+    (n * sxz - sx * sz)
+      / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+    (n * syz - sy * sz)
+      / SQRT((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+  FROM m
+)
+SELECT flag, n,
+       ROUND(rxy, 6) AS r_price_qty,
+       ROUND(rxz, 6) AS r_price_disc,
+       ROUND(ryz, 6) AS r_qty_disc,
+       ROUND((rxy - rxz * ryz)
+             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+         AS partial_r_price_qty_given_disc
+FROM r
+"""
+
+
+@register("stats_partial_corr", PARTIAL_CORR_ORACLE)
+def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of (price, quantity) controlling
+    for discount, per return flag: r_xy.z = (r_xy − r_xz·r_yz) /
+    sqrt((1−r_xz²)(1−r_yz²)).
+
+    Scale shape: ONE pass, one partial+final hash agg computing the nine
+    moment sums in exact integer units (cents / cents² as decimal(38,0) —
+    a bigint Σx² overflows at ~10⁹ rows of 10⁷-cent prices); the doubles
+    are derived only at the k-row boundary, so both engines see identical
+    bits and the 6-dp round never sits on a knife edge."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    y = F.col("l_quantity").cast("bigint")
+    z = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(z).cast("double").alias("sz"),
+        F.sum(d38(x) * y).cast("double").alias("sxy"),
+        F.sum(d38(x) * z).cast("double").alias("sxz"),
+        F.sum(d38(y) * z).cast("double").alias("syz"),
+        F.sum(d38(x) * x).cast("double").alias("sxx"),
+        F.sum(d38(y) * y).cast("double").alias("syy"),
+        F.sum(d38(z) * z).cast("double").alias("szz"),
+    )
+    n = F.col("n")
+    corr = lambda sab, sa, sb, saa, sbb: (  # noqa: E731
+        (n * sab - sa * sb)
+        / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    )
+    r = m.select(
+        "flag", "n",
+        corr(F.col("sxy"), F.col("sx"), F.col("sy"),
+             F.col("sxx"), F.col("syy")).alias("rxy"),
+        corr(F.col("sxz"), F.col("sx"), F.col("sz"),
+             F.col("sxx"), F.col("szz")).alias("rxz"),
+        corr(F.col("syz"), F.col("sy"), F.col("sz"),
+             F.col("syy"), F.col("szz")).alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        "flag", "n",
+        F.round(rxy, 6).alias("r_price_qty"),
+        F.round(rxz, 6).alias("r_price_disc"),
+        F.round(ryz, 6).alias("r_qty_disc"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_r_price_qty_given_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD pairwise post-hoc q statistics
+# --------------------------------------------------------------------------
+
+TUKEY_HSD_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS s_cents,
+         CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS DECIMAL(38,0))
+           * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS DOUBLE) AS ss_cents2
+  FROM orders GROUP BY 1
+),
+mse AS (
+  -- pooled within-group variance from exact sums: Σ(Σx² − (Σx)²/nᵢ)/(N−k)
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ss_cents2 / 10000.0e0
+             - (s_cents / 100.0e0) * (s_cents / 100.0e0) / n)
+           / (SUM(n) - COUNT(*)) AS mse
+  FROM g
+)
+SELECT a.grp AS group_a, b.grp AS group_b,
+       ROUND(a.s_cents / 100.0e0 / a.n, 2) AS mean_a,
+       ROUND(b.s_cents / 100.0e0 / b.n, 2) AS mean_b,
+       ROUND(ABS(a.s_cents / 100.0e0 / a.n - b.s_cents / 100.0e0 / b.n)
+             / SQRT(m.mse / 2.0e0 * (1.0e0 / a.n + 1.0e0 / b.n)), 6)
+         AS q_stat,
+       ABS(a.s_cents / 100.0e0 / a.n - b.s_cents / 100.0e0 / b.n)
+         / SQRT(m.mse / 2.0e0 * (1.0e0 / a.n + 1.0e0 / b.n)) > 3.86
+         AS significant
+FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN mse m
+"""
+
+
+@register("stats_tukey_hsd", TUKEY_HSD_ORACLE)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc q statistic for every pair of order-priority
+    groups (the multiple-comparison follow-up to stats_anova_f):
+    q = |mean_i − mean_j| / sqrt(MSE/2 · (1/nᵢ + 1/nⱼ)), flagged against
+    the fixed q₀.₀₅(k=5, df=∞) ≈ 3.86 critical value.
+
+    Scale shape: one hash agg collapses orders to k=5 group rows of exact
+    integer sums (Σ cents, Σ cents² in decimal(38,0)); the pair join and
+    the 1-row MSE broadcast run on that k-row frame — free at any scale.
+    All doubles derive from exact sums → bit-identical cross-engine."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s_cents"),
+        F.sum(cents.cast("decimal(38,0)") * cents)
+        .cast("double")
+        .alias("ss_cents2"),
+    )
+    mse = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(
+                F.col("ss_cents2") / 10000.0
+                - (F.col("s_cents") / 100.0)
+                * (F.col("s_cents") / 100.0)
+                / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("mse"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    mean = lambda side: F.col(f"{side}.s_cents") / 100.0 / F.col(f"{side}.n")  # noqa: E731
+    q = F.abs(mean("a") - mean("b")) / F.sqrt(
+        F.col("mse") / 2.0 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+    )
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("a.grp").alias("group_a"),
+            F.col("b.grp").alias("group_b"),
+            F.round(mean("a"), 2).alias("mean_a"),
+            F.round(mean("b"), 2).alias("mean_b"),
+            F.round(q, 6).alias("q_stat"),
+            (q > 3.86).alias("significant"),
+        )
+    )
+
+# --------------------------------------------------------------------------
+# MinHash Jaccard-estimate error audit — sketch vs exact, per pair
+# --------------------------------------------------------------------------
+
+# 16 salted min-hashes (classic one-hash-per-permutation estimator:
+# est = matching mins / 16) — distinct from the 4 banding salts so the
+# audit measures the ESTIMATOR, not the candidate filter
+_EST_SALTS = [f"e{i}:" for i in range(16)]
+_SIG_COLS = ",\n         ".join(
+    f"list_min(list_transform(sh, s -> md5('e{i}:' || s))) AS m{i}"
+    for i in range(16)
+)
+_EQ_TERMS = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+# DuckDB side of functions.text.word_shingles (kept in lockstep with
+# plans/llm.py's _SHINGLES — imported there to avoid drift)
+
+
+def _shingles_sql() -> str:
+    from airflow_dags_spark.plans.llm import _SHINGLES
+
+    return _SHINGLES
+
+
+MINHASH_EST_ERROR_ORACLE = f"""
+WITH sh0 AS (SELECT doc_id, {{shingles}} AS sh FROM documents),
+sig AS (
+  SELECT doc_id, sh,
+         {_SIG_COLS}
+  FROM sh0 WHERE len(sh) > 0
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+  ROUND(({_EQ_TERMS}) / 16.0e0, 6) AS est_jaccard,
+  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard,
+  ROUND(ABS(({_EQ_TERMS}) / 16.0e0
+        - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh)))), 6) AS abs_err
+FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _minhash_est_error_oracle() -> str:
+    return MINHASH_EST_ERROR_ORACLE.format(shingles=_shingles_sql())
+
+
+@register("dedup_minhash_est_error", _minhash_est_error_oracle())
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for consecutive-id document pairs
+    (the linear stand-in for LSH candidates, as in dedup_ngram_jaccard),
+    compare the 16-hash signature estimate (matching mins / 16) against
+    the exact 3-gram Jaccard. The answer to "how much error does the
+    sketch carry?" as a measured per-pair column instead of folklore.
+
+    Scale shape: signatures are a scan-stage map (md5 min-hash — zero
+    shuffle, see dedup_minhash_bands' budget gate); the audit join is on
+    doc_id+1 (linear, never all-pairs); at 100 TB you'd feed real LSH
+    candidate pairs through the identical est/exact columns."""
+    from airflow_dags_spark.functions.text import (
+        minhash_from_shingles,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    # explicit fan-out: the doc table scans as ONE split at test SF and the
+    # signature pipeline is per-row compute-heavy; a user-specified count is
+    # honored where AQE would coalesce a column-only repartition by
+    # pre-compute byte size (the Poisson-bootstrap lesson, SCALE.md).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # non-empty-shingles guard as the CHEAP equivalent predicate
+    # size(tokens) >= 3: a filter on size(sh) > 0 gets predicate-pushed
+    # BELOW the staging projections and re-evaluates the whole shingle
+    # expression with INLINED tokenization — the O(tokens×shingles)
+    # re-split blowup the staging exists to prevent (measured 10×: 0.6 s
+    # → 10.4 s at sf0.1 for the filter alone). Filters have no projection
+    # barrier; keep scan-stage predicates cheap.
+    staged = (
+        d.where(F.size(tokens("text")) >= 3)
+        .select("doc_id", tokens("text").alias("__toks"))
+        .select("doc_id", shingles_from_tokens(F.col("__toks"), 3).alias("sh"))
+    )
+    sig = staged.select(
+        "doc_id", "sh", *minhash_from_shingles(F.col("sh"), _EST_SALTS)
+    )
+    n_salts = len(_EST_SALTS)
+    a = sig.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"band_{i}").alias(f"ma_{i}") for i in range(n_salts)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"band_{i}").alias(f"mb_{i}") for i in range(n_salts)],
+    )
+    pairs = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    matches = sum(
+        F.when(F.col(f"ma_{i}") == F.col(f"mb_{i}"), 1).otherwise(0)
+        for i in range(n_salts)
+    )
+    est = matches / float(n_salts)
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.select(
+        "key_a", "key_b",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+# --------------------------------------------------------------------------
+# Pairwise DTW between per-nation monthly revenue shapes (rows-only:
+# the DP is iterative; exact numpy reference in tests/test_round8.py)
+# --------------------------------------------------------------------------
+
+
+@register("timeseries_dtw_distance", None)  # iterative DP → rows-only
+def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of nations'
+    1996 monthly revenue SHAPES (each nation's months normalized to
+    share-of-year so the distance compares seasonality, not size) —
+    the classic similarity measure window functions can't express
+    (operators/temporal.py:dtw_pairwise).
+
+    Scale shape: the fact table collapses to |nations|×12 rows in one
+    hash agg (exact integer cents); the series build and the pair DP run
+    on that dimension-bounded frame. Deterministic: shares are doubles
+    derived from exact bigint sums, identical cross-engine."""
+    from airflow_dags_spark.operators.temporal import dtw_pairwise
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    monthly = (
+        o.where(F.year("o_orderdate") == 1996)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    series = (
+        monthly.groupBy("nk")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("m", "cents"))
+            ).alias("mm"),
+            F.sum("cents").alias("tot"),
+        )
+        .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.coalesce(
+                    F.element_at("mm", i), F.lit(0)
+                ).cast("double")
+                / F.col("tot"),
+            ).alias("shares"),
+        )
+    )
+    return dtw_pairwise(series, "nation", "shares").select(
+        F.col("key_a").alias("nation_a"),
+        F.col("key_b").alias("nation_b"),
+        "dtw",
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN recall@10 self-audit vs brute force (rows-only: seeded quantizer)
+# --------------------------------------------------------------------------
+
+
+@register("sim_ivf_recall_at_k", None)  # seeded KMeans quantizer → rows-only
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN index against the exact brute-force
+    ranking, per query — the self-audit that turns "nprobe=3 of 8 cells"
+    from a config into a measured recall number (the production question
+    for every ANN deployment).
+
+    Scale shape: both sides are the existing operators (broadcast query
+    set, streaming corpus); the audit itself is a |queries|×k join +
+    one aggregate."""
+    from airflow_dags_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 20
+    exact = brute_force_topk(emb, 10, query_filter=qf)
+    approx = ivf_ann_topk(emb, 10, query_filter=qf, n_cells=8, nprobe=3)
+    hits = approx.join(exact.select("qid", "cid"), ["qid", "cid"], "semi")
+    per_q = exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_exact")
+    )
+    n_hits = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        per_q.join(n_hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("k_exact"), 6
+            ).alias("recall_at_10"),
+        )
+    )

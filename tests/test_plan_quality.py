@@ -422,6 +422,11 @@ ALLOWED_NESTED_LOOP = {
     "agg_group_size_histogram",
     # 1-row x_min threshold broadcast for the tail cut:
     "stats_power_law_mle",
+    # 1-row totals + k-row marginal broadcasts over the r×c cell frame:
+    "stats_cramers_v",
+    # k-row group-stats self-pair join (grp_a < grp_b over 5 rows) plus the
+    # 1-row pooled-MSE broadcast — both frames are k-row by construction:
+    "stats_tukey_hsd",
 }
 
 
