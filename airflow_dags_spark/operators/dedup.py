@@ -182,9 +182,20 @@ def minhash_lsh_pairs(
     1 - Jaccard(shingle sets)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
-        key_col, shingles_from_tokens(tokens(text_col), n_shingle).alias("__shingles")
-    ).where(F.size("__shingles") > 0)
+    # stage tokens into their own projection (shingles_from_tokens's
+    # contract: an inlined split re-tokenizes O(tokens × shingles) times),
+    # and guard with the CHEAP predicate size(tokens) >= n — a filter on
+    # size(__shingles) gets predicate-pushed below the projection and
+    # re-evaluates the whole shingle expression inline at the scan
+    # (measured 10× on the round-8 est-error query)
+    docs = (
+        df.where(F.size(tokens(text_col)) >= n_shingle)
+        .select(key_col, tokens(text_col).alias("__toks"))
+        .select(
+            key_col,
+            shingles_from_tokens(F.col("__toks"), n_shingle).alias("__shingles"),
+        )
+    )
     featurized = HashingTF(
         inputCol="__shingles", outputCol="__features", numFeatures=num_features
     ).transform(docs)
