@@ -79,6 +79,11 @@ HEADLINE = [
     # bootstrap (explode fan-out + 4-words-per-md5)
     "agg_weighted_quantiles",
     "stats_poisson_bootstrap_ci",
+    # round-8: tie-aware rank-sum AUC (midranks over distinct-score
+    # groups), MinHash sketch-quality audit (16-hash estimate vs exact
+    # shingle Jaccard — cheap-predicate staging, see SCALE.md)
+    "ml_auc_roc",
+    "dedup_minhash_est_error",
 ]
 
 

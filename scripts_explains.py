@@ -59,6 +59,12 @@ NAMES = [
     "graph_adamic_adar",
     "agg_weighted_quantiles",
     "stats_poisson_bootstrap_ci",
+    # round-8 representatives
+    "ml_auc_roc",
+    "ml_mrr_at_k",
+    "dedup_minhash_est_error",
+    "timeseries_dtw_distance",
+    "stats_jackknife_ratio_se",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
     "ivm_topk_maintenance",
