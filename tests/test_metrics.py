@@ -152,3 +152,18 @@ def test_ivf_topk_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 4 * 1_000
     assert s["shuffle_records_written"] < 4 * 50
     assert s["spill_bytes"] == 0
+
+
+def test_minhash_est_error_shuffle_budget(spark):
+    """The audit join shuffles one signature row per doc (~90 KiB / 500
+    records at sf0.01 — 16 hex mins + the shingle array per row), linear
+    in docs. An accidental re-keying or a lost broadcast on the pair join
+    multiplies this; budget 3× headroom."""
+    df = registry.QUERIES["dedup_minhash_est_error"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 90_000
+    assert s["shuffle_records_written"] < 3 * 500
+    assert s["spill_bytes"] == 0

@@ -1157,3 +1157,38 @@ def test_ytd_share_windows_share_year_partition(spark):
     # (yr, mo) aggregate exchange + yr window exchange — both windows
     # share the second; a third would be a regression
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_auc_windows_group_rows_after_partial_agg(spark):
+    """AUC's midrank window must run over (segment, distinct-score) GROUP
+    rows: partial aggregation precedes the exchange, exactly one window,
+    and nothing funnels through a single partition."""
+    plan = plan_of(spark, "ml_auc_roc")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("Window [") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mrr_has_no_ranking_window(spark):
+    """MRR's whole design point: the first-hit position comes from a
+    distributive MIN + a k-row broadcast + one conditional aggregate —
+    a per-segment ranking window over users (hot-key serialization at
+    100 TB) must never appear."""
+    plan = plan_of(spark, "ml_mrr_at_k")
+    assert "Window [" not in plan
+    assert "BroadcastHashJoin" in plan  # the k-row best-hit frame
+    assert "partial_" in plan
+
+
+def test_minhash_est_error_stages_shingles_once(spark):
+    """The estimate-error audit must keep the shingle pipeline staged: the
+    cheap size(tokens) guard means NO inlined element_at chain inside a
+    Filter (the predicate-pushdown re-split blowup, SCALE.md round-8
+    note). Each join side evaluates element_at only inside its one
+    staged shingle projection."""
+    plan = plan_of(spark, "dedup_minhash_est_error")
+    import re
+
+    for m in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]*)", plan):
+        assert "element_at" not in m.group(1), m.group(1)[:200]
+    assert "BroadcastHashJoin" in plan  # consecutive-id pair join
