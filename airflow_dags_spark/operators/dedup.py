@@ -504,11 +504,16 @@ def sorted_neighborhood_pairs(
 
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    base = df.select(
+    # NULL-text guard on the RAW column: the old `where(size(__ts) > 0)`
+    # got predicate-pushed below the projection and re-evaluated the
+    # tokenize+distinct pipeline at the scan (the SCALE.md round-8 filter
+    # lesson) — and since split() never returns an empty array, NULL
+    # exclusion was the only thing it actually did
+    base = df.where(F.col(text_col).isNotNull()).select(
         F.col(key_col),
         normalized(text_col).alias("__key"),
         F.array_distinct(tokens(text_col)).alias("__ts"),
-    ).where(F.size("__ts") > 0)
+    )
     # bucket = leading characters of the sort key: monotone in the
     # (__key, key_col) total order, so per-bucket positions + offsets
     # compose to the exact global sequence number
