@@ -179,7 +179,16 @@ def minhash_lsh_pairs(
     bag-of-words-wise: measured 11.6M candidate pairs from 5k synthetic docs
     at threshold 0.3), while shingle sets are discriminative and consistent
     with minhash_bands/ngram_jaccard. approxSimilarityJoin distance =
-    1 - Jaccard(shingle sets)."""
+    1 - Jaccard(shingle sets).
+
+    DELIBERATE trade-off: ``tokens(text_col)`` is evaluated twice per row —
+    once in the scan-stage length filter and once in the staged projection.
+    The doubled split cost is the cheap side of the bargain: filtering on
+    the derived ``size(__shingles)`` instead gets predicate-pushed below
+    the staging projection and re-evaluates the WHOLE shingle pipeline with
+    inlined tokenization at the scan (measured 10× slower on the round-8
+    est-error query). Do not "optimize" the filter back onto the derived
+    column."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     # stage tokens into their own projection (shingles_from_tokens's

@@ -74,9 +74,14 @@ r AS (
 SELECT prio,
        CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
        CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg,
-       ROUND((SUM(pos_cnt * midrank)
-              - SUM(pos_cnt) * (SUM(pos_cnt) + 1) / 2.0e0)
-             / (SUM(pos_cnt) * SUM(cnt - pos_cnt)), 6) AS auc
+       -- single-class segments have an undefined AUC: guard so BOTH engines
+       -- return NULL (unguarded, Spark's non-ANSI division yields NULL but
+       -- DuckDB's ieee_floating_point_ops default yields Inf/NaN)
+       CASE WHEN SUM(pos_cnt) > 0 AND SUM(cnt - pos_cnt) > 0 THEN
+         ROUND((SUM(pos_cnt * midrank)
+                - SUM(pos_cnt) * (SUM(pos_cnt) + 1) / 2.0e0)
+               / (SUM(pos_cnt) * SUM(cnt - pos_cnt)), 6)
+       END AS auc
 FROM r GROUP BY prio
 """
 
@@ -113,14 +118,19 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0,
     )
     n_pos, n_neg = F.sum("pos_cnt"), F.sum(F.col("cnt") - F.col("pos_cnt"))
+    # guard the n⁺n⁻ denominator: a single-class segment must be NULL in
+    # both engines (Spark x/0 → NULL, DuckDB default → Inf/NaN)
     return r.groupBy("prio").agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
-        F.round(
-            (F.sum(F.col("pos_cnt") * F.col("midrank"))
-             - n_pos * (n_pos + 1) / 2.0)
-            / (n_pos * n_neg),
-            6,
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            F.round(
+                (F.sum(F.col("pos_cnt") * F.col("midrank"))
+                 - n_pos * (n_pos + 1) / 2.0)
+                / (n_pos * n_neg),
+                6,
+            ),
         ).alias("auc"),
     )
 
@@ -324,11 +334,16 @@ SELECT prio, n, n11, n10, n01, n00,
   ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
   ROUND(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
         / (CAST(n AS DOUBLE) * n), 6) AS pe,
-  ROUND(((n11 + n00) / CAST(n AS DOUBLE)
-         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-           / (CAST(n AS DOUBLE) * n))
-        / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-               / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+  -- pe = 1 (both raters constant) makes kappa 0/0: guard so BOTH engines
+  -- return NULL instead of Spark-NULL-vs-DuckDB-NaN divergence
+  CASE WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            / (CAST(n AS DOUBLE) * n) < 1 THEN
+    ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+           - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n))
+          / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n)), 6)
+  END AS kappa
 FROM m
 """
 
@@ -372,11 +387,12 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
         + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
     ) / (nd * F.col("n"))
+    # pe = 1 ⇒ kappa is 0/0: guard so both engines agree on NULL
     return m.select(
         "prio", "n", "n11", "n10", "n01", "n00",
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.when(pe < 1, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
     )
 
 # --------------------------------------------------------------------------
@@ -411,8 +427,12 @@ loo AS (
 )
 SELECT n.n_name AS nation, l.n AS n_customers,
        ROUND(l.sr / 100.0e0 / l.so, 6) AS revenue_per_order,
-       ROUND(SQRT((l.n - 1.0e0) / l.n
-             * (SUM(l.dev * l.dev) - SUM(l.dev) * SUM(l.dev) / l.n)), 6)
+       -- scale by the count of SURVIVING replicates (COUNT(*) over loo),
+       -- not tot.n: if the WHERE guard above ever drops a replicate the
+       -- SE stays correctly scaled instead of silently using the full n
+       ROUND(SQRT((COUNT(*) - 1.0e0) / COUNT(*)
+             * (SUM(l.dev * l.dev)
+                - SUM(l.dev) * SUM(l.dev) / COUNT(*))), 6)
          AS jackknife_se
 FROM loo l JOIN nation n ON l.nk = n.n_nationkey
 GROUP BY n.n_name, l.n, l.sr, l.so
@@ -425,8 +445,11 @@ def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, with customers as the resampling unit. Each LOO replicate is
     computed FROM GROUP TOTALS — (S_r − r_i)/(S_o − o_i) — so the
     'resampling' costs one broadcast join, not n re-aggregations; SE =
-    sqrt((n−1)/n · Σ(dev²) − (Σdev)²/n) over deviations centered on the
-    full ratio (small magnitudes → no catastrophic cancellation).
+    sqrt((m−1)/m · (Σdev² − (Σdev)²/m)) over deviations centered on the
+    full ratio (small magnitudes → no catastrophic cancellation), where m
+    counts the replicates that SURVIVE the degenerate-denominator guard —
+    not the nominal group size n — so a dropped replicate can never
+    silently mis-scale the estimate.
 
     Scale shape: two hash aggs (orders→customer, customer→nation), one
     25-row totals broadcast back over customer rows, one final agg. Exact
@@ -456,9 +479,13 @@ def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n") > 1) & (F.col("so") > F.col("n_orders")))
         .select("nk", "n", "sr", "so", dev.alias("dev"))
     )
+    # m = surviving replicate count; the where() above is vacuous on this
+    # data (every customer row has ≥1 order so so > n_orders unless n = 1)
+    # but if it ever drops a row the SE must scale by m, not tot.n
     agg = loo.groupBy("nk", "n", "sr", "so").agg(
         F.sum(F.col("dev") * F.col("dev")).alias("ss"),
         F.sum("dev").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
     )
     return agg.join(
         F.broadcast(nat), agg.nk == F.col("n_nationkey")
@@ -470,9 +497,9 @@ def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.sqrt(
-                (F.col("n") - 1.0)
-                / F.col("n")
-                * (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                (F.col("m") - 1.0)
+                / F.col("m")
+                * (F.col("ss") - F.col("s") * F.col("s") / F.col("m"))
             ),
             6,
         ).alias("jackknife_se"),
@@ -517,22 +544,30 @@ WITH m AS (
   FROM lineitem GROUP BY 1
 ),
 r AS (
+  -- zero-variance guards: degenerate segments are NULL in both engines
+  -- (Spark x/0 → NULL; DuckDB default → Inf/NaN)
   SELECT flag, n,
-    (n * sxy - sx * sy)
-      / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
-    (n * sxz - sx * sz)
-      / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
-    (n * syz - sy * sz)
-      / SQRT((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+      (n * sxy - sx * sy)
+        / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS rxy,
+    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * szz - sz * sz) > 0 THEN
+      (n * sxz - sx * sz)
+        / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz)) END AS rxz,
+    CASE WHEN (n * syy - sy * sy) > 0 AND (n * szz - sz * sz) > 0 THEN
+      (n * syz - sy * sz)
+        / SQRT((n * syy - sy * sy) * (n * szz - sz * sz)) END AS ryz
   FROM m
 )
 SELECT flag, n,
        ROUND(rxy, 6) AS r_price_qty,
        ROUND(rxz, 6) AS r_price_disc,
        ROUND(ryz, 6) AS r_qty_disc,
-       ROUND((rxy - rxz * ryz)
-             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
-         AS partial_r_price_qty_given_disc
+       -- |r| = 1 collapses the sqrt term to 0 (and NULL controls propagate
+       -- as NULL through the CASE condition in both engines)
+       CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+         ROUND((rxy - rxz * ryz)
+               / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+       END AS partial_r_price_qty_given_disc
 FROM r
 """
 
@@ -566,9 +601,11 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d38(z) * z).cast("double").alias("szz"),
     )
     n = F.col("n")
-    corr = lambda sab, sa, sb, saa, sbb: (  # noqa: E731
+    # zero-variance guard keeps degenerate segments NULL in both engines
+    corr = lambda sab, sa, sb, saa, sbb: F.when(  # noqa: E731
+        ((n * saa - sa * sa) > 0) & ((n * sbb - sb * sb) > 0),
         (n * sab - sa * sb)
-        / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
     )
     r = m.select(
         "flag", "n",
@@ -585,10 +622,13 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rxy, 6).alias("r_price_qty"),
         F.round(rxz, 6).alias("r_price_disc"),
         F.round(ryz, 6).alias("r_qty_disc"),
-        F.round(
-            (rxy - rxz * ryz)
-            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
-            6,
+        F.when(
+            (1 - rxz * rxz) * (1 - ryz * ryz) > 0,
+            F.round(
+                (rxy - rxz * ryz)
+                / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+                6,
+            ),
         ).alias("partial_r_price_qty_given_disc"),
     )
 
