@@ -18,10 +18,12 @@ from airflow_dags_spark.operators.dedup import (
     exact_dedup,
     minhash_bands,
     minhash_candidate_pairs,
+    minhash_incremental_screen,
     minhash_lsh_pairs,
     ngram_jaccard,
     simhash,
 )
+from airflow_dags_spark.operators.scoring import linear_score_arrow
 from airflow_dags_spark.operators.maintenance import (
     agg_delta,
     agg_state,
@@ -80,7 +82,9 @@ __all__ = [
     "exact_dedup",
     "minhash_bands",
     "minhash_candidate_pairs",
+    "minhash_incremental_screen",
     "minhash_lsh_pairs",
+    "linear_score_arrow",
     "ngram_jaccard",
     "simhash",
     "agg_delta",

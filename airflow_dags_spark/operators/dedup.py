@@ -107,6 +107,71 @@ def minhash_candidate_pairs(
     )
 
 
+def _stack_bands(bands: DataFrame, key_col: str, n_bands: int) -> DataFrame:
+    """(key, band_0..band_{n-1}) → (key, band_idx, band_val) long form.
+    NULL band values (docs with no shingles) survive the stack but drop
+    out of any equi-join on band_val, which is the correct screen
+    semantics: an empty doc matches nothing."""
+    return bands.selectExpr(
+        key_col,
+        "stack({n}, {args}) AS (band_idx, band_val)".format(
+            n=n_bands,
+            args=", ".join(f"{i}, band_{i}" for i in range(n_bands)),
+        ),
+    )
+
+
+def minhash_incremental_screen(
+    store_bands: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_shingle: int = 3,
+    salts: list[str] | None = None,
+) -> DataFrame:
+    """Screen newly-arriving documents against an EXISTING MinHash
+    signature store without re-signing the corpus — the streaming-ingest
+    analog of Bloom-screened insert.
+
+    ``store_bands`` is a frame of previously persisted signatures
+    (``key_col``, ``band_0``..``band_{n-1}`` — the output of
+    :func:`minhash_bands`, typically read back from parquet). Only
+    ``new_df`` is tokenized and hashed; candidates are new docs sharing
+    any band value with a store doc. Returns one row per NEW doc:
+    ``(key_col, matched_store_doc, n_matching_bands)`` with
+    ``matched_store_doc`` = min store key sharing a band (NULL when the
+    doc is novel) so callers can route novel docs into the store and
+    candidates into exact verification (:func:`ngram_jaccard`).
+
+    100 TB shape: per-row hashing on the new partition only; ONE band
+    equi-join whose shuffle is bounded by signature bytes (never document
+    text, never all-pairs); a grouped agg over hit rows. The store side
+    never re-tokenizes at steady state — signing cost is paid once per
+    document lifetime, the property that makes continuous dedup-at-ingest
+    affordable against a corpus that only grows."""
+    n_bands = len(salts or DEFAULT_SALTS)
+    new_bands = minhash_bands(new_df, text_col, key_col, n_shingle, salts)
+    st = _stack_bands(store_bands, key_col, n_bands).select(
+        F.col(key_col).alias("__store_key"), "band_idx", "band_val"
+    )
+    nw = _stack_bands(new_bands, key_col, n_bands)
+    hits = (
+        nw.join(st, ["band_idx", "band_val"])
+        .groupBy(key_col)
+        .agg(
+            F.min("__store_key").alias("matched_store_doc"),
+            F.count_distinct("band_idx").cast("bigint")
+            .alias("n_matching_bands"),
+        )
+    )
+    return new_bands.select(key_col).join(hits, key_col, "left").select(
+        key_col,
+        "matched_store_doc",
+        F.coalesce("n_matching_bands", F.lit(0)).cast("bigint")
+        .alias("n_matching_bands"),
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, left_text: str, right_text: str, n_shingle: int = 3
 ) -> DataFrame:

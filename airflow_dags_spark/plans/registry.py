@@ -67,4 +67,5 @@ def load_all() -> None:
         round6,
         round7,
         round8,
+        round9,
     )

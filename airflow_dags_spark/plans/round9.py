@@ -1,0 +1,914 @@
+"""Round-9 registry additions — third consolidation batch (VERDICT r6 asks
+for ≤10 new queries while the driver window drains the final backlog; these
+10 fill genuine surface gaps, all oracle-checked):
+
+- multi-class confusion-matrix eval: one-vs-rest precision/recall/F1 per
+  class (the multi-class sibling of the binary ``ml_threshold_sweep_prf``);
+- Brier-score Murphy decomposition + expected calibration error (the
+  scalar summary of ``ml_calibration_bins``'s reliability diagram);
+- weight-of-evidence / information-value table (the credit-scoring
+  feature-strength eval — WOE/IV per probability bin);
+- McNemar's paired test on the two deterministic raters from
+  ``stats_cohens_kappa`` (marginal-homogeneity, continuity-corrected);
+- Brown-Forsythe (median-centered Levene) variance-homogeneity F — the
+  robust precondition check for ``stats_anova_f``;
+- Durbin-Watson autocorrelation diagnostic on per-nation monthly OLS
+  residuals (the residual-independence check ``regr_grouped_by_nation``
+  cannot see);
+- Herfindahl-Hirschman supplier-concentration index per nation (+
+  effective-supplier count 1/HHI);
+- pinball (quantile) loss at τ ∈ {0.1, 0.5, 0.9} for per-segment quantile
+  predictors — the eval behind every quantile-forecast model;
+- incremental MinHash screen: new docs signed and screened against an
+  EXISTING signature store without re-signing the corpus (the streaming
+  analog of Bloom-screened ingest — VERDICT r6 'next' #5);
+- Arrow-batched linear model scoring via ``mapInArrow`` (vectorized
+  numpy inside Arrow record batches, per-row deterministic → fully
+  oracle-checkable against the equivalent SQL arithmetic).
+
+Registered LAST (after plans/round8 in registry.load_all) so these append
+AFTER every existing query in the driver's self-rotating verification
+window — new names must never displace the queued unverified queries of
+the current round (the three rows-only stragglers sit at window positions
+13/18/45 this round).
+
+Scale notes (100 TB): every aggregation is distributive before any join or
+window; the only broadcast-nested-loop sites are 1-row bounds/totals
+frames (same class as ``ml_calibration_bins``, allow-listed in
+tests/test_plan_quality.py); the Brown-Forsythe SSB uses the algebraic
+identity Σ n_g z̄_g² − N z̄² so the F statistic needs NO second pass over
+group rows; the incremental screen hashes ONLY the new partition and
+equi-joins on band values (never re-signs the store, never all-pairs);
+exact integer cents keep every derived double bit-identical cross-engine.
+Exact ``percentile`` (Brown-Forsythe medians, pinball quantiles) holds
+one counter per distinct group value — at extreme scale swap for
+``approx_percentile``; the group key here is a 5-value enum so the state
+is bounded by distinct prices per segment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.dedup import (
+    minhash_bands,
+    minhash_incremental_screen,
+)
+from airflow_dags_spark.operators.scoring import linear_score_arrow
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Multi-class one-vs-rest precision / recall / F1 from a confusion matrix
+# --------------------------------------------------------------------------
+
+MACRO_F1_ORACLE = f"""
+WITH scored AS (
+  -- deterministic 5-class 'model': fixed order-value cut-points predict
+  -- the order priority; truth = the actual priority label
+  SELECT o_orderpriority AS truth,
+         CASE WHEN {_CENTS} < 5000000  THEN '1-URGENT'
+              WHEN {_CENTS} < 10000000 THEN '2-HIGH'
+              WHEN {_CENTS} < 20000000 THEN '3-MEDIUM'
+              WHEN {_CENTS} < 35000000 THEN '4-NOT SPECIFIED'
+              ELSE '5-LOW' END AS pred
+  FROM orders
+),
+cells AS (
+  SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY truth, pred
+),
+t AS (
+  SELECT truth AS class, CAST(SUM(cnt) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pred = truth THEN cnt ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM cells GROUP BY truth
+),
+p AS (
+  SELECT pred AS class, CAST(SUM(cnt) AS BIGINT) AS n_pred
+  FROM cells GROUP BY pred
+)
+SELECT t.class, t.n_true, COALESCE(p.n_pred, 0) AS n_pred, t.tp,
+       CASE WHEN COALESCE(p.n_pred, 0) > 0
+            THEN ROUND(t.tp / CAST(p.n_pred AS DOUBLE), 6) END AS precision,
+       CASE WHEN t.n_true > 0
+            THEN ROUND(t.tp / CAST(t.n_true AS DOUBLE), 6) END AS recall,
+       CASE WHEN COALESCE(p.n_pred, 0) > 0 AND t.n_true > 0
+             AND (t.tp / CAST(p.n_pred AS DOUBLE)
+                  + t.tp / CAST(t.n_true AS DOUBLE)) > 0
+            THEN ROUND(2 * (t.tp / CAST(p.n_pred AS DOUBLE))
+                         * (t.tp / CAST(t.n_true AS DOUBLE))
+                       / (t.tp / CAST(p.n_pred AS DOUBLE)
+                          + t.tp / CAST(t.n_true AS DOUBLE)), 6) END AS f1
+FROM t LEFT JOIN p ON t.class = p.class
+"""
+
+
+@register("ml_macro_f1", MACRO_F1_ORACLE)
+def ml_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest precision/recall/F1 per class from a 5×5 confusion
+    matrix — truth = order priority, prediction = fixed order-value
+    cut-points. All three metrics guarded so degenerate classes (zero
+    predictions / zero truth / zero P+R) are NULL in both engines.
+
+    Scale shape: ONE hash agg collapses the fact table to ≤ k² confusion
+    cells (map-side combine does the heavy lift); everything after runs on
+    the k-row cell frame. No window, no sort, no broadcast needed."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    pred = (
+        F.when(cents < 5_000_000, "1-URGENT")
+        .when(cents < 10_000_000, "2-HIGH")
+        .when(cents < 20_000_000, "3-MEDIUM")
+        .when(cents < 35_000_000, "4-NOT SPECIFIED")
+        .otherwise("5-LOW")
+    )
+    cells = (
+        o.select(F.col("o_orderpriority").alias("truth"), pred.alias("pred"))
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = cells.groupBy(F.col("truth").alias("class")).agg(
+        F.sum("cnt").cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("pred") == F.col("truth"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    p = cells.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("cnt").cast("bigint").alias("n_pred")
+    )
+    j = t.join(p, "class", "left").select(
+        "class", "n_true",
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"), "tp",
+    )
+    prec = F.col("tp") / F.col("n_pred").cast("double")
+    rec = F.col("tp") / F.col("n_true").cast("double")
+    return j.select(
+        "class", "n_true", "n_pred", "tp",
+        F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("n_true") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0) & (F.col("n_true") > 0)
+            & ((prec + rec) > 0),
+            F.round(2 * prec * rec / (prec + rec), 6),
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brier-score Murphy decomposition + expected calibration error
+# --------------------------------------------------------------------------
+
+BRIER_DECOMP_ORACLE = """
+WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+s AS (
+  -- same score/label construction as ml_calibration_bins: min-max score,
+  -- label = BUILDING segment membership
+  SELECT (c_acctbal - b.lo) / (b.hi - b.lo) AS score,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0e0 ELSE 0.0e0 END
+           AS label
+  FROM customer, b
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(label) AS ybar,
+         AVG(POW(score - label, 2)) AS brier
+  FROM s
+),
+k AS (
+  SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         AVG(score) AS sbar_k, AVG(label) AS ybar_k
+  FROM s GROUP BY 1
+)
+SELECT g.n,
+       ROUND(g.brier, 6) AS brier,
+       ROUND(SUM(k.n_k * POW(k.sbar_k - k.ybar_k, 2)) / g.n, 6)
+         AS reliability,
+       ROUND(SUM(k.n_k * POW(k.ybar_k - g.ybar, 2)) / g.n, 6) AS resolution,
+       ROUND(g.ybar * (1 - g.ybar), 6) AS uncertainty,
+       ROUND(SUM(k.n_k * ABS(k.sbar_k - k.ybar_k)) / g.n, 6) AS ece
+FROM k, g
+GROUP BY g.n, g.ybar, g.brier
+"""
+
+
+@register("ml_brier_decomposition", BRIER_DECOMP_ORACLE)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over 10 probability bins —
+    reliability (calibration gap), resolution (bin discrimination),
+    uncertainty (label base-rate variance) — plus ECE, the bin-weighted
+    mean |confidence − accuracy|. The scalar summary of the
+    ``ml_calibration_bins`` reliability diagram.
+
+    Scale shape: two grouped aggregates over the scored scan (global
+    moments, 10-bin moments) and a 1-row global frame crossed with the
+    10-row bin frame (canonical tiny-broadcast plan, allow-listed)."""
+    c = read_table(spark, sf_dir, "customer").select("c_acctbal", "c_mktsegment")
+    b = c.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    s = c.crossJoin(F.broadcast(b)).select(
+        ((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+        .alias("score"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0).otherwise(0.0)
+        .alias("label"),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("label").alias("ybar"),
+        F.avg(F.pow(F.col("score") - F.col("label"), F.lit(2))).alias("brier"),
+    )
+    k = s.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.avg("score").alias("sbar_k"),
+        F.avg("label").alias("ybar_k"),
+    )
+    j = k.crossJoin(F.broadcast(g))
+    return j.groupBy("n", "ybar", "brier").agg(
+        F.round(
+            F.sum(F.col("n_k") * F.pow(F.col("sbar_k") - F.col("ybar_k"), F.lit(2)))
+            / F.first("n"),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(F.col("n_k") * F.pow(F.col("ybar_k") - F.col("ybar"), F.lit(2)))
+            / F.first("n"),
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.sum(F.col("n_k") * F.abs(F.col("sbar_k") - F.col("ybar_k")))
+            / F.first("n"),
+            6,
+        ).alias("ece"),
+    ).select(
+        "n",
+        F.round("brier", 6).alias("brier"),
+        "reliability",
+        "resolution",
+        F.round(F.col("ybar") * (1 - F.col("ybar")), 6).alias("uncertainty"),
+        "ece",
+    )
+
+
+# --------------------------------------------------------------------------
+# Weight of evidence / information value per probability bin
+# --------------------------------------------------------------------------
+
+WOE_IV_ORACLE = """
+WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+s AS (
+  SELECT CAST(LEAST(FLOOR((c_acctbal - b.lo) / (b.hi - b.lo) * 10), 9)
+              AS BIGINT) AS bin,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS label
+  FROM customer, b
+),
+k AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+  FROM s GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS tot_neg
+  FROM k
+)
+SELECT k.bin, k.n, k.n_pos, k.n_neg,
+       -- zero cells make WOE ±Inf: guard so both engines agree on NULL
+       CASE WHEN k.n_pos > 0 AND k.n_neg > 0
+             AND t.tot_pos > 0 AND t.tot_neg > 0
+            THEN ROUND(LN((k.n_pos / CAST(t.tot_pos AS DOUBLE))
+                          / (k.n_neg / CAST(t.tot_neg AS DOUBLE))), 6)
+       END AS woe,
+       CASE WHEN k.n_pos > 0 AND k.n_neg > 0
+             AND t.tot_pos > 0 AND t.tot_neg > 0
+            THEN ROUND((k.n_pos / CAST(t.tot_pos AS DOUBLE)
+                        - k.n_neg / CAST(t.tot_neg AS DOUBLE))
+                       * LN((k.n_pos / CAST(t.tot_pos AS DOUBLE))
+                            / (k.n_neg / CAST(t.tot_neg AS DOUBLE))), 6) + 0.0
+       END AS iv_contrib
+FROM k, tot t
+"""
+
+
+@register("ml_woe_iv", WOE_IV_ORACLE)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence and information-value contribution per
+    equal-width score bin — the classic credit-scoring feature-strength
+    table. WOE = ln(bin-pos-share / bin-neg-share); IV contribution =
+    (pos-share − neg-share)·WOE. Zero cells guarded to NULL in both
+    engines (±Inf otherwise); ``+ 0.0`` normalizes IEEE −0.0 where the
+    shares cross.
+
+    Scale shape: one binned hash agg, a 1-row totals frame crossed with
+    the 10-row bin frame (allow-listed tiny broadcast)."""
+    c = read_table(spark, sf_dir, "customer").select("c_acctbal", "c_mktsegment")
+    b = c.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    s = c.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("c_acctbal") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * 10
+            ),
+            F.lit(9),
+        ).cast("bigint").alias("bin"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        .alias("label"),
+    )
+    k = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    tot = k.agg(
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+        F.sum("n_neg").cast("bigint").alias("tot_neg"),
+    )
+    j = k.crossJoin(F.broadcast(tot))
+    ok = (
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        & (F.col("tot_pos") > 0) & (F.col("tot_neg") > 0)
+    )
+    pos_share = F.col("n_pos") / F.col("tot_pos").cast("double")
+    neg_share = F.col("n_neg") / F.col("tot_neg").cast("double")
+    woe = F.log(pos_share / neg_share)
+    return j.select(
+        "bin", "n", "n_pos", "n_neg",
+        F.when(ok, F.round(woe, 6)).alias("woe"),
+        F.when(ok, F.round((pos_share - neg_share) * woe, 6) + F.lit(0.0))
+        .alias("iv_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar's paired test on the two kappa raters (continuity-corrected)
+# --------------------------------------------------------------------------
+
+MCNEMAR_ORACLE = f"""
+WITH lc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  -- same raters as stats_cohens_kappa: A = value > 250k, B = 4+ lines
+  SELECT o.o_orderpriority AS prio,
+         CASE WHEN {_CENTS.replace('o_totalprice', 'o.o_totalprice')}
+                   > 25000000 THEN 1 ELSE 0 END AS a,
+         CASE WHEN COALESCE(lc.n_lines, 0) >= 4 THEN 1 ELSE 0 END AS b
+  FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey
+)
+SELECT prio,
+       CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n10,
+       CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n01,
+       -- discordant-free segments have no test: guard to NULL both sides
+       CASE WHEN SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) > 0 THEN
+         ROUND(POW(GREATEST(ABS(CAST(SUM(CASE WHEN a = 1 AND b = 0
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                                - SUM(CASE WHEN a = 0 AND b = 1
+                                           THEN 1 ELSE 0 END)) - 1, 0), 2)
+               / SUM(CASE WHEN a <> b THEN 1 ELSE 0 END), 6)
+       END AS mcnemar_chi2
+FROM j GROUP BY prio
+"""
+
+
+@register("stats_mcnemar_test", MCNEMAR_ORACLE)
+def stats_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test per segment on the same two deterministic raters as
+    ``stats_cohens_kappa`` — kappa measures agreement, McNemar asks
+    whether the raters DISAGREE asymmetRICALLY (marginal homogeneity):
+    χ² = (|n10 − n01| − 1)² / (n10 + n01) with Edwards continuity
+    correction clamped at 0.
+
+    Scale shape: lineitem pre-aggregated to one row per order (map-side
+    combine), one more hash agg to the k-row segment frame — same plan
+    spine as kappa, zero windows."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    j = o.join(lc, o.o_orderkey == lc.l_orderkey, "left").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(cents > 25_000_000, 1).otherwise(0).alias("a"),
+        F.when(F.coalesce("n_lines", F.lit(0)) >= 4, 1).otherwise(0).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    n10 = F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+    n01 = F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+    disc = F.sum(F.when(a != b, 1).otherwise(0))
+    return j.groupBy("prio").agg(
+        n10.cast("bigint").alias("n10"),
+        n01.cast("bigint").alias("n01"),
+        F.when(
+            disc > 0,
+            F.round(
+                F.pow(
+                    F.greatest(
+                        F.abs(n10.cast("double") - n01) - 1, F.lit(0.0)
+                    ),
+                    F.lit(2),
+                )
+                / disc,
+                6,
+            ),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance-homogeneity test
+# --------------------------------------------------------------------------
+
+LEVENE_BF_ORACLE = f"""
+WITH v AS (SELECT o_orderpriority AS grp, {_CENTS} AS cents FROM orders),
+med AS (
+  SELECT grp, quantile_cont(cents, 0.5) AS med FROM v GROUP BY grp
+),
+z AS (
+  SELECT v.grp, ABS(v.cents - m.med) AS z
+  FROM v JOIN med m ON v.grp = m.grp
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(z) AS sz, SUM(z * z) AS szz
+  FROM z GROUP BY grp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_g) AS BIGINT) AS n_total,
+       -- SSB via the distributive identity Σ sz²/n_g − (Σ sz)²/N; SSW =
+       -- Σ szz − Σ sz²/n_g. Degenerate cases (k < 2, zero within-group
+       -- spread) guarded to NULL in both engines.
+       CASE WHEN COUNT(*) > 1
+             AND SUM(szz) - SUM(sz * sz / n_g) > 0 THEN
+         ROUND((SUM(n_g) - COUNT(*)) / (COUNT(*) - 1.0e0)
+               * (SUM(sz * sz / n_g) - SUM(sz) * SUM(sz) / SUM(n_g))
+               / (SUM(szz) - SUM(sz * sz / n_g)), 6)
+       END AS bf_f_stat
+FROM g
+"""
+
+
+@register("stats_levene_bf", LEVENE_BF_ORACLE)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centers) for equal order-value
+    variance across priority segments — the robust precondition check for
+    ``stats_anova_f``. F = ((N−k)/(k−1)) · SSB/SSW over z = |x − median_g|.
+
+    Scale shape: one exact-percentile agg to the k-row median frame
+    (exact ``percentile`` state is bounded by distinct cents per segment;
+    swap for approx_percentile beyond that), a k-row broadcast equi-join
+    re-centering the scan, one moments agg, then a final agg over k rows
+    using the distributive SSB identity Σsz²/n_g − (Σsz)²/N — NO second
+    pass over data rows."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    v = o.select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+    med = v.groupBy("grp").agg(F.expr("percentile(cents, 0.5d)").alias("med"))
+    z = v.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    k = F.count(F.lit(1))
+    n_tot = F.sum("n_g")
+    q = F.sum(F.col("sz") * F.col("sz") / F.col("n_g"))
+    ssb = q - F.sum("sz") * F.sum("sz") / n_tot
+    ssw = F.sum("szz") - q
+    return g.agg(
+        k.cast("bigint").alias("n_groups"),
+        n_tot.cast("bigint").alias("n_total"),
+        F.when(
+            (k > 1) & (ssw > 0),
+            F.round((n_tot - k) / (k - 1.0) * ssb / ssw, 6),
+        ).alias("bf_f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson autocorrelation diagnostic on monthly OLS residuals
+# --------------------------------------------------------------------------
+
+DURBIN_WATSON_ORACLE = """
+WITH m AS (
+  SELECT c.c_nationkey AS nk,
+         (EXTRACT(YEAR FROM o.o_orderdate) - 1992) * 12
+           + EXTRACT(MONTH FROM o.o_orderdate) AS t,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           / 100.0e0 AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mom AS (
+  -- exact integer moment sums → OLS slope/intercept doubles identical
+  -- cross-engine (t is a small int, y is exact cents / 100)
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(t AS DOUBLE)) AS st, SUM(y) AS sy,
+         SUM(CAST(t AS DOUBLE) * t) AS stt, SUM(t * y) AS sty
+  FROM m GROUP BY nk
+),
+fit AS (
+  SELECT nk, n,
+         (n * sty - st * sy) / (n * stt - st * st) AS b,
+         (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n AS a
+  FROM mom WHERE n > 2 AND (n * stt - st * st) > 0
+),
+e AS (
+  SELECT m.nk, m.t, m.y - f.a - f.b * m.t AS e,
+         LAG(m.y - f.a - f.b * m.t) OVER (PARTITION BY m.nk ORDER BY m.t)
+           AS e_prev,
+         f.n
+  FROM m JOIN fit f ON m.nk = f.nk
+)
+SELECT n.n_name AS nation, CAST(e.n AS BIGINT) AS n_months,
+       CASE WHEN SUM(e.e * e.e) > 0 THEN
+         ROUND(SUM(CASE WHEN e.e_prev IS NOT NULL
+                        THEN (e.e - e.e_prev) * (e.e - e.e_prev)
+                        ELSE 0 END)
+               / SUM(e.e * e.e), 6)
+       END AS dw_stat
+FROM e JOIN nation n ON e.nk = n.n_nationkey
+GROUP BY n.n_name, e.n
+"""
+
+
+@register("stats_durbin_watson", DURBIN_WATSON_ORACLE)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (≈2 ⇒ independent residuals, <2 ⇒ positive
+    autocorrelation) on the residuals of a per-nation monthly-revenue OLS
+    trend — the residual-independence diagnostic the grouped regression
+    (``regr_grouped_by_nation``) itself cannot see.
+
+    Scale shape: orders collapse to (nation, month) rows in one hash agg
+    (calendar-bounded: ≤ ~84 rows per nation); the OLS fit is a k-row
+    moments frame broadcast back; the only window is a LAG over the
+    bounded monthly series. Guards: n > 2 and nonzero t-variance for the
+    fit, nonzero residual energy for the ratio."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+            ).alias("t"),
+        )
+        .agg((F.sum(cents) / 100.0).alias("y"))
+    )
+    mom = m.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("double")).alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    bnum = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    bden = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    fit = (
+        mom.where((F.col("n") > 2) & (bden > 0))
+        .select(
+            "nk", "n",
+            (bnum / bden).alias("b"),
+            ((F.col("sy") - bnum / bden * F.col("st")) / F.col("n")).alias("a"),
+        )
+    )
+    e = (
+        m.join(F.broadcast(fit), "nk")
+        .select(
+            "nk", "t", "n",
+            (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        )
+        .withColumn(
+            "e_prev",
+            F.lag("e").over(Window.partitionBy("nk").orderBy("t")),
+        )
+    )
+    agg = e.groupBy("nk", "n").agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+            ).otherwise(0.0)
+        ).alias("ssd"),
+    )
+    return agg.join(F.broadcast(nat), agg.nk == F.col("n_nationkey")).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("bigint").alias("n_months"),
+        F.when(
+            F.col("sse") > 0, F.round(F.col("ssd") / F.col("sse"), 6)
+        ).alias("dw_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier-concentration index per nation
+# --------------------------------------------------------------------------
+
+HHI_ORACLE = """
+WITH sup AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+nat AS (
+  SELECT s.s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(sup.rev) AS BIGINT) AS tot,
+         -- rev² needs 128-bit headroom (rev can reach 10¹³ cents at lake
+         -- scale; squared ≈ 10²⁶ overflows bigint) → decimal/hugeint sums
+         CAST(SUM(CAST(sup.rev AS DECIMAL(38,0)) * sup.rev) AS DOUBLE)
+           AS s2
+  FROM sup JOIN supplier s ON sup.l_suppkey = s.s_suppkey
+  GROUP BY 1
+)
+SELECT n.n_name AS nation, nat.n_suppliers,
+       ROUND(nat.tot / 100.0e0, 2) AS total_revenue,
+       CASE WHEN nat.tot > 0
+            THEN ROUND(nat.s2 / (CAST(nat.tot AS DOUBLE) * nat.tot), 6)
+       END AS hhi,
+       CASE WHEN nat.s2 > 0
+            THEN ROUND((CAST(nat.tot AS DOUBLE) * nat.tot) / nat.s2, 6)
+       END AS effective_suppliers
+FROM nat JOIN nation n ON nat.nk = n.n_nationkey
+"""
+
+
+@register("agg_hhi_concentration", HHI_ORACLE)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: HHI = Σ shareᵢ² (1/n ⇒ perfectly even, 1 ⇒ monopoly) plus the
+    effective-supplier count 1/HHI — the standard market-concentration
+    read on a supply base.
+
+    Scale shape: HHI is fully distributive — Σrevᵢ² / (Σrevᵢ)² — so the
+    plan is two hash aggs (lineitem→supplier with map-side combine,
+    supplier→nation) and a broadcast dim join; rev² accumulates in
+    decimal(38,0) (bigint overflows at ~10¹³-cent suppliers). No window,
+    no sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    sup = li.groupBy("l_suppkey").agg(F.sum(cents).cast("bigint").alias("rev"))
+    per_nat = (
+        sup.join(F.broadcast(s), sup.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("rev").cast("bigint").alias("tot"),
+            F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    totd = F.col("tot").cast("double")
+    return per_nat.join(
+        F.broadcast(nat), per_nat.nk == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        F.when(F.col("tot") > 0, F.round(F.col("s2") / (totd * totd), 6))
+        .alias("hhi"),
+        F.when(F.col("s2") > 0, F.round(totd * totd / F.col("s2"), 6))
+        .alias("effective_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pinball (quantile) loss at τ ∈ {0.1, 0.5, 0.9}
+# --------------------------------------------------------------------------
+
+PINBALL_ORACLE = f"""
+WITH v AS (SELECT o_orderpriority AS grp, {_CENTS} AS cents FROM orders),
+q AS (
+  SELECT grp, quantile_cont(cents, 0.1) AS q10,
+         quantile_cont(cents, 0.5) AS q50,
+         quantile_cont(cents, 0.9) AS q90
+  FROM v GROUP BY grp
+)
+SELECT v.grp, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(q.q10 / 100.0e0, 6) AS q10,
+       ROUND(q.q50 / 100.0e0, 6) AS q50,
+       ROUND(q.q90 / 100.0e0, 6) AS q90,
+       ROUND(AVG(CASE WHEN v.cents >= q.q10 THEN 0.1e0 * (v.cents - q.q10)
+                      ELSE 0.9e0 * (q.q10 - v.cents) END) / 100.0e0, 6)
+         AS pinball_10,
+       ROUND(AVG(CASE WHEN v.cents >= q.q50 THEN 0.5e0 * (v.cents - q.q50)
+                      ELSE 0.5e0 * (q.q50 - v.cents) END) / 100.0e0, 6)
+         AS pinball_50,
+       ROUND(AVG(CASE WHEN v.cents >= q.q90 THEN 0.9e0 * (v.cents - q.q90)
+                      ELSE 0.1e0 * (q.q90 - v.cents) END) / 100.0e0, 6)
+         AS pinball_90
+FROM v JOIN q ON v.grp = q.grp
+GROUP BY v.grp, q.q10, q.q50, q.q90
+"""
+
+
+@register("stats_pinball_loss", PINBALL_ORACLE)
+def stats_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at τ = 0.1/0.5/0.9 for per-segment quantile
+    predictors — the proper scoring rule behind every quantile-forecast
+    eval: L_τ = mean(τ·(y−q)⁺ + (1−τ)·(q−y)⁺). Evaluated on the segment's
+    own exact quantiles, so pinball_50 is half the mean absolute deviation
+    from the median.
+
+    Scale shape: one exact-percentile agg to a k-row quantile frame
+    (state bounded by distinct cents per segment; approx_percentile is
+    the extreme-scale swap), broadcast equi-join back over the scan, one
+    final hash agg. No window, no sort."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    v = o.select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+    q = v.groupBy("grp").agg(
+        F.expr("percentile(cents, 0.1d)").alias("q10"),
+        F.expr("percentile(cents, 0.5d)").alias("q50"),
+        F.expr("percentile(cents, 0.9d)").alias("q90"),
+    )
+    j = v.join(F.broadcast(q), "grp")
+    y = F.col("cents")
+
+    def pinball(qcol: str, tau: float):
+        qc = F.col(qcol)
+        return F.avg(
+            F.when(y >= qc, F.lit(tau) * (y - qc)).otherwise(
+                F.lit(1 - tau) * (qc - y)
+            )
+        )
+
+    return j.groupBy("grp", "q10", "q50", "q90").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(pinball("q10", 0.1) / 100.0, 6).alias("pinball_10"),
+        F.round(pinball("q50", 0.5) / 100.0, 6).alias("pinball_50"),
+        F.round(pinball("q90", 0.9) / 100.0, 6).alias("pinball_90"),
+    ).select(
+        "grp", "n",
+        F.round(F.col("q10") / 100.0, 6).alias("q10"),
+        F.round(F.col("q50") / 100.0, 6).alias("q50"),
+        F.round(F.col("q90") / 100.0, 6).alias("q90"),
+        "pinball_10", "pinball_50", "pinball_90",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash screen — new docs vs an existing signature store
+# --------------------------------------------------------------------------
+
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+list_distinct(
+  list_transform(
+    generate_series(1, GREATEST(len(string_split({_NORM}, ' ')) - 2, 0)),
+    i -> string_split({_NORM}, ' ')[i] || ' ' ||
+         string_split({_NORM}, ' ')[i+1] || ' ' ||
+         string_split({_NORM}, ' ')[i+2]
+  )
+)
+"""
+
+INCR_SCREEN_ORACLE = f"""
+WITH sh AS MATERIALIZED (
+  -- materialize shingles ONCE per row: inlining the shingle pipeline into
+  -- every band expression re-tokenizes 8x per row (measured 106 s -> ~13 s
+  -- at sf0.1 on the DuckDB side)
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_store,
+         {_SHINGLES} AS sh
+  FROM documents
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, is_store,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b0:' || s))) END AS band_0,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b1:' || s))) END AS band_1,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b2:' || s))) END AS band_2,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b3:' || s))) END AS band_3
+  FROM sh
+),
+st AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands WHERE is_store
+  UNION ALL SELECT doc_id, 1, band_1 FROM bands WHERE is_store
+  UNION ALL SELECT doc_id, 2, band_2 FROM bands WHERE is_store
+  UNION ALL SELECT doc_id, 3, band_3 FROM bands WHERE is_store
+),
+nw AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val
+  FROM bands WHERE NOT is_store
+  UNION ALL SELECT doc_id, 1, band_1 FROM bands WHERE NOT is_store
+  UNION ALL SELECT doc_id, 2, band_2 FROM bands WHERE NOT is_store
+  UNION ALL SELECT doc_id, 3, band_3 FROM bands WHERE NOT is_store
+),
+hits AS (
+  SELECT n.doc_id, MIN(s.doc_id) AS matched_store_doc,
+         CAST(COUNT(DISTINCT n.band_idx) AS BIGINT) AS n_matching_bands
+  FROM nw n JOIN st s
+    ON n.band_idx = s.band_idx AND n.band_val = s.band_val
+  GROUP BY n.doc_id
+)
+SELECT b.doc_id, h.matched_store_doc,
+       COALESCE(h.n_matching_bands, 0) AS n_matching_bands
+FROM bands b LEFT JOIN hits h ON b.doc_id = h.doc_id
+WHERE NOT b.is_store
+"""
+
+
+@register("dedup_minhash_incr_screen", INCR_SCREEN_ORACLE)
+def dedup_minhash_incr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: sign ONLY the newly-arriving docs
+    and band-join them against an existing MinHash signature store — the
+    streaming-ingest analog of Bloom-screened insert (never re-sign the
+    corpus, never all-pairs). Here the 'store' is an md5-deterministic
+    ~81% split of documents (standing in for signatures persisted by a
+    previous run); production reads the store from parquet via
+    ``operators.dedup.minhash_incremental_screen``.
+
+    Scale shape: per-row hashing on the NEW partition only, one band
+    equi-join against the store signatures (shuffle bounded by signature
+    bytes, with heavy band-bucket pruning), one grouped agg. The store
+    side never re-tokenizes at steady state."""
+    d = read_table(spark, sf_dir, "documents")
+    # documents.parquet is a single split at test SF and md5-hashing every
+    # shingle is compute-bound: spread the rows before banding (in
+    # production the store side is a parquet signature table — no hashing,
+    # no repartition needed there)
+    d = d.repartition(16, "doc_id")
+    is_store = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d"
+    store_bands = minhash_bands(d.where(is_store), "text", "doc_id")
+    return minhash_incremental_screen(
+        store_bands, d.where(~is_store), "text", "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched linear model scoring via mapInArrow
+# --------------------------------------------------------------------------
+
+BATCH_SCORE_ORACLE = """
+SELECT c_custkey, c_mktsegment AS segment,
+       ROUND(0.1 + 0.0003 * c_acctbal
+                 + -0.01 * CAST(c_nationkey AS DOUBLE), 6) + 0.0 AS score
+FROM customer
+"""
+
+
+@register("ml_batch_score_arrow", BATCH_SCORE_ORACLE)
+def ml_batch_score_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map model scoring on the Arrow fast path: a linear model
+    applied inside ``mapInArrow`` — numpy vectorized over whole Arrow
+    record batches, zero per-row Python. Per-row arithmetic is evaluated
+    in the same left-to-right IEEE order as the oracle SQL, so the scores
+    are bit-identical and fully hash-checkable (the pattern generalizes
+    to any sklearn/onnx batch scorer: swap the numpy expression, keep the
+    batch plumbing).
+
+    Scale shape: embarrassingly parallel map — no shuffle, no state; Arrow
+    batch transfer amortizes the Python boundary to ~one call per 10k
+    rows."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_nationkey").cast("double").alias("nk"),
+    )
+    scored = linear_score_arrow(
+        c, feature_cols=["bal", "nk"], weights=[0.0003, -0.01], intercept=0.1
+    )
+    return scored.select(
+        "c_custkey", "segment",
+        (F.round("score", 6) + F.lit(0.0)).alias("score"),
+    )
+
+
+__all__ = [
+    "ml_macro_f1",
+    "ml_brier_decomposition",
+    "ml_woe_iv",
+    "stats_mcnemar_test",
+    "stats_levene_bf",
+    "stats_durbin_watson",
+    "agg_hhi_concentration",
+    "stats_pinball_loss",
+    "dedup_minhash_incr_screen",
+    "ml_batch_score_arrow",
+]

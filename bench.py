@@ -84,6 +84,12 @@ HEADLINE = [
     # shingle Jaccard — cheap-predicate staging, see SCALE.md)
     "ml_auc_roc",
     "dedup_minhash_est_error",
+    # round-9: incremental MinHash store screen (sign new docs only, band
+    # equi-join against persisted signatures) and Arrow-batched model
+    # scoring (mapInArrow, numpy per record batch — the Python-boundary
+    # fast path)
+    "dedup_minhash_incr_screen",
+    "ml_batch_score_arrow",
 ]
 
 

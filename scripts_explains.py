@@ -65,6 +65,13 @@ NAMES = [
     "dedup_minhash_est_error",
     "timeseries_dtw_distance",
     "stats_jackknife_ratio_se",
+    # round-9 representatives
+    "dedup_minhash_incr_screen",
+    "ml_batch_score_arrow",
+    "stats_durbin_watson",
+    "agg_hhi_concentration",
+    "stats_levene_bf",
+    "ml_brier_decomposition",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
     "ivm_topk_maintenance",

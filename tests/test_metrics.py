@@ -154,6 +154,36 @@ def test_ivf_topk_shuffle_budget(spark):
     assert s["spill_bytes"] == 0
 
 
+def test_minhash_incr_screen_shuffle_budget(spark):
+    """The incremental screen shuffles signature rows, never document
+    text: ~89 KiB / ~600 records at sf0.01 (500 docs) — the explicit
+    pre-band repartition of raw docs plus stacked band rows into the
+    equi-join, all linear in docs. An accidental re-keying of text or a
+    lost store-side projection multiplies this; budget 3× headroom."""
+    df = registry.QUERIES["dedup_minhash_incr_screen"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 92_000
+    assert s["shuffle_records_written"] < 3 * 600
+    assert s["spill_bytes"] == 0
+
+
+def test_batch_score_arrow_zero_shuffle(spark):
+    """Arrow-batched scoring is a pure map: scan → mapInArrow → project,
+    ZERO shuffle by design. An exchange here means something re-keyed the
+    scored frame."""
+    df = registry.QUERIES["ml_batch_score_arrow"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] == 0
+    assert s["shuffle_records_written"] == 0
+    assert s["spill_bytes"] == 0
+
+
 def test_minhash_est_error_shuffle_budget(spark):
     """The audit join shuffles one signature row per doc (~90 KiB / 500
     records at sf0.01 — 16 hex mins + the shingle array per row), linear

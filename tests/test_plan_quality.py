@@ -427,6 +427,11 @@ ALLOWED_NESTED_LOOP = {
     # k-row group-stats self-pair join (grp_a < grp_b over 5 rows) plus the
     # 1-row pooled-MSE broadcast — both frames are k-row by construction:
     "stats_tukey_hsd",
+    # round 9: 1-row min/max bounds broadcast for score normalization
+    # (same class as ml_calibration_bins) plus a 1-row global-moments /
+    # totals frame crossed with the 10-row bin frame:
+    "ml_brier_decomposition",
+    "ml_woe_iv",
 }
 
 
