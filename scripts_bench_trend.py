@@ -1,0 +1,135 @@
+"""Cross-round bench trend detection — the regression gate for TIMINGS,
+sibling of the plan gates (which catch regressions in plan SHAPE).
+
+Reads the driver-recorded ``BENCH_r*.json`` history (each holds the parsed
+one-line bench output at sf0.1) plus the builder's ``BENCH_DETAIL.json``
+(per-query spread over the median-of-N runs) and reports, for each query
+common to the two compared rounds:
+
+- **regression**: new > old · RATIO_THRESHOLD *and* the absolute delta
+  clears the noise floor — ``max(2 · spread, ABS_FLOOR_S)``. Both
+  conditions are required: pure-ratio flags drown in noise on sub-second
+  queries (a 0.10 s → 0.22 s blip is a 2.2× "regression" that means
+  nothing on a shared box), and pure-absolute flags miss slow creep on
+  mid-weight queries.
+- **improvement**: the mirror condition, for the round summary.
+
+This is a REPORT by default (exit 0): one bad sample is evidence to
+re-measure idle, not to rewrite a plan (SCALE.md round-6 note: a 3.8×
+bench outlier after a 40-min pytest normalized on re-run). ``--gate``
+flips regressions to exit 1 for use as a pre-commit tripwire once an
+idle re-run has confirmed them.
+
+Usage:
+  python scripts_bench_trend.py                  # last two recorded rounds
+  python scripts_bench_trend.py --candidate=f.json  # last round vs a fresh
+                                                    # `python bench.py` line
+  python scripts_bench_trend.py --gate           # exit 1 on regressions
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+RATIO_THRESHOLD = 1.5
+ABS_FLOOR_S = 0.3
+
+
+def load_round_queries(path: str) -> dict[str, float] | None:
+    """Extract the per-query timings from a driver BENCH_r*.json record
+    (or a raw `python bench.py` stdout line saved to a file)."""
+    with open(path) as f:
+        raw = f.read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        return None
+    if isinstance(d, dict) and "queries" in d:  # raw bench stdout line
+        return dict(d["queries"])
+    if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+        return dict(d["parsed"].get("queries") or {})
+    return None
+
+
+def load_spreads() -> dict[str, float]:
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+            return dict(json.load(f).get("query_spread") or {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def compare(
+    old: dict[str, float],
+    new: dict[str, float],
+    spreads: dict[str, float] | None = None,
+    ratio_threshold: float = RATIO_THRESHOLD,
+    abs_floor_s: float = ABS_FLOOR_S,
+) -> dict:
+    """Classify each common query as regression / improvement / stable."""
+    spreads = spreads or {}
+    regressions, improvements = [], []
+    common = sorted(set(old) & set(new))
+    for name in common:
+        o, n = old[name], new[name]
+        if not o or o <= 0:
+            continue
+        floor = max(2 * spreads.get(name, 0.0), abs_floor_s)
+        entry = {
+            "query": name,
+            "old_s": o,
+            "new_s": n,
+            "ratio": round(n / o, 2),
+            "noise_floor_s": round(floor, 3),
+        }
+        if n > o * ratio_threshold and (n - o) > floor:
+            regressions.append(entry)
+        elif o > n * ratio_threshold and (o - n) > floor:
+            improvements.append(entry)
+    regressions.sort(key=lambda e: -e["ratio"])
+    improvements.sort(key=lambda e: e["ratio"])
+    return {
+        "common": len(common),
+        "only_old": sorted(set(old) - set(new)),
+        "only_new": sorted(set(new) - set(old)),
+        "regressions": regressions,
+        "improvements": improvements,
+    }
+
+
+def main() -> int:
+    gate = "--gate" in sys.argv[1:]
+    candidate = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--candidate="):
+            candidate = arg.split("=", 1)[1]
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    histories = [(p, load_round_queries(p)) for p in rounds]
+    histories = [(p, q) for p, q in histories if q]
+    if candidate:
+        new_path, new_q = candidate, load_round_queries(candidate)
+        old_path, old_q = histories[-1] if histories else (None, None)
+    elif len(histories) >= 2:
+        (old_path, old_q), (new_path, new_q) = histories[-2], histories[-1]
+    else:
+        print(json.dumps({"error": "need two rounds or --candidate"}))
+        return 2
+    if not old_q or not new_q:
+        print(json.dumps({"error": "could not parse bench records"}))
+        return 2
+    report = compare(old_q, new_q, load_spreads())
+    report["compared"] = f"{os.path.basename(old_path)} -> " f"{os.path.basename(new_path)}"
+    print(json.dumps(report))
+    return 1 if (gate and report["regressions"]) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
