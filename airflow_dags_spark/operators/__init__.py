@@ -65,7 +65,10 @@ from airflow_dags_spark.operators.similarity import (
 from airflow_dags_spark.operators.bloomjoin import bloom_filtered_join
 from airflow_dags_spark.operators.hidden_partitioning import HiddenPartitionTable
 from airflow_dags_spark.operators.temporal import asof_join, asof_join_cogrouped, range_join
-from airflow_dags_spark.operators.ingest import bloom_screened_insert_if_absent
+from airflow_dags_spark.operators.ingest import (
+    MinhashSignatureStore,
+    bloom_screened_insert_if_absent,
+)
 from airflow_dags_spark.operators.versioning import VersionedParquetTable
 from airflow_dags_spark.operators.upsert import (
     ParquetTable,
@@ -122,6 +125,7 @@ __all__ = [
     "range_join",
     "ParquetTable",
     "VersionedParquetTable",
+    "MinhashSignatureStore",
     "bloom_screened_insert_if_absent",
     "advance_watermark",
     "insert_if_absent",

@@ -128,6 +128,8 @@ def minhash_incremental_screen(
     key_col: str,
     n_shingle: int = 3,
     salts: list[str] | None = None,
+    *,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Screen newly-arriving documents against an EXISTING MinHash
     signature store without re-signing the corpus — the streaming-ingest
@@ -148,15 +150,24 @@ def minhash_incremental_screen(
     text, never all-pairs); a grouped agg over hit rows. The store side
     never re-tokenizes at steady state — signing cost is paid once per
     document lifetime, the property that makes continuous dedup-at-ingest
-    affordable against a corpus that only grows."""
+    affordable against a corpus that only grows.
+
+    Callers that also need the new signatures afterwards (the store-append
+    path — operators.ingest.MinhashSignatureStore) pass them precomputed
+    via ``new_bands`` so each document is signed exactly once."""
     n_bands = len(salts or DEFAULT_SALTS)
-    new_bands = minhash_bands(new_df, text_col, key_col, n_shingle, salts)
+    if new_bands is None:
+        new_bands = minhash_bands(new_df, text_col, key_col, n_shingle, salts)
     st = _stack_bands(store_bands, key_col, n_bands).select(
         F.col(key_col).alias("__store_key"), "band_idx", "band_val"
     )
     nw = _stack_bands(new_bands, key_col, n_bands)
     hits = (
         nw.join(st, ["band_idx", "band_val"])
+        # a doc is not a duplicate of itself: when a batch is re-delivered
+        # after its signatures were stored (at-least-once ingest), the
+        # replayed doc must match only OTHER store docs
+        .where(F.col("__store_key") != F.col(key_col))
         .groupBy(key_col)
         .agg(
             F.min("__store_key").alias("matched_store_doc"),

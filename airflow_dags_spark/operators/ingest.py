@@ -1,5 +1,5 @@
-"""Bloom-screened incremental ingest: exact insert-if-absent semantics at a
-fraction of the anti-join cost.
+"""Screened incremental ingest: Bloom-screened EXACT insert-if-absent, and
+a persistent MinHash signature store for NEAR-dup screening at ingest.
 
 ``ParquetTable.insert_if_absent`` (K3) anti-joins every batch against the
 target — with a broadcast-able batch that is still one FULL scan of the
@@ -140,3 +140,131 @@ def bloom_screened_insert_if_absent(
         "n_maybe": n_maybe,
         "n_inserted": n_inserted,
     }
+
+
+class MinhashSignatureStore:
+    """Persistent MinHash signature store: near-dup screening at ingest
+    without ever re-signing the corpus — the near-dup sibling of
+    :func:`bloom_screened_insert_if_absent` (which screens EXACT keys).
+
+    The store is a parquet table of band signatures
+    (``key_col``, ``band_0``..``band_{n-1}``) keyed by document id. Each
+    ``ingest(new_docs)`` batch:
+
+    1. signs ONLY the batch (`minhash_bands` — per-row md5 min-hashing);
+    2. band-joins the new signatures against the store
+       (:func:`minhash_incremental_screen`, signatures passed precomputed
+       so each doc is signed exactly once);
+    3. appends the NOVEL docs' signatures to the store via keyed
+       insert-if-absent (``ParquetTable`` K3 semantics), so at-least-once
+       delivery never duplicates the store, and the screen excludes
+       self-matches, so a replayed doc never flags against its own stored
+       signature (it may legitimately flag against OTHER docs stored since
+       its first delivery — intra-batch near-dup detection is a separate
+       pre-step, e.g. ``minhash_candidate_pairs`` on the batch);
+    4. returns the screen frame (caller routes candidates into exact
+       verification — ``ngram_jaccard`` — and novel docs into the corpus)
+       plus observable counts.
+
+    ``append_matched=True`` stores matched docs' signatures too (policy:
+    keep near-dups but remember them); default drops them, the standard
+    curation rule.
+
+    100 TB shape: signing cost is paid once per document lifetime; the
+    screen shuffles signatures (bounded, band-bucket pruned), the append
+    anti-joins on the key column only. The store grows with the corpus
+    (~n_bands × 32-hex per doc — 4 bands ≈ 130 B/doc ≈ 130 GB/trillion
+    docs, scan-prunable parquet), never with batch count.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key_col: str = "doc_id",
+        *,
+        n_shingle: int = 3,
+        salts: list[str] | None = None,
+    ) -> None:
+        from airflow_dags_spark.operators.dedup import DEFAULT_SALTS
+
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_shingle = n_shingle
+        self.salts = list(salts or DEFAULT_SALTS)
+        self._table = ParquetTable(spark, path, key_col)
+
+    def exists(self) -> bool:
+        return self._table.exists()
+
+    def read(self) -> DataFrame:
+        """Current store signatures (empty-schema frame when absent)."""
+        if self.exists():
+            return self._table.read()
+        bands = ", ".join(f"band_{i} string" for i in range(len(self.salts)))
+        return self.spark.createDataFrame([], f"{self.key_col} long, {bands}")
+
+    def ingest(
+        self,
+        new_docs: DataFrame,
+        text_col: str,
+        *,
+        append_matched: bool = False,
+    ):
+        """Screen a batch against the store and append its signatures.
+
+        Returns ``(screen, counts)`` — ``screen`` is one row per batch doc
+        (``key_col``, ``matched_store_doc``, ``n_matching_bands``; rows
+        are materialized, safe to use after the store write), ``counts``
+        is ``{"n_batch", "n_dup_candidates", "n_novel", "n_appended"}``.
+        """
+        from airflow_dags_spark.operators.dedup import (
+            minhash_bands,
+            minhash_incremental_screen,
+        )
+
+        new_bands = minhash_bands(
+            new_docs, text_col, self.key_col, self.n_shingle, self.salts
+        ).localCheckpoint(eager=True)  # sign once: screen AND append reuse
+        screen = minhash_incremental_screen(
+            self.read(),
+            new_docs,
+            text_col,
+            self.key_col,
+            self.n_shingle,
+            self.salts,
+            new_bands=new_bands,
+        ).localCheckpoint(eager=True)  # decouple from the store we rewrite
+        n_batch = screen.count()
+        novel_keys = screen.where(F.col("matched_store_doc").isNull()).select(
+            self.key_col
+        )
+        to_append = (
+            new_bands
+            if append_matched
+            else new_bands.join(novel_keys, self.key_col, "left_semi")
+        )
+        if self.exists():
+            self._table.insert_if_absent(to_append, order_by=[self.key_col])
+            n_appended = (
+                self._table.read()
+                .join(
+                    to_append.select(self.key_col), self.key_col, "left_semi"
+                )
+                .count()
+            )
+        else:
+            self._table._atomic_overwrite(
+                self._table._dedup_source(to_append, [self.key_col])
+            )
+            n_appended = self._table.read().count()
+        n_novel = n_batch - screen.where(
+            F.col("matched_store_doc").isNotNull()
+        ).count()
+        return screen, {
+            "n_batch": n_batch,
+            "n_dup_candidates": n_batch - n_novel,
+            "n_novel": n_novel,
+            "n_appended": n_appended,
+        }

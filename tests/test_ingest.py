@@ -116,3 +116,117 @@ def test_multi_key_table_rejected(spark, tmp_path):
         bloom_screened_insert_if_absent(
             t, spark.createDataFrame([(1, 2)], "a bigint, b bigint"), ["a"]
         )
+
+
+# --- MinHash signature store (near-dup screened ingest) ----------------------
+
+
+def _docs(spark, rows):
+    """rows: list of (doc_id, text)."""
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the quiet river bank "
+    "while morning light settles on the water"
+)
+
+
+def test_signature_store_bootstrap_and_screen(spark, tmp_path):
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    first = _docs(
+        spark,
+        [(1, _BASE), (2, "completely different text about spark engines and "
+                         "distributed shuffles across many executor nodes")],
+    )
+    screen1, c1 = store.ingest(first, "text")
+    assert c1 == {
+        "n_batch": 2,
+        "n_dup_candidates": 0,
+        "n_novel": 2,
+        "n_appended": 2,
+    }
+    assert all(r.matched_store_doc is None for r in screen1.collect())
+    # second batch: one near-dup of doc 1 (tail tweak), one novel doc
+    second = _docs(
+        spark,
+        [
+            (10, _BASE + " at dawn"),
+            (11, "unrelated corpus entry describing parquet row groups and "
+                 "column chunk statistics for pruning"),
+        ],
+    )
+    screen2, c2 = store.ingest(second, "text")
+    got = {r.doc_id: r for r in screen2.collect()}
+    assert got[10].matched_store_doc == 1
+    assert got[10].n_matching_bands >= 1
+    assert got[11].matched_store_doc is None
+    assert c2["n_dup_candidates"] == 1 and c2["n_novel"] == 1
+    # default policy: matched doc's signature NOT stored
+    assert c2["n_appended"] == 1
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 2, 11]
+
+
+def test_signature_store_replay_is_idempotent(spark, tmp_path):
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    batch = _docs(spark, [(1, _BASE), (2, _BASE.replace("quick", "sleepy"))])
+    _, c1 = store.ingest(batch, "text")
+    before = sorted(
+        (r.doc_id, r.band_0) for r in store.read().collect()
+    )
+    # at-least-once delivery: the SAME batch arrives again
+    screen2, c2 = store.ingest(batch, "text")
+    after = sorted((r.doc_id, r.band_0) for r in store.read().collect())
+    assert after == before  # store unchanged
+    assert c2["n_appended"] == 0
+    # self-match exclusion: doc 1 must not flag against its own stored
+    # signature; it MAY flag against doc 2 if they share a band (they are
+    # near-dups of each other) — never against itself
+    got = {r.doc_id: r for r in screen2.collect()}
+    for doc_id, r in got.items():
+        assert r.matched_store_doc != doc_id
+
+
+def test_signature_store_append_matched_policy(spark, tmp_path):
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    store.ingest(_docs(spark, [(1, _BASE)]), "text")
+    _, counts = store.ingest(
+        _docs(spark, [(20, _BASE + " tonight")]), "text", append_matched=True
+    )
+    assert counts["n_dup_candidates"] == 1
+    assert counts["n_appended"] == 1  # stored despite matching
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 20]
+
+
+def test_signature_store_screen_agrees_with_operator(spark, tmp_path):
+    """Store-mediated screening must equal the pure-dataflow operator on
+    the same split (the registry query's oracle-checked form)."""
+    from airflow_dags_spark.operators.dedup import (
+        minhash_bands,
+        minhash_incremental_screen,
+    )
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    original_bands = minhash_bands(store_docs, "text", "doc_id")
+    store._table._atomic_overwrite(original_bands)
+    screen, _ = store.ingest(new_docs, "text")
+    # reference screen over the PRE-ingest store (ingest mutates the table
+    # by appending the novel docs' signatures after screening)
+    direct = minhash_incremental_screen(
+        original_bands, new_docs, "text", "doc_id"
+    )
+    got = sorted(map(tuple, screen.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    # ingest appended novel docs AFTER screening — the screen frame was
+    # materialized first, so the two must agree exactly
+    assert got == want
