@@ -246,14 +246,13 @@ class MinhashSignatureStore:
             else new_bands.join(novel_keys, self.key_col, "left_semi")
         )
         if self.exists():
+            # n_appended from before/after row counts (parquet-footer
+            # metadata, no data scan) — a semi-join against the post-state
+            # would over-report on replay: insert_if_absent no-ops on keys
+            # already stored, but they'd still match the post-state
+            n_before = self._table.read().count()
             self._table.insert_if_absent(to_append, order_by=[self.key_col])
-            n_appended = (
-                self._table.read()
-                .join(
-                    to_append.select(self.key_col), self.key_col, "left_semi"
-                )
-                .count()
-            )
+            n_appended = self._table.read().count() - n_before
         else:
             self._table._atomic_overwrite(
                 self._table._dedup_source(to_append, [self.key_col])

@@ -191,6 +191,32 @@ def test_signature_store_replay_is_idempotent(spark, tmp_path):
         assert r.matched_store_doc != doc_id
 
 
+def test_signature_store_replay_of_unrelated_docs_appends_nothing(
+    spark, tmp_path
+):
+    """Replay where the batch docs are NOT near-dups of each other: the
+    screen re-reports them novel (self-matches excluded, nothing else
+    matches), to_append is non-empty — but insert_if_absent no-ops on the
+    stored keys, and n_appended must say 0, not the batch size."""
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    batch = _docs(
+        spark,
+        [
+            (1, _BASE),
+            (2, "entirely unrelated discussion of columnar storage layouts "
+                "and dictionary encoded string pages in modern file formats"),
+        ],
+    )
+    _, c1 = store.ingest(batch, "text")
+    assert c1["n_appended"] == 2
+    _, c2 = store.ingest(batch, "text")
+    assert c2["n_novel"] == 2  # nothing else to match against
+    assert c2["n_appended"] == 0  # but the store already holds both keys
+    assert store.read().count() == 2
+
+
 def test_signature_store_append_matched_policy(spark, tmp_path):
     from airflow_dags_spark.operators.ingest import MinhashSignatureStore
 
