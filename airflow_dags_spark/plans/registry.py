@@ -68,4 +68,5 @@ def load_all() -> None:
         round7,
         round8,
         round9,
+        round10,
     )

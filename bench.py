@@ -90,6 +90,14 @@ HEADLINE = [
     # fast path)
     "dedup_minhash_incr_screen",
     "ml_batch_score_arrow",
+    # round-10: bucketed global midranks (Kruskal-Wallis without a
+    # SinglePartition), PR threshold sweep over distinct-score groups,
+    # salted per-segment top-10 (MAP@10), one-pass dual-similarity
+    # Matryoshka truncation audit
+    "stats_kruskal_wallis",
+    "ml_pr_auc",
+    "ml_map_at_k",
+    "sim_matryoshka_prefix_recall",
 ]
 
 

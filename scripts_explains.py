@@ -72,6 +72,12 @@ NAMES = [
     "agg_hhi_concentration",
     "stats_levene_bf",
     "ml_brier_decomposition",
+    # round-10 representatives
+    "stats_kruskal_wallis",
+    "ml_pr_auc",
+    "ml_map_at_k",
+    "sim_matryoshka_prefix_recall",
+    "ml_empirical_bayes_rates",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
     "ivm_topk_maintenance",

@@ -432,6 +432,15 @@ ALLOWED_NESTED_LOOP = {
     # totals frame crossed with the 10-row bin frame:
     "ml_brier_decomposition",
     "ml_woe_iv",
+    # round 10: bounded query side (vec_id < 5) broadcast against the
+    # streamed corpus — the sim_cosine_topk contract, both similarity
+    # columns in one pass:
+    "sim_matryoshka_prefix_recall",
+    # round 10: two 1-row frames — the tie-term aggregate crossed with the
+    # k-group rank aggregate (Kruskal-Wallis), and the 1-row beta-binomial
+    # MoM prior crossed back over the per-supplier frame:
+    "stats_kruskal_wallis",
+    "ml_empirical_bayes_rates",
 }
 
 
@@ -1197,3 +1206,110 @@ def test_minhash_est_error_stages_shingles_once(spark):
     for m in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]*)", plan):
         assert "element_at" not in m.group(1), m.group(1)[:200]
     assert "BroadcastHashJoin" in plan  # consecutive-id pair join
+
+
+# --------------------------------------------------------------------------
+# round-10 batch
+# --------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_midranks_bucketed(spark):
+    """Global midranks must come from the bucketed prefix-sum: every
+    SinglePartition exchange sits above an aggregate (bucket totals /
+     1-row finals), the data-row window partitions by bucket, and the
+    offsets frame rejoins via broadcast."""
+    plan = plan_of(spark, "stats_kruskal_wallis")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan  # bucket offsets rejoin
+    assert plan.count("Window [") == 2  # within-bucket + |buckets| offsets
+
+
+def test_map_at_k_topn_is_salted(spark):
+    """The per-segment top-10 must rank within (segment, salt) first — a
+    hot segment never funnels all candidates through one reducer — and
+    every later window runs over the bounded survivor frame."""
+    plan = plan_of(spark, "ml_map_at_k")
+    assert "Exchange SinglePartition" not in plan
+    assert "__salt" in plan  # phase-1 salted window key
+    assert "BroadcastHashJoin" in plan  # k-row relevant-count frame
+
+
+def test_pr_auc_window_over_group_rows(spark):
+    """PR-AUC inherits the AUC discipline: rows collapse to (segment,
+    distinct-score) groups BEFORE the one cumulative window; totals
+    broadcast."""
+    plan = plan_of(spark, "ml_pr_auc")
+    assert "partial_count" in plan
+    assert plan.count("Window [") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_one_corpus_pass(spark):
+    """Both similarity columns must come from ONE streamed corpus pass:
+    two parquet scans total (corpus + broadcast query side), both rank
+    windows sharing the per-qid partitioning, zero shuffled joins."""
+    plan = plan_of(spark, "sim_matryoshka_prefix_recall")
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Window [") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the bounded query side broadcasts (nested-loop on purpose: no equi key)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_wilson_ci_single_aggregate_no_join(spark):
+    plan = plan_of(spark, "stats_wilson_ci")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_jarque_bera_two_pass_broadcast_mean(spark):
+    """The exact group means must broadcast back over the scan — no
+    window, no sort, no single-partition funnel."""
+    plan = plan_of(spark, "stats_jarque_bera")
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mann_kendall_pairs_over_monthly_aggregate(spark):
+    """The i<j comparison must join the calendar-bounded monthly frame
+    (broadcast), never data rows; n and the tie term share one (nation,
+    value) grouping branch."""
+    plan = plan_of(spark, "stats_mann_kendall")
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # orders feeds the monthly agg on 3 lineage branches (pair join a/b +
+    # one cnt/ties branch) — a 4th scan means the cnt/ties merge regressed
+    assert plan.count("Scan parquet") <= 7
+
+
+def test_effect_sizes_one_moments_aggregate(spark):
+    plan = plan_of(spark, "stats_effect_sizes")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sax_window_only_over_monthly_rows(spark):
+    """The only window is the row_number over ≤ ~84 monthly rows per
+    nation; series stats broadcast back."""
+    plan = plan_of(spark, "timeseries_sax_symbols")
+    assert plan.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_eb_rates_prior_is_tiny_broadcast(spark):
+    """The 1-row MoM prior crosses back via broadcast nested-loop (the
+    allow-listed tiny-frame class); the only SinglePartition exchange is
+    that 1-row aggregate itself."""
+    plan = plan_of(spark, "ml_empirical_bayes_rates")
+    _single_partitions_fed_by_aggregates_only(plan)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window [" not in plan
