@@ -834,8 +834,11 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bounded query side broadcasts; BOTH similarity
     columns are computed in ONE streamed pass over the corpus (never two
     scans); the two rank windows share the per-qid partitioning and run
-    over |corpus| rows per query — with a bounded query set the whole plan
-    is a single narrow corpus pass, embarrassingly parallel."""
+    over |corpus| rows per query. The similarity pass is embarrassingly
+    parallel; the rank stage parallelizes ACROSS queries (one reducer per
+    qid — the sim_cosine_topk contract, bounded-query-set by API). For a
+    large query set swap the windows for two ``salted_topn_per_key``
+    passes and intersect on (qid, cid)."""
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     queries = emb.where(F.col("vec_id") < 5).select(

@@ -197,3 +197,43 @@ def test_minhash_est_error_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 90_000
     assert s["shuffle_records_written"] < 3 * 500
     assert s["spill_bytes"] == 0
+
+
+def test_kruskal_wallis_shuffle_budget(spark):
+    """Every exchange in the midrank cascade carries (group/distinct-value)
+    rows, never data rows: sf0.01 measured ~917 KiB / ~90K records off 15K
+    orders scanned 3× — ≈6 bounded frame rows per DISTINCT price (gv, dv,
+    bucketed prefix-sum, gv↔dv rejoin), so at lake scale the shuffle is
+    bounded by |distinct prices|, not row count. Budget 2× headroom."""
+    df = registry.QUERIES["stats_kruskal_wallis"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 2 * 940_000
+    assert s["shuffle_records_written"] < 2 * 91_000
+    assert s["spill_bytes"] == 0
+
+
+def test_map_at_k_shuffle_budget(spark):
+    """MAP@10's exchanges carry candidate partials and top-10 survivors
+    (~36 KiB / ~2.4K records at sf0.01, 30K events scanned), never raw
+    events — the salted top-N keeps every later stage survivor-bounded.
+    Budget 3× headroom (small counts are noisy)."""
+    df = registry.QUERIES["ml_map_at_k"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 37_000
+    assert s["shuffle_records_written"] < 3 * 2_400
+    assert s["spill_bytes"] == 0
+
+
+def test_pr_auc_shuffle_budget(spark):
+    """PR-AUC shuffles (segment, distinct-score) group rows twice (partial
+    agg → window exchange → totals rejoin): ~360 KiB / ~30K records at
+    sf0.01 — 2 frame rows per distinct price, independent of data rows.
+    Budget 2× headroom."""
+    df = registry.QUERIES["ml_pr_auc"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 2 * 370_000
+    assert s["shuffle_records_written"] < 2 * 30_100
+    assert s["spill_bytes"] == 0
