@@ -5,6 +5,10 @@
   row_number. The baseline every ANN variant is measured against. At 100 TB
   the corpus side streams (no shuffle); cost is O(|corpus|·|queries|·dim)
   pure compute, embarrassingly parallel.
+- ``cosine_topk_salted`` — row-identical results via a salted two-phase
+  rank for LARGE query sets: the per-query candidate stream never funnels
+  through one reducer (rank within (query, salt), re-rank ≤ n_salts×k
+  survivors).
 - ``lsh_ann_topk`` — BucketedRandomProjectionLSH on L2-normalized vectors
   (cosine ordering ≡ euclidean on the unit sphere): the scale path, probing
   only nearby hash buckets instead of the full corpus.
@@ -55,6 +59,48 @@ def cosine_topk(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def cosine_topk_salted(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    query_key: str = "qid",
+    corpus_key: str = "cid",
+    query_vec: str = "qv",
+    corpus_vec: str = "cv",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact top-k by cosine, identical results to ``cosine_topk``, for
+    query sets large enough that the per-query rank stage matters.
+
+    ``cosine_topk``'s window puts each query's ENTIRE candidate stream
+    through one reducer — fine for a handful of queries, a straggler when
+    thousands of queries each scan a 100 TB corpus. Here the rank stage is
+    ``salted_topn_per_key``: candidates rank within (query, salt) first
+    (each reducer sees ~1/n_salts of a query's stream), then the ≤
+    n_salts×k survivors per query re-rank. Same deterministic tie rule
+    (rounded sim desc, corpus key asc), so the output is row-identical.
+
+    The query side must still fit in a broadcast (vectors are small: 100k
+    queries × 64 dims ≈ 50 MB); beyond that, block the query set and union.
+    """
+    sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6) + F.lit(0.0)
+    sims = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(query_key, corpus_key, sim.alias("sim"))
+    )
+    from airflow_dags_spark.functions.scalable_windows import salted_topn_per_key
+
+    return salted_topn_per_key(
+        sims,
+        query_key,
+        [F.desc("sim"), F.asc(corpus_key)],
+        k,
+        n_salts=n_salts,
+        salt_src=corpus_key,
     )
 
 

@@ -296,3 +296,42 @@ def test_attach_payload_metadata_jvm_side(mm):
     assert got[1]["n_bytes"] == len(b"payload-one")
     assert got[1]["payload_hash"] == hashlib.md5(b"payload-one").hexdigest()
     assert got[3]["n_bytes"] is None
+
+
+def test_cosine_topk_salted_row_identical_to_window_form(emb):
+    """The salted rank rewrite must be a pure plan change: row-identical
+    output (same rounded sims, same tie resolution) for a wide query set
+    where ties and cutoff boundaries actually occur."""
+    from pyspark.sql import functions as F2
+
+    from airflow_dags_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_salted,
+    )
+
+    corpus = emb.select(F2.col("vec_id").alias("cid"), F2.col("embedding").alias("cv"))
+    queries = emb.where(F2.col("vec_id") < 50).select(
+        F2.col("vec_id").alias("qid"), F2.col("embedding").alias("qv")
+    )
+    plain = cosine_topk(queries, corpus, 10)
+    salted = cosine_topk_salted(queries, corpus, 10, n_salts=7)
+    key = lambda r: (r["qid"], r["cid"], r["sim"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_cosine_topk_salted_no_per_query_full_sort(emb):
+    """The whole point: no window may partition by qid ALONE before the
+    survivor stage — phase 1 must carry the salt in its partition key."""
+    from pyspark.sql import functions as F2
+
+    from airflow_dags_spark.operators.similarity import cosine_topk_salted
+
+    corpus = emb.select(F2.col("vec_id").alias("cid"), F2.col("embedding").alias("cv"))
+    queries = emb.where(F2.col("vec_id") < 5).select(
+        F2.col("vec_id").alias("qid"), F2.col("embedding").alias("qv")
+    )
+    df = cosine_topk_salted(queries, corpus, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    # two window nodes: (qid, salt) local top-k, then the survivor re-rank
+    assert plan.count("Window [") == 2
