@@ -618,3 +618,69 @@ def quality_monitor_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def screened_ingest_sink(
+    docs_stream: DataFrame,
+    store_path: str,
+    accepted_path: str,
+    flagged_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    append_matched: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Near-dup-screened streaming ingest: every micro-batch is signed,
+    screened against the persistent MinHash signature store, and routed —
+    novel docs to ``accepted_path``, near-dup candidates (with their
+    matched store doc and band count) to ``flagged_path`` for exact
+    verification. The streaming composition of
+    ``operators.ingest.MinhashSignatureStore`` (sign-once store, K3
+    idempotent append) with the T2/T3 micro-batch discipline above.
+
+    Every write is a keyed insert-if-absent, so at-least-once re-delivery
+    of a batch re-screens but never duplicates the store or either route —
+    the streaming analog of the reference's ON CONFLICT DO NOTHING loop
+    (dags/monthly_price_paid_data.py:153). Docs inside ONE batch that are
+    near-dups of each other both pass the store screen (the store compares
+    against PRIOR state); run ``minhash_candidate_pairs`` on the batch as
+    a pre-step where intra-batch dedup matters.
+
+    100 TB shape: signing cost is per NEW document only; the screen
+    shuffles band signatures (bucket-pruned), never text; both route
+    writes anti-join on the key column alone; store growth is
+    ~130 B/doc, independent of batch count.
+    """
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    def screen_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        store = MinhashSignatureStore(spark, store_path, key_col)
+        screen, _counts = store.ingest(
+            batch, text_col, append_matched=append_matched
+        )
+        flagged_keys = screen.where(F.col("matched_store_doc").isNotNull())
+        accepted = batch.join(
+            flagged_keys.select(key_col), key_col, "left_anti"
+        )
+        flagged = batch.join(
+            flagged_keys.select(
+                key_col, "matched_store_doc", "n_matching_bands"
+            ),
+            key_col,
+        )
+        ParquetTable(spark, accepted_path, key_col).insert_if_absent(
+            accepted, order_by=[key_col]
+        )
+        ParquetTable(spark, flagged_path, key_col).insert_if_absent(
+            flagged, order_by=[key_col]
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(screen_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -656,3 +656,79 @@ def test_quality_monitor_sink_reports_per_batch(spark, tmp_path):
     clean = hist2.where("batch_id = 1").collect()
     assert all(r["passed"] for r in clean)
     assert len(alerts) == 1  # no new violation
+
+
+def test_screened_ingest_sink_routes_and_stays_idempotent(spark, tmp_path):
+    """Streaming near-dup-screened ingest end-to-end: batch 1 seeds the
+    signature store; batch 2 contains one novel doc, one near-dup of a
+    stored doc (flagged with its matched store doc), and one re-delivered
+    key (absorbed by K3 on every surface); a full fresh-checkpoint replay
+    changes nothing anywhere."""
+    import json as _json
+
+    from airflow_dags_spark.streaming.pipeline import screened_ingest_sink
+
+    texts = {
+        10: "the quick brown fox jumps over the lazy dog near the old river bank today",
+        11: "completely different content about distributed query engines and shuffle plans",
+        12: "yet another unique document describing parquet footers and column statistics",
+        # near-dup of 10 (identical text, new key) — every band matches
+        20: "the quick brown fox jumps over the lazy dog near the old river bank today",
+        21: "fresh novel text on watermark semantics and state store eviction policies",
+    }
+
+    def doc(k):
+        return {"doc_id": k, "text": texts[k], "source": "s", "lang": "en"}
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(_json.dumps(doc(k)) for k in (10, 11, 12)) + "\n"
+    )
+
+    def stream_df():
+        return (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, lang string"
+            ).json(str(landing))
+        )
+
+    paths = {n: str(tmp_path / n) for n in ("store", "accepted", "flagged")}
+
+    def run(ckpt):
+        q = screened_ingest_sink(
+            stream_df(),
+            paths["store"],
+            paths["accepted"],
+            paths["flagged"],
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    acc = ParquetTable(spark, paths["accepted"], "doc_id")
+    flg = ParquetTable(spark, paths["flagged"], "doc_id")
+    store = ParquetTable(spark, paths["store"], "doc_id")
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 12}
+    assert not flg.exists() or flg.read().count() == 0
+    assert store.read().count() == 3
+
+    # batch 2: novel 21, near-dup 20 (of stored 10), re-delivered 11
+    (landing / "b2.json").write_text(
+        "\n".join(_json.dumps(doc(k)) for k in (20, 21)) + "\n"
+        + _json.dumps(doc(11)) + "\n"
+    )
+    run("ck1")  # same checkpoint: only the new file is a batch
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 12, 21}
+    flagged = {r.doc_id: r for r in flg.read().collect()}
+    assert set(flagged) == {20}
+    assert flagged[20].matched_store_doc == 10
+    assert flagged[20].n_matching_bands >= 1
+    # matched docs are NOT stored by default; 21 is; 11 was absorbed
+    assert store.read().count() == 4
+
+    # full fresh-checkpoint replay of BOTH files: every surface unchanged
+    run("ck2")
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 12, 21}
+    assert {r.doc_id for r in flg.read().collect()} == {20}
+    assert store.read().count() == 4
