@@ -84,13 +84,7 @@ def minhash_candidate_pairs(
     """Band-bucket self-join → distinct candidate pairs (a < b)."""
     bands = minhash_bands(df, text_col, key_col, n_shingle, salts)
     n_bands = len(salts or DEFAULT_SALTS)
-    stacked = bands.selectExpr(
-        key_col,
-        "stack({n}, {args}) AS (band_idx, band_val)".format(
-            n=n_bands,
-            args=", ".join(f"{i}, band_{i}" for i in range(n_bands)),
-        ),
-    )
+    stacked = _stack_bands(bands, key_col, n_bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

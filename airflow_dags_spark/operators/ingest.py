@@ -198,12 +198,101 @@ class MinhashSignatureStore:
     def exists(self) -> bool:
         return self._table.exists()
 
-    def read(self) -> DataFrame:
-        """Current store signatures (empty-schema frame when absent)."""
+    @property
+    def _band_cols(self) -> list[str]:
+        return [f"band_{i}" for i in range(len(self.salts))]
+
+    def read(self, key_like: DataFrame | None = None) -> DataFrame:
+        """Current store signatures (empty-schema frame when absent).
+
+        ``key_like``: any frame carrying ``key_col`` — when the store does
+        not exist yet, the empty frame's key column copies THAT type, so a
+        store keyed by strings doesn't fabricate a bigint key on its first
+        batch (which would flip ``matched_store_doc``'s type between the
+        first and second micro-batch and corrupt a downstream parquet
+        sink's schema)."""
         if self.exists():
             return self._table.read()
-        bands = ", ".join(f"band_{i} string" for i in range(len(self.salts)))
-        return self.spark.createDataFrame([], f"{self.key_col} long, {bands}")
+        ktype = (
+            key_like.schema[self.key_col].dataType.simpleString()
+            if key_like is not None
+            else "long"
+        )
+        bands = ", ".join(f"{c} string" for c in self._band_cols)
+        return self.spark.createDataFrame([], f"{self.key_col} {ktype}, {bands}")
+
+    def screen(self, new_docs: DataFrame, text_col: str):
+        """Sign + screen a batch against the store — NO store write.
+
+        Returns ``(screen, new_bands)``: ``screen`` is one row per distinct
+        batch key (``key_col``, ``matched_store_doc``,
+        ``n_matching_bands``), ``new_bands`` the batch signatures for a
+        later :meth:`append_signatures`. Both are materialized
+        (localCheckpoint), so they stay valid across any store rewrite.
+
+        Duplicate keys WITHIN the batch collapse first-wins by ``text_col``
+        (a deterministic total order within a key) — at-least-once sources
+        can re-deliver a key with conflicting text, and an arbitrary
+        survivor would persist a nondeterministic signature."""
+        from pyspark.sql import Window
+
+        from airflow_dags_spark.operators.dedup import (
+            minhash_bands,
+            minhash_incremental_screen,
+        )
+
+        w = Window.partitionBy(self.key_col).orderBy(text_col)
+        deduped = (
+            new_docs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        new_bands = minhash_bands(
+            deduped, text_col, self.key_col, self.n_shingle, self.salts
+        ).localCheckpoint(eager=True)  # sign once: screen AND append reuse
+        screen = minhash_incremental_screen(
+            self.read(key_like=new_bands),
+            deduped,
+            text_col,
+            self.key_col,
+            self.n_shingle,
+            self.salts,
+            new_bands=new_bands,
+        ).localCheckpoint(eager=True)  # decouple from the store we rewrite
+        return screen, new_bands
+
+    def append_signatures(
+        self,
+        new_bands: DataFrame,
+        screen: DataFrame,
+        *,
+        append_matched: bool = False,
+    ) -> int:
+        """Persist a screened batch's signatures (K3 insert-if-absent);
+        returns the number of rows actually appended.
+
+        Separate from :meth:`screen` so callers with their own downstream
+        writes (the streaming sink) can order them BEFORE the store write:
+        if the store gets ahead of the routes and the batch replays,
+        intra-batch near-dups would flag against each other's just-stored
+        signatures — a routing the crash-free run would never produce."""
+        novel_keys = screen.where(F.col("matched_store_doc").isNull()).select(
+            self.key_col
+        )
+        to_append = (
+            new_bands
+            if append_matched
+            else new_bands.join(novel_keys, self.key_col, "left_semi")
+        )
+        # n_appended from before/after row counts (parquet-footer metadata,
+        # no data scan) — a semi-join against the post-state would
+        # over-report on replay: insert_if_absent no-ops on keys already
+        # stored, but they'd still match the post-state
+        n_before = self._table.read().count() if self.exists() else 0
+        # survivor order = band columns (content-derived): deterministic
+        # even if a caller skips screen()'s key dedup
+        self._table.insert_if_absent(to_append, order_by=self._band_cols)
+        return self._table.read().count() - n_before
 
     def ingest(
         self,
@@ -214,56 +303,23 @@ class MinhashSignatureStore:
     ):
         """Screen a batch against the store and append its signatures.
 
-        Returns ``(screen, counts)`` — ``screen`` is one row per batch doc
-        (``key_col``, ``matched_store_doc``, ``n_matching_bands``; rows
-        are materialized, safe to use after the store write), ``counts``
-        is ``{"n_batch", "n_dup_candidates", "n_novel", "n_appended"}``.
-        """
-        from airflow_dags_spark.operators.dedup import (
-            minhash_bands,
-            minhash_incremental_screen,
+        Returns ``(screen, counts)`` — ``screen`` is one row per distinct
+        batch key (``key_col``, ``matched_store_doc``,
+        ``n_matching_bands``; rows are materialized, safe to use after the
+        store write), ``counts`` is ``{"n_batch", "n_dup_candidates",
+        "n_novel", "n_appended"}``. Callers that route docs to their own
+        sinks should use :meth:`screen` + :meth:`append_signatures`
+        directly and write their routes between the two (see
+        ``streaming.pipeline.screened_ingest_sink``)."""
+        screen, new_bands = self.screen(new_docs, text_col)
+        n_appended = self.append_signatures(
+            new_bands, screen, append_matched=append_matched
         )
-
-        new_bands = minhash_bands(
-            new_docs, text_col, self.key_col, self.n_shingle, self.salts
-        ).localCheckpoint(eager=True)  # sign once: screen AND append reuse
-        screen = minhash_incremental_screen(
-            self.read(),
-            new_docs,
-            text_col,
-            self.key_col,
-            self.n_shingle,
-            self.salts,
-            new_bands=new_bands,
-        ).localCheckpoint(eager=True)  # decouple from the store we rewrite
         n_batch = screen.count()
-        novel_keys = screen.where(F.col("matched_store_doc").isNull()).select(
-            self.key_col
-        )
-        to_append = (
-            new_bands
-            if append_matched
-            else new_bands.join(novel_keys, self.key_col, "left_semi")
-        )
-        if self.exists():
-            # n_appended from before/after row counts (parquet-footer
-            # metadata, no data scan) — a semi-join against the post-state
-            # would over-report on replay: insert_if_absent no-ops on keys
-            # already stored, but they'd still match the post-state
-            n_before = self._table.read().count()
-            self._table.insert_if_absent(to_append, order_by=[self.key_col])
-            n_appended = self._table.read().count() - n_before
-        else:
-            self._table._atomic_overwrite(
-                self._table._dedup_source(to_append, [self.key_col])
-            )
-            n_appended = self._table.read().count()
-        n_novel = n_batch - screen.where(
-            F.col("matched_store_doc").isNotNull()
-        ).count()
+        n_dup = screen.where(F.col("matched_store_doc").isNotNull()).count()
         return screen, {
             "n_batch": n_batch,
-            "n_dup_candidates": n_batch - n_novel,
-            "n_novel": n_novel,
+            "n_dup_candidates": n_dup,
+            "n_novel": n_batch - n_dup,
             "n_appended": n_appended,
         }

@@ -48,9 +48,6 @@ is bounded by distinct prices per segment.
 
 from __future__ import annotations
 
-import numpy as np
-import pyarrow as pa
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

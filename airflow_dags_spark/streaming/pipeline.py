@@ -648,6 +648,19 @@ def screened_ingest_sink(
     against PRIOR state); run ``minhash_candidate_pairs`` on the batch as
     a pre-step where intra-batch dedup matters.
 
+    Write order is load-bearing: routes first, store append LAST. If the
+    store ever got ahead of the routes (crash between the two) a replay
+    would screen the batch against its own just-stored signatures and
+    flag intra-batch near-dups a crash-free run would have accepted; with
+    the store last, a replay after any crash re-screens against the
+    pre-batch store state, reproduces the identical routing (K3 absorbs
+    the rewrites), and then lands the append. (A FRESH checkpoint is a
+    reprocess, not a replay: already-stored batches screen against their
+    own neighbors' signatures — self-matches excluded — so reprocessing
+    an intra-batch near-dup pair may add it to the flagged route; flags
+    are advisory candidates for exact verification, and no surface ever
+    duplicates.)
+
     100 TB shape: signing cost is per NEW document only; the screen
     shuffles band signatures (bucket-pruned), never text; both route
     writes anti-join on the key column alone; store growth is
@@ -658,9 +671,7 @@ def screened_ingest_sink(
     def screen_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         store = MinhashSignatureStore(spark, store_path, key_col)
-        screen, _counts = store.ingest(
-            batch, text_col, append_matched=append_matched
-        )
+        screen, new_bands = store.screen(batch, text_col)
         flagged_keys = screen.where(F.col("matched_store_doc").isNotNull())
         accepted = batch.join(
             flagged_keys.select(key_col), key_col, "left_anti"
@@ -671,11 +682,17 @@ def screened_ingest_sink(
             ),
             key_col,
         )
+        # first-wins by text: duplicate keys with conflicting payloads
+        # must persist a deterministic survivor on every route
         ParquetTable(spark, accepted_path, key_col).insert_if_absent(
-            accepted, order_by=[key_col]
+            accepted, order_by=[text_col]
         )
         ParquetTable(spark, flagged_path, key_col).insert_if_absent(
-            flagged, order_by=[key_col]
+            flagged, order_by=[text_col]
+        )
+        # store append LAST (see docstring: replay consistency)
+        store.append_signatures(
+            new_bands, screen, append_matched=append_matched
         )
 
     writer = docs_stream.writeStream.foreachBatch(screen_batch).option(

@@ -256,3 +256,47 @@ def test_signature_store_screen_agrees_with_operator(spark, tmp_path):
     # ingest appended novel docs AFTER screening — the screen frame was
     # materialized first, so the two must agree exactly
     assert got == want
+
+
+def test_signature_store_string_keys_keep_schema_stable(spark, tmp_path):
+    """The empty-store frame must copy the key TYPE from the batch: with
+    string doc ids, matched_store_doc must be a string on the very first
+    batch (not a fabricated bigint), so a downstream parquet sink's schema
+    never flips between micro-batches."""
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"), key_col="doc_id")
+    b1 = spark.createDataFrame(
+        [("a1", _BASE), ("b2", "another entirely different document about "
+                               "broadcast joins and partition pruning")],
+        "doc_id string, text string",
+    )
+    screen1, c1 = store.ingest(b1, "text")
+    assert screen1.schema["matched_store_doc"].dataType.simpleString() == "string"
+    assert c1["n_appended"] == 2
+    b2 = spark.createDataFrame([("c3", _BASE + " tail")], "doc_id string, text string")
+    screen2, _ = store.ingest(b2, "text")
+    assert screen2.schema["matched_store_doc"].dataType.simpleString() == "string"
+    assert screen2.collect()[0].matched_store_doc == "a1"
+
+
+def test_signature_store_conflicting_duplicate_keys_first_wins_by_text(
+    spark, tmp_path
+):
+    """A batch re-delivering one key with conflicting text must collapse to
+    ONE deterministic survivor (first-wins by text order) — one screen row,
+    one stored signature, and the signature is the min-text one."""
+    from airflow_dags_spark.operators.dedup import minhash_bands
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    texts = sorted([_BASE, _BASE.replace("quick", "zealous")])
+    batch = _docs(spark, [(7, texts[1]), (7, texts[0])])
+    screen, counts = store.ingest(batch, "text")
+    assert counts["n_batch"] == 1 and counts["n_appended"] == 1
+    assert screen.count() == 1
+    expected = minhash_bands(
+        _docs(spark, [(7, texts[0])]), "text", "doc_id"
+    ).collect()[0]
+    got = store.read().collect()[0]
+    assert (got.band_0, got.band_1) == (expected.band_0, expected.band_1)

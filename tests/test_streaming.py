@@ -732,3 +732,51 @@ def test_screened_ingest_sink_routes_and_stays_idempotent(spark, tmp_path):
     assert {r.doc_id for r in acc.read().collect()} == {10, 11, 12, 21}
     assert {r.doc_id for r in flg.read().collect()} == {20}
     assert store.read().count() == 4
+
+
+def test_screened_ingest_crash_replay_keeps_intra_batch_routing(spark, tmp_path):
+    """Write-order property: a batch with two INTRA-batch near-dups (same
+    text, two novel keys) crashes after the route writes but before the
+    store append; the replay must accept both again (flagged stays empty)
+    and then land the store append. If the store ever got ahead of the
+    routes, the replay would flag each doc against the other's just-stored
+    signature — a routing the crash-free run never produces."""
+    import json as _json
+
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+    from airflow_dags_spark.streaming.pipeline import screened_ingest_sink
+
+    text = "identical twin document text about checkpoint recovery and exactly once sinks"
+    docs = [{"doc_id": k, "text": text} for k in (30, 31)]
+    landing = tmp_path / "crash_landing"
+    landing.mkdir()
+    (landing / "b1.json").write_text("\n".join(_json.dumps(d) for d in docs) + "\n")
+    paths = {n: str(tmp_path / n) for n in ("store", "accepted", "flagged")}
+
+    # attempt 1: the sink's work UP TO the crash point — screen + routes
+    # written, store append never happens (simulated executor loss)
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    store = MinhashSignatureStore(spark, paths["store"], "doc_id")
+    screen, _bands = store.screen(batch, "text")
+    flagged_keys = screen.where(F.col("matched_store_doc").isNotNull())
+    ParquetTable(spark, paths["accepted"], "doc_id").insert_if_absent(
+        batch.join(flagged_keys.select("doc_id"), "doc_id", "left_anti"),
+        order_by=["text"],
+    )
+    assert {r.doc_id for r in ParquetTable(spark, paths["accepted"], "doc_id").read().collect()} == {30, 31}
+    assert not store.exists()  # the crash: append never ran
+
+    # replay: the real sink processes the same batch from scratch
+    q = screened_ingest_sink(
+        spark.readStream.schema("doc_id long, text string").json(str(landing)),
+        paths["store"],
+        paths["accepted"],
+        paths["flagged"],
+        str(tmp_path / "ck_replay"),
+    )
+    q.awaitTermination(120)
+    acc = ParquetTable(spark, paths["accepted"], "doc_id")
+    flg = ParquetTable(spark, paths["flagged"], "doc_id")
+    assert {r.doc_id for r in acc.read().collect()} == {30, 31}
+    assert not flg.exists() or flg.read().count() == 0
+    assert {r.doc_id for r in store.read().collect()} == {30, 31}
