@@ -133,11 +133,14 @@ def minhash_incremental_screen(
     (``key_col``, ``band_0``..``band_{n-1}`` — the output of
     :func:`minhash_bands`, typically read back from parquet). Only
     ``new_df`` is tokenized and hashed; candidates are new docs sharing
-    any band value with a store doc. Returns one row per NEW doc:
+    any band value with a store doc whose key is NOT itself in the batch —
+    the screen sees the store AS OF BEFORE the batch, so an at-least-once
+    replay (even one whose append already landed) reproduces the identical
+    result. Returns one row per NEW doc:
     ``(key_col, matched_store_doc, n_matching_bands)`` with
-    ``matched_store_doc`` = min store key sharing a band (NULL when the
-    doc is novel) so callers can route novel docs into the store and
-    candidates into exact verification (:func:`ngram_jaccard`).
+    ``matched_store_doc`` = min qualifying store key sharing a band (NULL
+    when the doc is novel) so callers can route novel docs into the store
+    and candidates into exact verification (:func:`ngram_jaccard`).
 
     100 TB shape: per-row hashing on the new partition only; ONE band
     equi-join whose shuffle is bounded by signature bytes (never document
@@ -152,16 +155,28 @@ def minhash_incremental_screen(
     n_bands = len(salts or DEFAULT_SALTS)
     if new_bands is None:
         new_bands = minhash_bands(new_df, text_col, key_col, n_shingle, salts)
-    st = _stack_bands(store_bands, key_col, n_bands).select(
-        F.col(key_col).alias("__store_key"), "band_idx", "band_val"
+    # Screen semantics: "the store AS OF BEFORE this batch". Store rows
+    # whose key appears in the batch are excluded ENTIRELY (not just
+    # self-matches): at-least-once delivery can replay a batch whose
+    # append already landed, and under key-only self-exclusion two
+    # intra-batch near-dups would then flag against each other's
+    # just-stored signatures — a routing the first run never produced.
+    # Batch-key exclusion makes the screen a pure function of (pre-batch
+    # store, batch), identical on every replay of the same batch no
+    # matter where a crash fell.
+    batch_keys = new_bands.select(F.col(key_col).alias("__batch_key")).distinct()
+    st = (
+        _stack_bands(store_bands, key_col, n_bands)
+        .select(F.col(key_col).alias("__store_key"), "band_idx", "band_val")
+        .join(
+            batch_keys,
+            F.col("__store_key") == F.col("__batch_key"),
+            "left_anti",
+        )
     )
     nw = _stack_bands(new_bands, key_col, n_bands)
     hits = (
         nw.join(st, ["band_idx", "band_val"])
-        # a doc is not a duplicate of itself: when a batch is re-delivered
-        # after its signatures were stored (at-least-once ingest), the
-        # replayed doc must match only OTHER store docs
-        .where(F.col("__store_key") != F.col(key_col))
         .groupBy(key_col)
         .agg(
             F.min("__store_key").alias("matched_store_doc"),

@@ -157,11 +157,11 @@ class MinhashSignatureStore:
        so each doc is signed exactly once);
     3. appends the NOVEL docs' signatures to the store via keyed
        insert-if-absent (``ParquetTable`` K3 semantics), so at-least-once
-       delivery never duplicates the store, and the screen excludes
-       self-matches, so a replayed doc never flags against its own stored
-       signature (it may legitimately flag against OTHER docs stored since
-       its first delivery — intra-batch near-dup detection is a separate
-       pre-step, e.g. ``minhash_candidate_pairs`` on the batch);
+       delivery never duplicates the store; the screen sees the store AS
+       OF BEFORE the batch (store rows keyed by any batch member are
+       excluded), so replaying a batch — whether or not its append landed
+       — reproduces the identical screen (intra-batch near-dup detection
+       is a separate pre-step, e.g. ``minhash_candidate_pairs``);
     4. returns the screen frame (caller routes candidates into exact
        verification — ``ngram_jaccard`` — and novel docs into the corpus)
        plus observable counts.
@@ -231,22 +231,16 @@ class MinhashSignatureStore:
         (localCheckpoint), so they stay valid across any store rewrite.
 
         Duplicate keys WITHIN the batch collapse first-wins by ``text_col``
-        (a deterministic total order within a key) — at-least-once sources
-        can re-deliver a key with conflicting text, and an arbitrary
-        survivor would persist a nondeterministic signature."""
-        from pyspark.sql import Window
-
+        (a deterministic total order within a key) and null keys are
+        rejected — the same source discipline every table write applies
+        (``ParquetTable.dedup_first_wins``), so the screen's counts can
+        never disagree with what the append later accepts."""
         from airflow_dags_spark.operators.dedup import (
             minhash_bands,
             minhash_incremental_screen,
         )
 
-        w = Window.partitionBy(self.key_col).orderBy(text_col)
-        deduped = (
-            new_docs.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        deduped = self._table.dedup_first_wins(new_docs, [text_col])
         new_bands = minhash_bands(
             deduped, text_col, self.key_col, self.n_shingle, self.salts
         ).localCheckpoint(eager=True)  # sign once: screen AND append reuse
@@ -272,10 +266,11 @@ class MinhashSignatureStore:
         returns the number of rows actually appended.
 
         Separate from :meth:`screen` so callers with their own downstream
-        writes (the streaming sink) can order them BEFORE the store write:
-        if the store gets ahead of the routes and the batch replays,
-        intra-batch near-dups would flag against each other's just-stored
-        signatures — a routing the crash-free run would never produce."""
+        writes (the streaming sink) can order them BEFORE the store write —
+        the store should never get ahead of the routed output. (Routing
+        itself is replay-safe regardless: the screen excludes store rows
+        keyed by batch members, so it is a pure function of the pre-batch
+        store and the batch.)"""
         novel_keys = screen.where(F.col("matched_store_doc").isNull()).select(
             self.key_col
         )

@@ -97,6 +97,15 @@ class ParquetTable:
             .drop("__rn")
         )
 
+    def dedup_first_wins(self, src: DataFrame, order_by: list[str]) -> DataFrame:
+        """Public seam for the table's source-side dedup discipline:
+        first-wins by ``order_by`` within each key (which must be a
+        deterministic total order within a key) plus null-key rejection —
+        exactly what every write path applies, for callers that need the
+        same row set BEFORE writing (e.g. signing documents whose
+        signatures will later be inserted)."""
+        return self._dedup_source(src, order_by)
+
     # -- atomic commit ------------------------------------------------------
 
     def _atomic_overwrite(self, df: DataFrame) -> None:

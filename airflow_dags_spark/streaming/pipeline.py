@@ -648,18 +648,18 @@ def screened_ingest_sink(
     against PRIOR state); run ``minhash_candidate_pairs`` on the batch as
     a pre-step where intra-batch dedup matters.
 
-    Write order is load-bearing: routes first, store append LAST. If the
-    store ever got ahead of the routes (crash between the two) a replay
-    would screen the batch against its own just-stored signatures and
-    flag intra-batch near-dups a crash-free run would have accepted; with
-    the store last, a replay after any crash re-screens against the
-    pre-batch store state, reproduces the identical routing (K3 absorbs
-    the rewrites), and then lands the append. (A FRESH checkpoint is a
-    reprocess, not a replay: already-stored batches screen against their
-    own neighbors' signatures — self-matches excluded — so reprocessing
-    an intra-batch near-dup pair may add it to the flagged route; flags
-    are advisory candidates for exact verification, and no surface ever
-    duplicates.)
+    Replay determinism: the screen is a pure function of (pre-batch
+    store, batch) — store rows keyed by any batch member are excluded
+    (operators/dedup.py: minhash_incremental_screen), so replaying a
+    batch reproduces the identical routing no matter where a crash fell
+    (before the routes, between them, after the store append but before
+    the checkpoint commit). Routes still write before the store append so
+    the store never gets ahead of the routed output. (A FRESH checkpoint
+    that re-BATCHES history differently is a reprocess, not a replay:
+    batch boundaries define what "prior state" means, so a cross-batch
+    near-dup pair that lands in one reprocessed batch screens as novel;
+    flags are advisory candidates for exact verification, and no surface
+    ever duplicates.)
 
     100 TB shape: signing cost is per NEW document only; the screen
     shuffles band signatures (bucket-pruned), never text; both route

