@@ -41,7 +41,14 @@ def shingles_from_tokens(toks: Column, n: int) -> Column:
     keeps multi-use non-cheap projections materialized (CollapseProject's
     isCheap rule), making this a true compute-once barrier.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # A doc with fewer than n tokens has NO shingles: the index range must
+    # be EMPTY, not sequence(1, 0) — Spark's sequence descends when start >
+    # stop, so that form yields [1, 0] and element_at(toks, 0) throws
+    # INVALID_INDEX_OF_ZERO, killing the whole job on one short doc.
+    end = F.size(toks) - (n - 1)
+    idx = F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )

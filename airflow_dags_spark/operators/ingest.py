@@ -173,8 +173,8 @@ class MinhashSignatureStore:
     100 TB shape: signing cost is paid once per document lifetime; the
     screen shuffles signatures (bounded, band-bucket pruned), the append
     anti-joins on the key column only. The store grows with the corpus
-    (~n_bands × 32-hex per doc — 4 bands ≈ 130 B/doc ≈ 130 GB/trillion
-    docs, scan-prunable parquet), never with batch count.
+    (~n_bands × 32-hex per doc — 4 bands ≈ 130 B/doc ≈ 130 TB per
+    trillion docs, scan-prunable parquet), never with batch count.
     """
 
     def __init__(

@@ -57,6 +57,7 @@ from airflow_dags_spark.functions.scalable_windows import (
 )
 from airflow_dags_spark.functions.vectors import as_double, cosine
 from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.plans.shared import monthly_revenue_cents
 from airflow_dags_spark.sources.tables import read_table
 
 _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -603,19 +604,8 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded (≤ ~84 rows per nation), so the pairwise i<j
     comparison is a broadcast self-join over a few-thousand-row frame, not
     data rows; revenue is exact cents so every sign and tie is exact."""
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
     nat = read_table(spark, sf_dir, "nation")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_nationkey").alias("nk"),
-            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate"))
-            .alias("t"),
-        )
-        .agg(F.sum(cents).alias("y"))
-    )
+    m = monthly_revenue_cents(spark, sf_dir)
     a = m.alias("a")
     b = m.alias("b")
     s = (
@@ -926,19 +916,8 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0)), so z-scores are identical doubles cross-engine; the
     only window is a row_number over ≤ ~84 monthly rows per nation.
     Zero-variance or single-point series drop out on both engines."""
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
     nat = read_table(spark, sf_dir, "nation")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_nationkey").alias("nk"),
-            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate"))
-            .alias("t"),
-        )
-        .agg(F.sum(cents).alias("y"))
-    )
+    m = monthly_revenue_cents(spark, sf_dir)
     stats = m.groupBy("nk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s"),

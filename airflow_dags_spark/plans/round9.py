@@ -555,19 +555,13 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments frame broadcast back; the only window is a LAG over the
     bounded monthly series. Guards: n > 2 and nonzero t-variance for the
     fit, nonzero residual energy for the ratio."""
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
+    from airflow_dags_spark.plans.shared import monthly_revenue_cents
+
     nat = read_table(spark, sf_dir, "nation")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_nationkey").alias("nk"),
-            (
-                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
-            ).alias("t"),
-        )
-        .agg((F.sum(cents) / 100.0).alias("y"))
+    # sum first, divide after: col(y_cents)/100.0 == sum(cents)/100.0
+    # bit-exactly, so the shared cents frame preserves oracle parity
+    m = monthly_revenue_cents(spark, sf_dir).select(
+        "nk", "t", (F.col("y") / 100.0).alias("y")
     )
     mom = m.groupBy("nk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -629,6 +629,8 @@ def screened_ingest_sink(
     *,
     key_col: str = "doc_id",
     text_col: str = "text",
+    n_shingle: int = 3,
+    salts: list[str] | None = None,
     append_matched: bool = False,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -670,7 +672,13 @@ def screened_ingest_sink(
 
     def screen_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        store = MinhashSignatureStore(spark, store_path, key_col)
+        # n_shingle/salts MUST match how the store was built: a mismatched
+        # band set would screen on the wrong signatures and then fail the
+        # append on missing band columns — pass the store's configuration
+        # through, never assume the defaults
+        store = MinhashSignatureStore(
+            spark, store_path, key_col, n_shingle=n_shingle, salts=salts
+        )
         screen, new_bands = store.screen(batch, text_col)
         flagged_keys = screen.where(F.col("matched_store_doc").isNotNull())
         accepted = batch.join(

@@ -43,8 +43,11 @@ ABS_FLOOR_S = 0.3
 def load_round_queries(path: str) -> dict[str, float] | None:
     """Extract the per-query timings from a driver BENCH_r*.json record
     (or a raw `python bench.py` stdout line saved to a file)."""
-    with open(path) as f:
-        raw = f.read()
+    try:
+        with open(path) as f:
+            raw = f.read()
+    except OSError:
+        return None  # bad --candidate path → the JSON error contract below
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
@@ -108,10 +111,15 @@ def main() -> int:
     for arg in sys.argv[1:]:
         if arg.startswith("--candidate="):
             candidate = arg.split("=", 1)[1]
-    rounds = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # only files with a numeric round suffix are history — a stray
+    # BENCH_r*-named file (backup, rename) must be ignored, not crash the
+    # gate with an AttributeError mid-sort
+    numbered = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rounds = [p for _, p in sorted(numbered)]
     histories = [(p, load_round_queries(p)) for p in rounds]
     histories = [(p, q) for p, q in histories if q]
     if candidate:

@@ -301,3 +301,41 @@ def test_signature_store_conflicting_duplicate_keys_first_wins_by_text(
     ).collect()[0]
     got = store.read().collect()[0]
     assert (got.band_0, got.band_1) == (expected.band_0, expected.band_1)
+
+
+def test_short_and_empty_docs_flow_through_minhash_surface(spark, tmp_path):
+    """Docs with <3 tokens (or empty/NULL text) have NO shingles: bands
+    must be NULL (never an element_at(toks, 0) crash — Spark's
+    sequence(1, 0) DESCENDS), they screen as novel, and they match
+    nothing downstream."""
+    from pyspark.sql import functions as F
+
+    from airflow_dags_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+    )
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, _BASE), (5, _BASE)],
+        "doc_id long, text string",
+    )
+    bands = {r.doc_id: r.band_0 for r in minhash_bands(df, "text", "doc_id").collect()}
+    assert bands[1] is None and bands[2] is None and bands[3] is None
+    assert bands[4] is not None
+    # short docs never pair; the identical long docs do
+    pairs = minhash_candidate_pairs(df, "text", "doc_id").collect()
+    assert [(r.key_a, r.key_b) for r in pairs] == [(4, 5)]
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    screen, counts = store.ingest(df.where(F.col("doc_id") <= 4), "text")
+    assert counts["n_batch"] == 4 and counts["n_dup_candidates"] == 0
+    # batch 2: another short doc + a near-dup of stored 4
+    screen2, _ = store.ingest(
+        spark.createDataFrame(
+            [(6, "tiny"), (7, _BASE + " extra tail")], "doc_id long, text string"
+        ),
+        "text",
+    )
+    got = {r.doc_id: r.matched_store_doc for r in screen2.collect()}
+    assert got[6] is None
+    assert got[7] == 4
