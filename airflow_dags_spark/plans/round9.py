@@ -57,6 +57,7 @@ from airflow_dags_spark.operators.dedup import (
 )
 from airflow_dags_spark.operators.scoring import linear_score_arrow
 from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.plans.shared import monthly_revenue_cents
 from airflow_dags_spark.sources.tables import read_table
 
 _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -555,8 +556,6 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments frame broadcast back; the only window is a LAG over the
     bounded monthly series. Guards: n > 2 and nonzero t-variance for the
     fit, nonzero residual energy for the ratio."""
-    from airflow_dags_spark.plans.shared import monthly_revenue_cents
-
     nat = read_table(spark, sf_dir, "nation")
     # sum first, divide after: col(y_cents)/100.0 == sum(cents)/100.0
     # bit-exactly, so the shared cents frame preserves oracle parity

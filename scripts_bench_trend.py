@@ -43,11 +43,8 @@ ABS_FLOOR_S = 0.3
 def load_round_queries(path: str) -> dict[str, float] | None:
     """Extract the per-query timings from a driver BENCH_r*.json record
     (or a raw `python bench.py` stdout line saved to a file)."""
-    try:
-        with open(path) as f:
-            raw = f.read()
-    except OSError:
-        return None  # bad --candidate path → the JSON error contract below
+    with open(path) as f:
+        raw = f.read()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
@@ -123,7 +120,15 @@ def main() -> int:
     histories = [(p, load_round_queries(p)) for p in rounds]
     histories = [(p, q) for p, q in histories if q]
     if candidate:
-        new_path, new_q = candidate, load_round_queries(candidate)
+        # only the CANDIDATE load tolerates a bad path (JSON error contract
+        # below); an unreadable HISTORY round must still crash loudly —
+        # silently dropping it would compare the wrong rounds and mask a
+        # recorded regression
+        try:
+            new_q = load_round_queries(candidate)
+        except OSError:
+            new_q = None
+        new_path = candidate
         old_path, old_q = histories[-1] if histories else (None, None)
     elif len(histories) >= 2:
         (old_path, old_q), (new_path, new_q) = histories[-2], histories[-1]
