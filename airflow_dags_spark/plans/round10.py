@@ -975,9 +975,13 @@ WITH s AS (
 ),
 prior AS (
   -- beta-binomial method of moments over the observed per-supplier rates:
-  -- alpha+beta = m(1-m)/v - 1, alpha = m*(alpha+beta)
-  SELECT AVG(x / CAST(n AS DOUBLE)) AS m,
-         VAR_SAMP(x / CAST(n AS DOUBLE)) AS v,
+  -- alpha+beta = m(1-m)/v - 1, alpha = m*(alpha+beta).
+  -- m and v are ROUNDED to 12 dp on both engines before use: AVG/VAR_SAMP
+  -- merge partials in engine-specific order, so the raw doubles differ in
+  -- the last ulp — unrounded they would feed that noise into every
+  -- shrunk_rate (the registry rounding rule, applied to the prior inputs)
+  SELECT ROUND(AVG(x / CAST(n AS DOUBLE)), 12) AS m,
+         ROUND(VAR_SAMP(x / CAST(n AS DOUBLE)), 12) AS v,
          CAST(COUNT(*) AS BIGINT) AS k
   FROM s
 )
@@ -1013,9 +1017,14 @@ def ml_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
     )
     rate = F.col("x") / F.col("n").cast("double")
+    # prior moments rounded to 12 dp BEFORE computing alpha/beta: Spark and
+    # DuckDB merge AVG/VAR_SAMP partials in different orders, and unrounded
+    # last-ulp noise in (m, v) would propagate into every shrunk_rate (the
+    # registry's output rounding rule, applied here to the prior inputs —
+    # mirrored in EB_RATES_ORACLE)
     prior = s.agg(
-        F.avg(rate).alias("m"),
-        F.var_samp(rate).alias("v"),
+        F.round(F.avg(rate), 12).alias("m"),
+        F.round(F.var_samp(rate), 12).alias("v"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
     j = s.crossJoin(F.broadcast(prior))

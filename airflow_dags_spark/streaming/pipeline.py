@@ -656,7 +656,20 @@ def screened_ingest_sink(
     batch reproduces the identical routing no matter where a crash fell
     (before the routes, between them, after the store append but before
     the checkpoint commit). Routes still write before the store append so
-    the store never gets ahead of the routed output. (A FRESH checkpoint
+    the store never gets ahead of the routed output.
+
+    **Cross-batch recall loss from that exclusion** (the price of replay
+    determinism, beyond the intra-batch case above): if a batch
+    re-delivers an OLD key K (stored rounds ago) alongside a NEW doc D
+    that is a near-dup of K, K's store rows are excluded from D's screen,
+    so D routes as novel — and since both routes are insert-if-absent and
+    never re-screened, D is accepted permanently. The key-only
+    self-exclusion this replaced did not have that miss (it only excluded
+    each doc's own key). Mitigations: dedup re-delivered old keys
+    upstream (an anti-join of the batch against the store's key column
+    before this sink), or run a second advisory pass comparing the batch
+    against the excluded-but-preexisting store rows and treat its hits as
+    flags-after-the-fact. (A FRESH checkpoint
     that re-BATCHES history differently is a reprocess, not a replay:
     batch boundaries define what "prior state" means, so a cross-batch
     near-dup pair that lands in one reprocessed batch screens as novel;

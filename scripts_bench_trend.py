@@ -40,19 +40,38 @@ RATIO_THRESHOLD = 1.5
 ABS_FLOOR_S = 0.3
 
 
-def load_round_queries(path: str) -> dict[str, float] | None:
+def load_round_queries(path: str, *, strict: bool = False) -> dict[str, float] | None:
     """Extract the per-query timings from a driver BENCH_r*.json record
-    (or a raw `python bench.py` stdout line saved to a file)."""
+    (or a raw `python bench.py` stdout line saved to a file).
+
+    Two distinct "no data" cases, deliberately kept apart:
+
+    - **corrupt JSON** — the file itself is unreadable. With
+      ``strict=True`` (the history path) this RAISES: silently dropping a
+      corrupt history round would make the trend compare the wrong two
+      rounds and mask a recorded regression. The candidate path stays
+      tolerant (``strict=False`` → None → clean exit-2 contract).
+    - **valid driver record with no parsed line** (``parsed: null`` — the
+      round-4 truncation hole) — returns ``{}``. That is a driver-recorded
+      absence, not corruption; the caller skips it loudly.
+    """
     with open(path) as f:
         raw = f.read()
     try:
         d = json.loads(raw)
-    except json.JSONDecodeError:
+    except json.JSONDecodeError as exc:
+        if strict:
+            raise ValueError(f"corrupt bench record {path}: {exc}") from exc
         return None
     if isinstance(d, dict) and "queries" in d:  # raw bench stdout line
         return dict(d["queries"])
-    if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
-        return dict(d["parsed"].get("queries") or {})
+    if isinstance(d, dict) and "parsed" in d:  # driver record
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict):
+            return dict(parsed.get("queries") or {})
+        return {}  # parsed: null — recorded absence, not corruption
+    if strict:
+        raise ValueError(f"unrecognized bench record shape: {path}")
     return None
 
 
@@ -117,13 +136,29 @@ def main() -> int:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     rounds = [p for _, p in sorted(numbered)]
-    histories = [(p, load_round_queries(p)) for p in rounds]
-    histories = [(p, q) for p, q in histories if q]
+    # HISTORY loads are strict: corrupt JSON in a recorded round is fatal
+    # (exit 2) — silently dropping it would compare the wrong two rounds
+    # and mask a recorded regression. A valid record with ``parsed: null``
+    # (the round-4 truncation hole) is a driver-recorded absence and is
+    # skipped with a loud stderr warning instead.
+    histories = []
+    for p in rounds:
+        try:
+            q = load_round_queries(p, strict=True)
+        except (OSError, ValueError) as exc:
+            print(json.dumps({"error": f"unreadable history round: {exc}"}))
+            return 2
+        if not q:
+            print(
+                f"warning: {os.path.basename(p)} has no parsed bench line "
+                "(driver-recorded absence) — skipped",
+                file=sys.stderr,
+            )
+            continue
+        histories.append((p, q))
     if candidate:
-        # only the CANDIDATE load tolerates a bad path (JSON error contract
-        # below); an unreadable HISTORY round must still crash loudly —
-        # silently dropping it would compare the wrong rounds and mask a
-        # recorded regression
+        # only the CANDIDATE load tolerates a bad path or bad JSON (the
+        # JSON error contract below reports it as exit 2, never a crash)
         try:
             new_q = load_round_queries(candidate)
         except OSError:

@@ -54,6 +54,41 @@ def test_parses_driver_record_and_raw_bench_line(tmp_path):
     assert load_round_queries(str(raw)) == {"q1": 0.6}
 
 
+def test_strict_history_load_distinguishes_corruption_from_absence(tmp_path):
+    """Corrupt JSON in a history round must RAISE under strict (silently
+    dropping it would compare the wrong two rounds); a valid driver record
+    with ``parsed: null`` (the round-4 truncation) is a recorded absence
+    and returns {} so the caller can skip it loudly."""
+    import pytest
+
+    corrupt = tmp_path / "BENCH_r97.json"
+    corrupt.write_text('{"rc": 0, "parsed": {truncated')
+    absent = tmp_path / "BENCH_r98.json"
+    absent.write_text(json.dumps({"rc": 0, "parsed": None}))
+    with pytest.raises(ValueError, match="corrupt bench record"):
+        load_round_queries(str(corrupt), strict=True)
+    assert load_round_queries(str(corrupt)) is None  # candidate stays tolerant
+    assert load_round_queries(str(absent), strict=True) == {}
+
+
+def test_cli_exits_2_on_corrupt_history_round(tmp_path):
+    """End-to-end: a corrupt BENCH_r*.json in the scanned directory makes
+    the CLI exit 2 with an error line instead of silently comparing the
+    wrong rounds."""
+    import shutil
+
+    for n in (1, 2):
+        shutil.copy(f"/root/repo/BENCH_r0{n}.json", tmp_path / f"BENCH_r0{n}.json")
+    (tmp_path / "BENCH_r03.json").write_text("{not json")
+    script = tmp_path / "scripts_bench_trend.py"
+    shutil.copy("/root/repo/scripts_bench_trend.py", script)
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=60
+    )
+    assert proc.returncode == 2, (proc.stdout, proc.stderr)
+    assert "unreadable history round" in proc.stdout
+
+
 def test_cli_runs_on_recorded_history():
     """Six rounds of BENCH_r*.json exist in the repo — the CLI must parse
     them and emit one JSON report line (exit 0: report mode never gates)."""
