@@ -22,9 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from airflow_dags_spark.plans import registry
 from airflow_dags_spark.session import get_spark
 
+# Round-8 retirement (stdout-byte budget): the driver's tail capture is
+# exactly 2000 bytes, so the headline list cannot grow monotonically.
+# Thirteen flat sub-0.5 s queries whose 7-round record never moved outside
+# the noise band and whose operator family stays represented were retired
+# from the LINE (they remain registered + oracle-checked; their history
+# stands in BENCH_r01-r07): q6_forecast_revenue, window_topn_per_customer,
+# k3_insert_if_absent, agg_global_stats, multimodal_features,
+# text_quality_stats, window_tumbling_hourly, json_variant_agg,
+# agg_geomean_udaf, timeseries_ewma_final, dq_expectations,
+# agg_argmax_struct, gaps_islands_streaks. The deliberately-KEPT watch
+# items (layout_zorder_bucket_stats, agg_weighted_quantiles,
+# dedup_minhash_est_error, ml_lift_gains_table) stay until adjudicated.
 HEADLINE = [
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     # heavy-join TPC-H: multi-way joins + big aggregations, the queries where
@@ -32,31 +43,19 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_volume_customers",
     "q21_waiting_supplier",
-    "window_topn_per_customer",
-    "k3_insert_if_absent",
     "k4_merge_upsert",
-    "agg_global_stats",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_ivf_topk",
-    "multimodal_features",
-    "text_quality_stats",
-    "window_tumbling_hourly",
     "window_session_30m",
     "curate_corpus",
-    "json_variant_agg",
-    "agg_geomean_udaf",
     # round-2 continuation: portable-sketch + Spark-gap headline coverage
     "sketch_bloom_membership",
-    "timeseries_ewma_final",
     "window_trailing_distinct_users",
-    # round-3: regression aggs, one-pass DQ, window-free argmax, islands
+    # round-3: regression aggs
     "regr_linear_functions",
-    "dq_expectations",
-    "agg_argmax_struct",
-    "gaps_islands_streaks",
     # round-4: exact heavy hitters, bitmap distinct, bucketed weighted
     # median, portable checksum
     "agg_exact_heavy_hitters",
@@ -104,6 +103,15 @@ HEADLINE = [
 # sampled at import, before the JVM/session spin-up inflates load1 with our
 # own startup burst — this approximates the load OTHER processes put on the box
 LOAD_AT_START = round(os.getloadavg()[0], 2)
+
+
+def compact_med(x: float) -> float:
+    """Per-query median rendered at ≤4 chars for any value under 100 s:
+    2 decimals below 10 s (10 ms granularity — already under the ±13%
+    run-to-run noise band), 1 decimal above. Keeps the stdout line's
+    worst-case width bounded so the 2000-byte tail capture never truncates
+    the record (the round-4 failure mode)."""
+    return round(x, 2) if x < 10 else round(x, 1)
 
 
 def render_stdout_line(
@@ -179,6 +187,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
@@ -191,10 +200,11 @@ def main() -> None:
         med = runs[len(runs) // 2] if n_runs % 2 else (
             (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
         )
-        # 2 decimals: 10 ms granularity is below the ±13% run-to-run noise
-        # band, and the shorter rendering keeps the stdout line inside the
-        # driver's ~2 KB tail capture (see the stdout-contract note below)
-        timings[name] = round(med, 2)
+        # width-capped rendering (see compact_med) keeps the stdout line
+        # inside the driver's 2000-byte tail capture; the full-precision
+        # median goes to the BENCH_DETAIL.json sidecar
+        timings[name] = compact_med(med)
+        medians[name] = round(med, 4)
         spreads[name] = round((runs[-1] - runs[0]) / med, 3) if med > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
@@ -222,6 +232,7 @@ def main() -> None:
     )
     detail = {
         "query_spread": spreads,
+        "query_median": medians,  # full precision; the line is width-capped
         "bench_runs_per_query": n_runs,
         "cpus": os.cpu_count(),
         "stdout_line_bytes": len(line),
