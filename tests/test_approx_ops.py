@@ -230,6 +230,39 @@ def test_simhash_near_dup_hamming(spark):
     assert ham(fp[1], fp[2]) <= 12
 
 
+def test_simhash_batch_matches_scalar_reference():
+    """The numpy-vectorized batch path must agree BIT-FOR-BIT with the
+    scalar reference on every edge: nulls, empty/whitespace-only text,
+    mixed case, repeated tokens, unicode, multi-chunk batches."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from airflow_dags_spark.operators.dedup import (
+        _SIMHASH_CHUNK_TOKENS,
+        _simhash_batch,
+        _simhash_one,
+    )
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 12)))
+        for _ in range(300)
+    ] + ["naïve", "héllo", "日本語", "a-b.c"]
+    texts = [None, "", "   \t  ", "Hello WORLD hello", "x"] + [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 60))) for _ in range(200)
+    ]
+    got = list(_simhash_batch(pd.Series(texts, dtype=object)))
+    assert got == [_simhash_one(t) for t in texts]
+
+    # a single doc larger than the chunk bound exercises the oversized-doc
+    # branch of the chunker
+    big = " ".join(rng.choices(vocab, k=_SIMHASH_CHUNK_TOKENS + 5))
+    got2 = list(_simhash_batch(pd.Series([big, "tiny"], dtype=object)))
+    assert got2 == [_simhash_one(big), _simhash_one("tiny")]
+
+
 # --- multimodal plumbing ------------------------------------------------------
 
 
