@@ -220,6 +220,8 @@ def chunk_text(
     key_col: str,
     chunk_size: int = 64,
     overlap: int = 16,
+    *,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window token chunking with overlap — the context-window
     splitter feeding an embedding/training stage. Output
@@ -230,12 +232,16 @@ def chunk_text(
     built-in: ``sequence`` for window starts, ``slice`` + ``array_join``
     for the window — no Python in the loop, so chunking 100 TB of text is
     a pure codegen map stage with zero shuffles.
+
+    ``extra_cols`` ride along unchanged (e.g. ``source`` for per-source
+    chunk stats) — pass-through in the map stage instead of a chunks×docs
+    re-join downstream, which at scale would shuffle both sides.
     """
     assert 0 <= overlap < chunk_size, "need 0 <= overlap < chunk_size"
     stride = chunk_size - overlap
     toks = tokens(text_col)
     base = df.select(
-        F.col(key_col), toks.alias("__toks")
+        F.col(key_col), *[F.col(c) for c in extra_cols], toks.alias("__toks")
     ).withColumn(
         "start_pos",
         F.explode(
@@ -245,6 +251,7 @@ def chunk_text(
     window = F.slice(F.col("__toks"), F.col("start_pos"), chunk_size)
     return base.select(
         key_col,
+        *extra_cols,
         ((F.col("start_pos") - 1) / F.lit(stride)).cast("bigint").alias("chunk_idx"),
         F.col("start_pos").cast("bigint").alias("start_pos"),
         F.array_join(window, " ").alias("chunk"),

@@ -69,4 +69,5 @@ def load_all() -> None:
         round8,
         round9,
         round10,
+        round11,
     )

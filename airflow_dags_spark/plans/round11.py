@@ -1,0 +1,480 @@
+"""Round-11 registry additions — the three genuinely-new surfaces the r7
+verdict ranked for this round (§Next-round #6), kept small (5 queries) so
+the 27-query driver-verification backlog drains inside the same window:
+
+- **meta_bench_trend / meta_correctness_rounds** — the cross-round
+  regression dashboard surfaced as driver queries: the engine analyzes its
+  own recorded sidecar history (BENCH_r*.json / CORRECTNESS_r*.json) with
+  the same relational operators it runs on data. The round window is
+  PINNED at registration time (rounds 1–7): the history is append-only,
+  and an unpinned glob would race the driver writing the current round's
+  files between the Spark run and the oracle run — a cross-engine
+  mismatch by timing, not by computation.
+- **sim_ivf_recenter_step** — one deterministic re-centering step of an
+  IVF coarse quantizer, fully oracle-checked: assign every vector to its
+  nearest seed centroid by ROUNDED cosine (6 dp + lowest-cell tiebreak,
+  the established cross-engine ranking discipline), then emit per
+  (cell, dim) the member count, new centroid component, and shift. The
+  persistent incremental form (sufficient-statistics store, batch-ledger
+  replay safety) is ``operators/ann_store.py:IvfIndexStore`` —
+  pytest-verified against a numpy reference; this query is its
+  SQL-expressible single step.
+- **rag_chunk_dedup** — the RAG ingestion composition chunk → fingerprint
+  → exact-dedup: 64/16 sliding-window chunks (the ``text_chunk_overlap``
+  splitter, source column riding along in the map stage — no chunks×docs
+  re-join), md5 chunk fingerprints, per-source duplication stats.
+- **rag_chunk_screen** — the near-dup sibling: chunk → MinHash-band sign
+  → incremental screen of new-half chunks against the stored-half
+  signatures (the ``dedup_minhash_incr_screen`` operator composed over
+  chunks instead of documents), oracle-mirrored with the same banded SQL.
+
+Scale notes (100 TB): the meta queries read kilobytes (fixed sidecar
+files). Recenter-step shuffles (a) one narrow (vec, cell, sim) frame that
+map-side partial-min collapses to one row per vector before the exchange,
+(b) the corpus once for the member join, (c) k×dim aggregates — never an
+unbounded window; k is a constant. Chunk dedup is a codegen map stage
+plus two hash aggregations keyed by fingerprint/source; chunk screen
+signs each chunk once and band-joins signatures only (bytes bounded by
+signatures, with band-value bucket pruning) — both inherit the linear
+shapes of their document-level parents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, MapType, StringType, StructField, StructType
+
+from airflow_dags_spark.functions.text import chunk_text
+from airflow_dags_spark.functions.vectors import as_double, cosine
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+# The dashboard window is pinned to the rounds recorded when this module
+# was registered (append-only history; later rounds extend the pin in
+# later registrations). See the module docstring for why an open glob
+# would be a cross-engine race.
+_META_MAX_ROUND = 7
+_REPO_DIR = "/root/repo"
+
+
+# --------------------------------------------------------------------------
+# meta_bench_trend — per-query round-over-round timing ratios
+# --------------------------------------------------------------------------
+
+BENCH_TREND_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
+           AS round,
+         parsed.queries AS qmap
+  FROM read_json('{_REPO_DIR}/BENCH_r*.json', filename=true,
+        columns={{'parsed': 'STRUCT(queries MAP(VARCHAR, DOUBLE))'}})
+  WHERE CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
+          <= {_META_MAX_ROUND}
+    AND parsed.queries IS NOT NULL
+),
+q AS (
+  SELECT round, unnest(map_keys(qmap)) AS query,
+         unnest(map_values(qmap)) AS sec
+  FROM b
+)
+SELECT cur.round, cur.query, prev.sec AS prev_s, cur.sec AS cur_s,
+       ROUND(cur.sec / prev.sec, 2) AS ratio,
+       (cur.sec > prev.sec * 1.5 AND cur.sec - prev.sec > 0.3) AS flagged
+FROM q cur
+JOIN q prev ON prev.query = cur.query AND prev.round = cur.round - 1
+"""
+
+
+@register("meta_bench_trend", BENCH_TREND_ORACLE)
+def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-over-round per-query bench ratios from the recorded
+    BENCH_r*.json history — the scripts_bench_trend.py detector as a
+    relational plan (self-join on (query, round-1)); ``flagged`` applies
+    the same ratio-AND-absolute rule (1.5×, 0.3 s floor). Rounds with no
+    parsed line (the r4 truncation hole) drop out on both engines."""
+    b = (
+        spark.read.option("multiLine", "true")
+        .schema("parsed struct<queries: map<string,double>>")
+        .json(f"{_REPO_DIR}/BENCH_r*.json")
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"BENCH_r(\d+)\.json", 1
+            )
+            .cast("bigint")
+            .alias("round"),
+            F.col("parsed.queries").alias("qmap"),
+        )
+        .where((F.col("round") <= _META_MAX_ROUND) & F.col("qmap").isNotNull())
+    )
+    q = b.select("round", F.explode("qmap").alias("query", "sec"))
+    cur, prev = q.alias("cur"), q.alias("prev")
+    return cur.join(
+        prev,
+        (F.col("prev.query") == F.col("cur.query"))
+        & (F.col("prev.round") == F.col("cur.round") - 1),
+    ).select(
+        F.col("cur.round").alias("round"),
+        F.col("cur.query").alias("query"),
+        F.col("prev.sec").alias("prev_s"),
+        F.col("cur.sec").alias("cur_s"),
+        F.round(F.col("cur.sec") / F.col("prev.sec"), 2).alias("ratio"),
+        (
+            (F.col("cur.sec") > F.col("prev.sec") * 1.5)
+            & (F.col("cur.sec") - F.col("prev.sec") > 0.3)
+        ).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# meta_correctness_rounds — per-round driver-verification summary
+# --------------------------------------------------------------------------
+
+CORRECTNESS_ROUNDS_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
+              AS BIGINT) AS round,
+         json(content) AS j
+  FROM read_text('{_REPO_DIR}/CORRECTNESS_r*.json')
+  WHERE CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
+             AS BIGINT) <= {_META_MAX_ROUND}
+),
+k AS (SELECT round, unnest(json_keys(j)) AS query, j FROM f),
+rw AS (
+  SELECT round, query,
+         CAST(json_extract(j, '$."' || query || '".hash_match')
+              AS VARCHAR) = 'true' AS hm,
+         json_extract_string(j, '$."' || query || '".err') AS err
+  FROM k
+)
+SELECT round,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN hm THEN 1 ELSE 0 END) AS BIGINT) AS n_hash_match,
+       CAST(SUM(CASE WHEN err = 'no_oracle' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rows_only,
+       CAST(SUM(CASE WHEN err IS NOT NULL AND err != 'no_oracle'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+FROM rw GROUP BY round
+"""
+
+
+@register("meta_correctness_rounds", CORRECTNESS_ROUNDS_ORACLE)
+def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round driver-verification summary from CORRECTNESS_r*.json —
+    dynamic JSON keys handled as a MAP (wholetext scan + ``from_json``
+    MapType; the oracle unnests ``json_keys``). The engine's own
+    correctness ledger, queryable."""
+    row_schema = MapType(
+        StringType(),
+        StructType(
+            [
+                StructField("hash_match", BooleanType()),
+                StructField("err", StringType()),
+            ]
+        ),
+    )
+    c = (
+        spark.read.text(f"{_REPO_DIR}/CORRECTNESS_r*.json", wholetext=True)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"CORRECTNESS_r(\d+)\.json", 1
+            )
+            .cast("bigint")
+            .alias("round"),
+            F.from_json(F.col("value"), row_schema).alias("m"),
+        )
+        .where(F.col("round") <= _META_MAX_ROUND)
+        .select("round", F.explode("m").alias("query", "row"))
+    )
+    return c.groupBy("round").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("row.hash_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hash_match"),
+        F.sum(F.when(F.col("row.err") == "no_oracle", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_only"),
+        F.sum(
+            F.when(
+                F.col("row.err").isNotNull() & (F.col("row.err") != "no_oracle"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_ivf_recenter_step — one oracle-checked IVF re-centering step
+# --------------------------------------------------------------------------
+
+_K_CELLS = 8
+
+IVF_RECENTER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c FROM e
+  WHERE vec_id < {_K_CELLS}
+),
+sims AS (
+  SELECT e.vec_id, cent.cell,
+         ROUND(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(cent.c, cent.c)) > 0
+                    THEN list_dot_product(e.v, cent.c)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cent.c, cent.c)))
+                    ELSE 0.0 END, 6) + 0.0 AS sim
+  FROM e, cent
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+memb AS (
+  SELECT b.cell,
+         unnest(e.v) AS val,
+         unnest(generate_series(0, len(e.v) - 1)) AS dim
+  FROM best b JOIN e USING (vec_id)
+),
+perdim AS (
+  SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n_members, AVG(val) AS m
+  FROM memb GROUP BY cell, dim
+),
+old AS (
+  SELECT cell, unnest(c) AS old_v,
+         unnest(generate_series(0, len(c) - 1)) AS dim
+  FROM cent
+)
+SELECT p.cell, p.dim, p.n_members,
+       ROUND(p.m, 6) + 0.0 AS new_c,
+       ROUND(p.m - o.old_v, 6) + 0.0 AS shift
+FROM perdim p JOIN old o USING (cell, dim)
+"""
+
+
+@register("sim_ivf_recenter_step", IVF_RECENTER_ORACLE)
+def sim_ivf_recenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic IVF re-centering step (the SQL-expressible core
+    of ``operators/ann_store.py:IvfIndexStore``): seed centroids = the
+    8 lowest vec_ids, assignment by rounded cosine (6 dp, lowest
+    cell on ties — argmin of a (-sim, cell) struct, NO ranking window),
+    new centroid = per-dim member mean, emitted per (cell, dim) with the
+    component shift.
+
+    Plan: broadcast the k-row centroid frame; the (vec × k) similarity
+    rows collapse map-side (partial min per vec_id) before one narrow
+    exchange; corpus joins the assignment once; per-(cell, dim) partial
+    aggregation bounds the final shuffle at k×dim groups."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    cent = (
+        v.where(F.col("vec_id") < _K_CELLS)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c")
+        )
+    )
+    sims = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (F.round(cosine(F.col("v"), F.col("c")), 6) + F.lit(0.0)).alias("sim"),
+    )
+    best = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("sim")).alias("ns"), F.col("cell").alias("cell"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    memb = v.join(best, "vec_id").select(
+        "cell", F.posexplode("v").alias("dim", "val")
+    )
+    perdim = memb.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.avg("val").alias("m"),
+    )
+    old = cent.select("cell", F.posexplode("c").alias("dim", "old_v"))
+    return perdim.join(F.broadcast(old), ["cell", "dim"]).select(
+        "cell",
+        "dim",
+        "n_members",
+        (F.round(F.col("m"), 6) + F.lit(0.0)).alias("new_c"),
+        (F.round(F.col("m") - F.col("old_v"), 6) + F.lit(0.0)).alias("shift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rag_chunk_dedup — chunk → fingerprint → exact-dedup stats per source
+# --------------------------------------------------------------------------
+
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+
+RAG_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split({_NORM}, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         md5(array_to_string(toks[i:i+63], ' ')) AS fp
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(toks), 1), 48)) AS i
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS dup_ratio
+FROM c GROUP BY source
+"""
+
+
+@register("rag_chunk_dedup", RAG_CHUNK_DEDUP_ORACLE)
+def rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion dedup, exact tier: 64/16 sliding-window chunks
+    (``chunk_text``, source riding along in the map stage), md5 chunk
+    fingerprints, per-source duplication stats — the chunk-level form of
+    ``dedup_exact`` and the exact-verify floor under ``rag_chunk_screen``.
+    Plan: codegen chunking map → one (source, fp)-keyed distinct-count
+    aggregation; no join anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_text(
+        d, "text", "doc_id", chunk_size=64, overlap=16, extra_cols=("source",)
+    ).select("source", F.md5("chunk").alias("fp"))
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.count_distinct("fp").cast("bigint").alias("n_distinct"),
+        (
+            F.round(
+                1.0
+                - F.count_distinct("fp") / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rag_chunk_screen — chunk → MinHash sign → incremental screen
+# --------------------------------------------------------------------------
+
+_CHUNK_ID = "doc_id * 100000 + chunk_idx"
+
+_CHUNK_SHINGLES = """
+list_distinct(
+  list_transform(
+    generate_series(1, GREATEST(len(ctoks) - 2, 0)),
+    i -> ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2]
+  )
+)
+"""
+
+RAG_CHUNK_SCREEN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         doc_id * 100000 + CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+         doc_id % 2 = 0 AS is_store,
+         toks[i:i+63] AS ctoks
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(toks), 1), 48)) AS i
+  )
+),
+sh AS MATERIALIZED (
+  SELECT chunk_id, is_store, {_CHUNK_SHINGLES} AS sh FROM ch
+),
+bands AS MATERIALIZED (
+  SELECT chunk_id, is_store,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b0:' || s))) END AS band_0,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b1:' || s))) END AS band_1,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b2:' || s))) END AS band_2,
+    CASE WHEN len(sh) > 0
+         THEN list_min(list_transform(sh, s -> md5('b3:' || s))) END AS band_3
+  FROM sh
+),
+st AS (
+  SELECT chunk_id, 0 AS band_idx, band_0 AS band_val FROM bands WHERE is_store
+  UNION ALL SELECT chunk_id, 1, band_1 FROM bands WHERE is_store
+  UNION ALL SELECT chunk_id, 2, band_2 FROM bands WHERE is_store
+  UNION ALL SELECT chunk_id, 3, band_3 FROM bands WHERE is_store
+),
+nw AS (
+  SELECT chunk_id, 0 AS band_idx, band_0 AS band_val
+  FROM bands WHERE NOT is_store
+  UNION ALL SELECT chunk_id, 1, band_1 FROM bands WHERE NOT is_store
+  UNION ALL SELECT chunk_id, 2, band_2 FROM bands WHERE NOT is_store
+  UNION ALL SELECT chunk_id, 3, band_3 FROM bands WHERE NOT is_store
+),
+hits AS (
+  SELECT n.chunk_id, MIN(s.chunk_id) AS matched_store_chunk,
+         CAST(COUNT(DISTINCT n.band_idx) AS BIGINT) AS n_matching_bands
+  FROM nw n JOIN st s
+    ON n.band_idx = s.band_idx AND n.band_val = s.band_val
+  GROUP BY n.chunk_id
+)
+SELECT b.chunk_id, h.matched_store_chunk,
+       COALESCE(h.n_matching_bands, 0) AS n_matching_bands
+FROM bands b LEFT JOIN hits h ON b.chunk_id = h.chunk_id
+WHERE NOT b.is_store
+"""
+
+
+@register("rag_chunk_screen", RAG_CHUNK_SCREEN_ORACLE)
+def rag_chunk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion dedup, near-dup tier: chunk the corpus (64/16), sign
+    each chunk once (MinHash bands), screen the chunks of odd documents
+    against the stored signatures of even documents' chunks — the full
+    chunk → sign → screen pipeline of a near-dup-screened RAG ingest
+    (``operators.dedup.minhash_incremental_screen`` composed over
+    ``chunk_text`` output; the persistent form is
+    ``MinhashSignatureStore`` keyed by chunk_id).
+
+    Scale shape identical to ``dedup_minhash_incr_screen``: per-chunk
+    hashing parallelized by an explicit pre-band repartition, ONE band
+    equi-join bounded by signature bytes, one grouped agg."""
+    from airflow_dags_spark.operators.dedup import (
+        minhash_bands,
+        minhash_incremental_screen,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_text(d, "text", "doc_id", chunk_size=64, overlap=16).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_store"),
+        "chunk",
+    )
+    # single-split parquet at test SF + compute-bound shingle hashing:
+    # spread rows before banding (same note as dedup_minhash_incr_screen)
+    chunks = chunks.repartition(16, "chunk_id")
+    store_bands = minhash_bands(
+        chunks.where(F.col("is_store")), "chunk", "chunk_id"
+    )
+    return minhash_incremental_screen(
+        store_bands, chunks.where(~F.col("is_store")), "chunk", "chunk_id"
+    ).withColumnRenamed("matched_store_doc", "matched_store_chunk")
+
+
+__all__ = [
+    "meta_bench_trend",
+    "meta_correctness_rounds",
+    "sim_ivf_recenter_step",
+    "rag_chunk_dedup",
+    "rag_chunk_screen",
+]

@@ -97,6 +97,12 @@ HEADLINE = [
     "ml_pr_auc",
     "ml_map_at_k",
     "sim_matryoshka_prefix_recall",
+    # round-11: IVF re-centering step (broadcast-assign + k×dim agg), RAG
+    # chunk pipeline exact tier (codegen chunk map → fingerprint distinct)
+    # and near-dup tier (chunk → sign once → band-join screen)
+    "sim_ivf_recenter_step",
+    "rag_chunk_dedup",
+    "rag_chunk_screen",
 ]
 
 

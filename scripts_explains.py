@@ -78,6 +78,11 @@ NAMES = [
     "ml_map_at_k",
     "sim_matryoshka_prefix_recall",
     "ml_empirical_bayes_rates",
+    # round-11 representatives
+    "sim_ivf_recenter_step",
+    "rag_chunk_dedup",
+    "rag_chunk_screen",
+    "meta_bench_trend",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
     "ivm_topk_maintenance",

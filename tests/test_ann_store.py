@@ -1,0 +1,140 @@
+"""IvfIndexStore: incremental IVF re-centering over sufficient statistics
+— exactness vs a numpy reference, replay idempotence, versioned-state
+crash healing, and centroid derivation consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.ann_store import IvfIndexStore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _numpy_fold(vectors: np.ndarray, centers: np.ndarray):
+    """Reference: assign unit vectors to argmax-cosine cell, return
+    per-cell (sum of unit vectors, count)."""
+    xn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cn.T, axis=1)
+    k = len(centers)
+    sums = np.zeros_like(centers)
+    counts = np.zeros(k, dtype=int)
+    for cell in range(k):
+        members = xn[assign == cell]
+        counts[cell] = len(members)
+        if len(members):
+            sums[cell] = members.sum(axis=0)
+    return sums, counts
+
+
+def test_add_batch_matches_numpy_reference(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    init = emb.where(F.col("vec_id") < 60)
+    batch = emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 140))
+    store.init_from(init, n_cells=4, fit_sample=60, seed=7)
+
+    c0 = store.centroids_matrix()
+    state0 = {
+        r["cell"]: (np.array(r["vec_sum"]), r["n_members"])
+        for r in store.state().collect()
+    }
+    out = store.add_batch(batch, "b1")
+    assert out["applied"] and out["version"] == 1
+
+    X = np.array(
+        [r["embedding"] for r in batch.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    d_sums, d_counts = _numpy_fold(X, c0)
+    assert out["n_assigned"] == int(d_counts.sum()) == len(X)
+    for r in store.state().collect():
+        exp_sum = state0[r["cell"]][0] + d_sums[r["cell"]]
+        exp_n = state0[r["cell"]][1] + int(d_counts[r["cell"]])
+        assert r["n_members"] == exp_n
+        np.testing.assert_allclose(np.array(r["vec_sum"]), exp_sum, rtol=1e-9)
+
+
+def test_replay_same_batch_id_is_noop(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40)
+    b = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    r1 = store.add_batch(b, "batch-A")
+    state1 = sorted(
+        (r["cell"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    r2 = store.add_batch(b, "batch-A")  # at-least-once re-delivery
+    assert r1["applied"] and not r2["applied"]
+    assert r2["version"] == r1["version"] == store.current_version()
+    state2 = sorted(
+        (r["cell"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    assert state1 == state2
+    # init replay is also a no-op
+    assert not store.init_from(emb, n_cells=4)["applied"]
+
+
+def test_orphan_version_healed_by_replay(spark, emb, tmp_path):
+    """Crash between the state write and the ledger append leaves an
+    orphan v{n} — the replay recomputes it deterministically from v{n-1}
+    and lands the ledger row; state content is identical either way."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40)
+    b = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 90))
+    # simulate the crash: write the next state version WITHOUT the ledger
+    centers = store.centroids_matrix()
+    cur = {
+        r["cell"]: (list(r["vec_sum"]), int(r["n_members"]))
+        for r in store.state().collect()
+    }
+    delta = store._batch_stats(b, centers, len(cur))
+    orphan = [
+        (c, [a + x for a, x in zip(cur[c][0], s)], cur[c][1] + n)
+        for c, s, n in delta
+    ]
+    store._write_state(orphan, 1)
+    assert store.current_version() == 0  # ledger still at v0: orphan invisible
+    out = store.add_batch(b, "batch-A")  # the replay
+    assert out["applied"] and out["version"] == 1
+    got = sorted(
+        (r["cell"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    assert got == sorted((c, n, tuple(s)) for c, s, n in orphan)
+
+
+def test_centroids_frame_matches_matrix(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 50), n_cells=4, fit_sample=50)
+    mat = store.centroids_matrix()
+    rows = store.centroids().orderBy("cell").collect()
+    frame = np.array([r["centroid"] for r in rows])
+    np.testing.assert_allclose(frame, mat, rtol=1e-9)
+    # unit-normalized where non-degenerate
+    norms = np.linalg.norm(frame, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, rtol=1e-9)
+
+
+def test_empty_batch_keeps_state(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 30), n_cells=2, fit_sample=30)
+    before = sorted(
+        (r["cell"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    out = store.add_batch(emb.where(F.lit(False)), "empty-batch")
+    assert out["applied"] and out["n_assigned"] == 0
+    after = sorted(
+        (r["cell"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    assert before == after

@@ -237,3 +237,40 @@ def test_pr_auc_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 2 * 370_000
     assert s["shuffle_records_written"] < 2 * 30_100
     assert s["spill_bytes"] == 0
+
+
+def test_ivf_recenter_shuffle_budget(spark):
+    """Re-centering shuffles (a) one argmin-collapsed assignment row per
+    vector, (b) the corpus once for the member join, (c) k×dim partials —
+    ~25 KiB / ~1k records at sf0.01 (500 vecs, k=8, dim=64). A ranking
+    window or a lost map-side partial-min multiplies this; 3× headroom."""
+    df = registry.QUERIES["sim_ivf_recenter_step"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 26_000
+    assert s["shuffle_records_written"] < 3 * 1_100
+    assert s["spill_bytes"] == 0
+
+
+def test_rag_chunk_dedup_shuffle_budget(spark):
+    """Chunk dedup shuffles fingerprint partials only (never chunk text):
+    ~36 KiB / ~800 records at sf0.01 (500 docs → ~1.5k chunks). Chunk
+    text leaking into the exchange multiplies bytes ~20×; 3× headroom."""
+    df = registry.QUERIES["rag_chunk_dedup"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 38_000
+    assert s["shuffle_records_written"] < 3 * 850
+    assert s["spill_bytes"] == 0
+
+
+def test_rag_chunk_screen_shuffle_budget(spark):
+    """The chunk screen inherits the incr-screen contract at chunk grain:
+    signatures and keys on the wire, never chunk text — ~110 KiB / ~1.6k
+    records at sf0.01. 3× headroom."""
+    df = registry.QUERIES["rag_chunk_screen"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 115_000
+    assert s["shuffle_records_written"] < 3 * 1_700
+    assert s["spill_bytes"] == 0

@@ -441,6 +441,10 @@ ALLOWED_NESTED_LOOP = {
     # MoM prior crossed back over the per-supplier frame:
     "stats_kruskal_wallis",
     "ml_empirical_bayes_rates",
+    # round 11: the 8-row seed-centroid frame broadcast against the
+    # streamed corpus for cosine assignment (k is a constant; the
+    # (vec × k) rows collapse map-side before any exchange):
+    "sim_ivf_recenter_step",
 }
 
 
@@ -1313,3 +1317,52 @@ def test_eb_rates_prior_is_tiny_broadcast(spark):
     _single_partitions_fed_by_aggregates_only(plan)
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window [" not in plan
+
+
+# --- round-11 additions -------------------------------------------------------
+
+
+def test_ivf_recenter_no_ranking_window_partial_min(spark):
+    """Assignment is an argmin AGGREGATE (min of a (-sim, cell) struct),
+    never a per-vector ranking window: the (vec × k) similarity rows
+    collapse map-side before the exchange. The only nested-loop join is
+    the k-row centroid broadcast (the allow-listed tiny-frame class)."""
+    plan = plan_of(spark, "sim_ivf_recenter_step")
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row centroid frame
+    assert "partial_min" in plan or "partial_finalmerge" in plan or "partial" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rag_chunk_dedup_two_hash_aggs_no_join(spark):
+    """Chunk → fingerprint → per-source distinct count: a pure codegen
+    chunking map stage feeding hash aggregation — source rides along in
+    the map (extra_cols), so there is NO chunks×documents re-join."""
+    plan = plan_of(spark, "rag_chunk_dedup")
+    assert "Join" not in plan
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rag_chunk_screen_band_join_only(spark):
+    """The screen's only joins are the band equi-join (+ the anti/left
+    joins of the screen contract) — all hash joins on band values or
+    chunk keys, never nested-loop, and no ranking window anywhere."""
+    plan = plan_of(spark, "rag_chunk_screen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan
+
+
+def test_meta_queries_read_fixed_sidecar_window(spark):
+    """The dashboard queries scan kilobytes of sidecar JSON — no shuffle
+    beyond the tiny self-join/aggregate, and the round window is pinned
+    (registration-time constant) so the driver writing the CURRENT
+    round's files can never race the oracle comparison."""
+    from airflow_dags_spark.plans import round11
+
+    assert round11._META_MAX_ROUND == 7  # bump consciously per round
+    plan = plan_of(spark, "meta_correctness_rounds")
+    assert "CartesianProduct" not in plan
