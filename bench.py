@@ -193,6 +193,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    spreads_abs: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
@@ -212,6 +213,7 @@ def main() -> None:
         timings[name] = compact_med(med)
         medians[name] = round(med, 4)
         spreads[name] = round((runs[-1] - runs[0]) / med, 3) if med > 0 else 0.0
+        spreads_abs[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     # idle-run marker: bench numbers are contention-sensitive (a contended
@@ -237,7 +239,13 @@ def main() -> None:
         LOAD_AT_START < max(4.0, 0.25 * (os.cpu_count() or 1)),
     )
     detail = {
+        # RELATIVE spread (max-min)/median — kept for continuity with the
+        # r4-r7 sidecars; the trend tool's noise floor uses the ABSOLUTE
+        # seconds below (multiplying the relative number by 2 "seconds"
+        # understated the floor for every >1 s query — the units bug that
+        # false-flagged agg_weighted_median in round 8)
         "query_spread": spreads,
+        "query_spread_abs_s": spreads_abs,
         "query_median": medians,  # full precision; the line is width-capped
         "bench_runs_per_query": n_runs,
         "cpus": os.cpu_count(),

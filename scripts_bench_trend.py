@@ -76,9 +76,17 @@ def load_round_queries(path: str, *, strict: bool = False) -> dict[str, float] |
 
 
 def load_spreads() -> dict[str, float]:
+    """Per-query spread in SECONDS for the noise floor. Prefers the
+    absolute field (``query_spread_abs_s``, bench round-8+); falls back to
+    the legacy RELATIVE ``query_spread`` — which for a median around 1 s is
+    numerically similar, but understated the floor for multi-second
+    queries (the units bug that false-flagged agg_weighted_median)."""
     try:
         with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
-            return dict(json.load(f).get("query_spread") or {})
+            d = json.load(f)
+        return dict(
+            d.get("query_spread_abs_s") or d.get("query_spread") or {}
+        )
     except (OSError, json.JSONDecodeError):
         return {}
 

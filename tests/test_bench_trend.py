@@ -102,3 +102,23 @@ def test_cli_runs_on_recorded_history():
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["common"] > 0
     assert "regressions" in report and "improvements" in report
+
+
+def test_load_spreads_prefers_absolute_seconds(tmp_path, monkeypatch):
+    """The noise floor is in seconds: query_spread_abs_s wins over the
+    legacy relative query_spread when both are present."""
+    import scripts_bench_trend as t
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    detail.write_text(
+        json.dumps(
+            {
+                "query_spread": {"q": 0.28},       # relative (legacy)
+                "query_spread_abs_s": {"q": 0.45},  # seconds
+            }
+        )
+    )
+    monkeypatch.setattr(t, "REPO", str(tmp_path))
+    assert t.load_spreads() == {"q": 0.45}
+    detail.write_text(json.dumps({"query_spread": {"q": 0.28}}))
+    assert t.load_spreads() == {"q": 0.28}  # legacy fallback
