@@ -200,6 +200,58 @@ def minhash_incremental_screen(
     )
 
 
+def minhash_redelivery_advisory(
+    store_bands: DataFrame,
+    new_bands: DataFrame,
+    key_col: str,
+    n_bands: int,
+) -> DataFrame:
+    """Second ADVISORY pass over exactly the store rows the
+    replay-deterministic screen excludes (store rows keyed by batch
+    members) — the mitigation ADVICE r7 proposed for the cross-batch
+    recall loss of batch-key exclusion.
+
+    When a batch legitimately re-delivers an old key K alongside a new
+    near-dup D of K, :func:`minhash_incremental_screen` excludes K's
+    store rows from D's screen, so D routes as novel and is accepted
+    permanently. This pass band-joins the batch signatures against ONLY
+    those excluded-but-preexisting store rows and reports the hits as
+    flags-after-the-fact: ``(key_col, advisory_matched_store_doc,
+    n_matching_bands)``, one row per batch key that matches an excluded
+    store row OTHER than its own (a re-delivered key matching its own
+    stored signature is expected, not a near-dup signal).
+
+    Advisory means: routing is unchanged — the main screen stays a pure
+    function of (pre-batch store, batch), so replay determinism is
+    untouched; callers persist these flags for out-of-band exact
+    verification (``ngram_jaccard``) or audit.
+
+    100 TB shape: the semi-join prunes the store side to at most the
+    batch's own key count before the band join, so this pass is bounded
+    by batch size regardless of store size."""
+    batch_keys = new_bands.select(F.col(key_col).alias("__batch_key")).distinct()
+    excluded = (
+        _stack_bands(store_bands, key_col, n_bands)
+        .select(F.col(key_col).alias("__store_key"), "band_idx", "band_val")
+        .join(
+            batch_keys,
+            F.col("__store_key") == F.col("__batch_key"),
+            "left_semi",
+        )
+    )
+    nw = _stack_bands(new_bands, key_col, n_bands)
+    return (
+        nw.join(excluded, ["band_idx", "band_val"])
+        .where(F.col(key_col) != F.col("__store_key"))  # self-matches expected
+        .groupBy(key_col)
+        .agg(
+            F.min("__store_key").alias("advisory_matched_store_doc"),
+            F.count_distinct("band_idx").cast("bigint")
+            .alias("n_matching_bands"),
+        )
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, left_text: str, right_text: str, n_shingle: int = 3
 ) -> DataFrame:

@@ -255,6 +255,25 @@ class MinhashSignatureStore:
         ).localCheckpoint(eager=True)  # decouple from the store we rewrite
         return screen, new_bands
 
+    def advisory_redelivery(self, new_bands: DataFrame) -> DataFrame:
+        """The second advisory pass over the store rows :meth:`screen`
+        excludes (store rows keyed by batch members) — catches the
+        cross-batch recall loss documented on
+        ``minhash_incremental_screen``: a batch re-delivering an old key K
+        alongside a new near-dup of K. Returns
+        ``(key_col, advisory_matched_store_doc, n_matching_bands)`` hit
+        rows only; routing stays untouched (flags-after-the-fact for
+        exact verification or audit). Pass the ``new_bands`` frame
+        returned by :meth:`screen` so nothing is re-signed."""
+        from airflow_dags_spark.operators.dedup import minhash_redelivery_advisory
+
+        return minhash_redelivery_advisory(
+            self.read(key_like=new_bands),
+            new_bands,
+            self.key_col,
+            len(self.salts),
+        )
+
     def append_signatures(
         self,
         new_bands: DataFrame,

@@ -633,6 +633,7 @@ def screened_ingest_sink(
     salts: list[str] | None = None,
     append_matched: bool = False,
     available_now: bool = True,
+    advisory_path: str | None = None,
 ) -> StreamingQuery:
     """Near-dup-screened streaming ingest: every micro-batch is signed,
     screened against the persistent MinHash signature store, and routed —
@@ -667,9 +668,11 @@ def screened_ingest_sink(
     self-exclusion this replaced did not have that miss (it only excluded
     each doc's own key). Mitigations: dedup re-delivered old keys
     upstream (an anti-join of the batch against the store's key column
-    before this sink), or run a second advisory pass comparing the batch
-    against the excluded-but-preexisting store rows and treat its hits as
-    flags-after-the-fact. (A FRESH checkpoint
+    before this sink), or pass ``advisory_path`` — the sink then runs the
+    second advisory pass (``MinhashSignatureStore.advisory_redelivery``)
+    over exactly the excluded-but-preexisting store rows and persists its
+    hits there as flags-after-the-fact (keyed insert-if-absent; routing
+    and replay determinism untouched). (A FRESH checkpoint
     that re-BATCHES history differently is a reprocess, not a replay:
     batch boundaries define what "prior state" means, so a cross-batch
     near-dup pair that lands in one reprocessed batch screens as novel;
@@ -711,12 +714,79 @@ def screened_ingest_sink(
         ParquetTable(spark, flagged_path, key_col).insert_if_absent(
             flagged, order_by=[text_col]
         )
+        if advisory_path is not None:
+            # flags-after-the-fact for the cross-batch re-delivery miss:
+            # advisory only — the routes above never consult this table
+            advisories = store.advisory_redelivery(new_bands).withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            )
+            ParquetTable(spark, advisory_path, key_col).insert_if_absent(
+                advisories, order_by=["advisory_matched_store_doc"]
+            )
         # store append LAST (see docstring: replay consistency)
         store.append_signatures(
             new_bands, screen, append_matched=append_matched
         )
 
     writer = docs_stream.writeStream.foreachBatch(screen_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivf_index_sink(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    n_cells: int = 16,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int = 20000,
+    seed: int = 42,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintenance of the persistent IVF index — the similarity
+    analog of :func:`screened_ingest_sink` over
+    ``operators/ann_store.py:IvfIndexStore``: the FIRST micro-batch trains
+    the coarse quantizer and seeds the per-cell sufficient statistics;
+    every later batch is assigned to the CURRENT centroids (Arrow matmul
+    fast path, shuffle-free) and folded in as one new state version, so
+    the index re-centers as the corpus grows without ever re-scanning it.
+
+    Exactly-once per micro-batch WITHOUT relying on the checkpoint alone:
+    the store's batch ledger (K3 insert-if-absent keyed by batch id) makes
+    a replayed committed batch a no-op, and a crash between the state
+    write and the ledger append leaves an orphan version the replay
+    deterministically overwrites. (The screened-sink caveat applies here
+    too: a FRESH checkpoint that re-BATCHES history differently is a
+    reprocess, not a replay — batch ids are per-checkpoint.)
+
+    100 TB shape: per-batch cost is one scan of the batch plus k×dim
+    partial sums to the driver; state is k×dim rows per version — index
+    maintenance cost is a function of ARRIVING data only."""
+    from airflow_dags_spark.operators.ann_store import IvfIndexStore
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        store = IvfIndexStore(
+            batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
+        )
+        if not store.exists():
+            store.init_from(
+                batch,
+                n_cells,
+                batch_id=f"b{batch_id}",
+                fit_sample=fit_sample,
+                seed=seed,
+            )
+        else:
+            store.add_batch(batch, f"b{batch_id}")
+
+    writer = vec_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -138,3 +138,46 @@ def test_empty_batch_keeps_state(spark, emb, tmp_path):
         for r in store.state().collect()
     )
     assert before == after
+
+
+def test_ivf_index_sink_streaming_maintenance(spark, emb, tmp_path):
+    """Streaming end-to-end: batch 1 bootstraps the index (quantizer fit +
+    seed statistics), batch 2 folds in against the batch-1 centroids, and
+    a no-new-files re-run advances nothing (ledger idempotence through the
+    streaming layer)."""
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(landing / "b1"))
+    # file-per-trigger landing: each subdir write is one new file set
+    store_path = str(tmp_path / "ivf")
+
+    def run():
+        q = ivf_index_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).option("maxFilesPerTrigger", "1000").parquet(str(landing / "*")),
+            store_path,
+            str(tmp_path / "ck"),
+            n_cells=4,
+            fit_sample=60,
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = IvfIndexStore(spark, store_path)
+    assert store.current_version() == 0
+    total0 = sum(r["n_members"] for r in store.state().collect())
+    assert total0 == 60
+
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 110)).write.parquet(
+        str(landing / "b2")
+    )
+    run()
+    assert store.current_version() >= 1
+    total1 = sum(r["n_members"] for r in store.state().collect())
+    assert total1 == 110
+
+    run()  # no new files: nothing re-applied
+    assert sum(r["n_members"] for r in store.state().collect()) == 110

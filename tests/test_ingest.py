@@ -339,3 +339,51 @@ def test_short_and_empty_docs_flow_through_minhash_surface(spark, tmp_path):
     got = {r.doc_id: r.matched_store_doc for r in screen2.collect()}
     assert got[6] is None
     assert got[7] == 4
+
+
+def test_advisory_redelivery_catches_cross_batch_miss(spark, tmp_path):
+    """The exact ADVICE-r7 scenario: a batch re-delivers an OLD key K
+    (stored rounds ago) alongside a NEW near-dup D of K. Batch-key
+    exclusion makes the main screen report D novel (K's store rows are
+    excluded); the advisory second pass over exactly those excluded rows
+    must flag D against K — and must NOT flag K against its own stored
+    signature (self-matches are expected on re-delivery)."""
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    store.ingest(_docs(spark, [(1, _BASE)]), "text")  # K = 1, stored
+
+    batch = _docs(
+        spark,
+        [
+            (1, _BASE),               # re-delivered old key K
+            (50, _BASE + " at dawn"),  # NEW near-dup D of K
+        ],
+    )
+    screen, new_bands = store.screen(batch, "text")
+    got = {r.doc_id: r for r in screen.collect()}
+    # main screen: pure function of (pre-batch store, batch) — K's rows
+    # are excluded, so D screens novel (the documented recall loss)
+    assert got[50].matched_store_doc is None
+    advisories = {
+        r.doc_id: r for r in store.advisory_redelivery(new_bands).collect()
+    }
+    assert 50 in advisories  # the miss, recovered as a flag
+    assert advisories[50].advisory_matched_store_doc == 1
+    assert advisories[50].n_matching_bands >= 1
+    assert 1 not in advisories  # K's self-match is not a near-dup signal
+
+
+def test_advisory_redelivery_empty_without_redelivered_keys(spark, tmp_path):
+    """No batch key exists in the store → the excluded set is empty → the
+    advisory pass returns nothing (it only ever looks at
+    excluded-but-preexisting rows, never the whole store)."""
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    store.ingest(_docs(spark, [(1, _BASE)]), "text")
+    batch = _docs(spark, [(60, _BASE + " at dusk")])  # near-dup, NEW key
+    screen, new_bands = store.screen(batch, "text")
+    # the main screen sees this one (key 60 is not in the store)
+    assert screen.collect()[0].matched_store_doc == 1
+    assert store.advisory_redelivery(new_bands).count() == 0

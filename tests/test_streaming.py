@@ -799,3 +799,75 @@ def test_screened_ingest_crash_replay_keeps_intra_batch_routing(spark, tmp_path)
     assert {r.doc_id for r in acc.read().collect()} == {30, 31}
     assert not flg.exists() or flg.read().count() == 0
     assert {r.doc_id for r in store.read().collect()} == {30, 31}
+
+
+def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
+    spark, tmp_path
+):
+    """advisory_path wired end-to-end: batch 2 re-delivers an OLD key
+    alongside a NEW near-dup of it. The routes are unchanged (the near-dup
+    is ACCEPTED — the documented recall loss of batch-key exclusion), but
+    the advisory table records the miss as a flag-after-the-fact, and a
+    no-new-files re-run leaves it untouched (keyed insert-if-absent)."""
+    import json as _json
+
+    from airflow_dags_spark.streaming.pipeline import screened_ingest_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while morning light settles on the water"
+    )
+    texts = {
+        10: base,
+        11: "completely different content about distributed query engines",
+        # batch 2: 10 re-delivered, 30 is a NEW near-dup of stored 10
+        30: base + " at dawn",
+    }
+
+    def doc(k):
+        return {"doc_id": k, "text": texts[k], "source": "s", "lang": "en"}
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(_json.dumps(doc(k)) for k in (10, 11)) + "\n"
+    )
+    paths = {
+        n: str(tmp_path / n) for n in ("store", "accepted", "flagged", "adv")
+    }
+
+    def run():
+        q = screened_ingest_sink(
+            spark.readStream.schema(
+                "doc_id long, text string, source string, lang string"
+            ).json(str(landing)),
+            paths["store"],
+            paths["accepted"],
+            paths["flagged"],
+            str(tmp_path / "ck"),
+            advisory_path=paths["adv"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    adv = ParquetTable(spark, paths["adv"], "doc_id")
+    assert not adv.exists() or adv.read().count() == 0  # nothing re-delivered
+
+    (landing / "b2.json").write_text(
+        _json.dumps(doc(10)) + "\n" + _json.dumps(doc(30)) + "\n"
+    )
+    run()
+    acc = ParquetTable(spark, paths["accepted"], "doc_id")
+    flg = ParquetTable(spark, paths["flagged"], "doc_id")
+    # routing unchanged: the main screen cannot see 30↔10 (10's store rows
+    # are excluded as a batch member), so 30 is accepted, nothing flagged
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 30}
+    assert not flg.exists() or flg.read().count() == 0
+    # ...but the advisory table records the miss
+    advisories = {r.doc_id: r for r in adv.read().collect()}
+    assert set(advisories) == {30}
+    assert advisories[30].advisory_matched_store_doc == 10
+    assert advisories[30].n_matching_bands >= 1
+    # no-new-files re-run: advisory surface idempotent like every other
+    run()
+    assert adv.read().count() == 1
