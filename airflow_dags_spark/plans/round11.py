@@ -50,12 +50,42 @@ from airflow_dags_spark.functions.vectors import as_double, cosine
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
 
-# The dashboard window is pinned to the rounds recorded when this module
-# was registered (append-only history; later rounds extend the pin in
-# later registrations). See the module docstring for why an open glob
-# would be a cross-engine race.
-_META_MAX_ROUND = 7
 _REPO_DIR = "/root/repo"
+
+
+def _compute_meta_max_round() -> int:
+    """The dashboard window pin, computed ONCE at module import: the
+    highest round with BOTH sidecars present and cleanly parseable. Both
+    the Spark plan and the oracle SQL text are built from this same
+    constant within one session, so they always agree — while the ≤-pin
+    filter makes files the driver writes LATER in the session (the
+    current round's records, which would otherwise race the comparison)
+    invisible to both engines. History is append-only, so the pin only
+    ever grows between sessions; 7 (the last round verified when this
+    module landed) is the floor and the corrupt-history fallback."""
+    import glob
+    import json
+    import re
+
+    rounds: set[int] = set()
+    for kind in ("BENCH", "CORRECTNESS"):
+        seen = set()
+        for p in glob.glob(f"{_REPO_DIR}/{kind}_r*.json"):
+            m = re.search(rf"{kind}_r(\d+)\.json$", p)
+            if not m:
+                continue
+            try:
+                json.load(open(p))
+            except Exception:
+                continue  # partially-written or corrupt: not pinnable
+            seen.add(int(m.group(1)))
+        rounds = seen if not rounds else rounds & seen
+    return max(7, max(rounds) if rounds else 7)
+
+
+# Pinned at import (see _compute_meta_max_round: race-free by construction,
+# self-extending as driver rounds land).
+_META_MAX_ROUND = _compute_meta_max_round()
 
 
 # --------------------------------------------------------------------------

@@ -1359,10 +1359,14 @@ def test_rag_chunk_screen_band_join_only(spark):
 def test_meta_queries_read_fixed_sidecar_window(spark):
     """The dashboard queries scan kilobytes of sidecar JSON — no shuffle
     beyond the tiny self-join/aggregate, and the round window is pinned
-    (registration-time constant) so the driver writing the CURRENT
-    round's files can never race the oracle comparison."""
+    at import (one constant shared by the Spark plan and the oracle SQL)
+    so the driver writing the CURRENT round's files mid-session can never
+    race the oracle comparison."""
     from airflow_dags_spark.plans import round11
 
-    assert round11._META_MAX_ROUND == 7  # bump consciously per round
+    # self-extending pin: ≥7 (the landing-round floor) and never ahead of
+    # what is cleanly recorded on disk for BOTH sidecar kinds
+    assert round11._META_MAX_ROUND >= 7
+    assert round11._META_MAX_ROUND == round11._compute_meta_max_round()
     plan = plan_of(spark, "meta_correctness_rounds")
     assert "CartesianProduct" not in plan
