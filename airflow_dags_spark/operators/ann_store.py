@@ -199,7 +199,15 @@ class IvfIndexStore:
         counts: dict[int, int] = {}
         for r in rows:
             by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["s"])
-            counts[r["cell"]] = int(r["n"])
+            # heterogeneous vector lengths would make the per-(cell, dim)
+            # count vary across dims — silently keeping whichever row was
+            # collected last would corrupt n_members vs vec_sum. Refuse.
+            if counts.setdefault(r["cell"], int(r["n"])) != int(r["n"]):
+                raise ValueError(
+                    "heterogeneous vector lengths in batch: per-dim counts "
+                    f"disagree for cell {r['cell']} "
+                    f"({counts[r['cell']]} vs {int(r['n'])})"
+                )
         for cell in range(n_cells):
             out.append(
                 (cell, by_cell.get(cell, [0.0] * dim), counts.get(cell, 0))
@@ -232,6 +240,11 @@ class IvfIndexStore:
                 # empty delta carries no dimensions — keep the old sums
                 merged.append((cell, osum, on))
                 continue
+            if len(dsum) != len(osum):
+                raise ValueError(
+                    f"batch vector dim {len(dsum)} != store dim {len(osum)} "
+                    f"(cell {cell}) — zip would silently truncate sums"
+                )
             merged.append(
                 (cell, [a + b for a, b in zip(osum, dsum)], on + dn)
             )
@@ -239,8 +252,15 @@ class IvfIndexStore:
         version = self.current_version() + 1
         self._write_state(merged, version)
         self._commit(batch_id, version)
-        # mean centroid shift — the observable re-centering magnitude
-        new_centers = self.centroids_matrix()
+        # mean centroid shift — the observable re-centering magnitude,
+        # derived from `merged` in memory (no state re-read: the streaming
+        # sink calls this per micro-batch and extra Spark jobs here are
+        # hot-path latency), same normalization as centroids_matrix
+        mat = np.asarray([s for _, s, _ in merged], dtype=np.float64)
+        n = np.asarray([m for _, _, m in merged], dtype=np.float64)
+        mat = mat / np.where(n > 0, n, 1.0)[:, None]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        new_centers = mat / np.where(norms > 0, norms, 1.0)
         shift = float(np.linalg.norm(new_centers - centers, axis=1).mean())
         return {
             "applied": True,

@@ -226,12 +226,34 @@ def minhash_redelivery_advisory(
     untouched; callers persist these flags for out-of-band exact
     verification (``ngram_jaccard``) or audit.
 
+    Replay purity of the ADVISORY itself: store rows that are
+    byte-identical to a batch member's own full signature (same key, same
+    every band) are excluded too. Those are exactly the rows a
+    crashed-run append of THIS batch would have created (the append is
+    keyed insert-if-absent, so new keys land with their batch signatures
+    and old keys keep their stored ones) — without this exclusion, a
+    replay after a landed append would read the batch's own signatures
+    back as "preexisting" and emit intra-batch false flags the first run
+    never produced. The only thing the exclusion can hide is a genuinely
+    old row identical to a re-delivered member's signature — but any
+    near-dup it would have flagged is by construction ALSO a member of
+    this batch, i.e. an intra-batch pair, which is
+    ``minhash_candidate_pairs``' job (the screen contract's documented
+    pre-step), not this pass's.
+
     100 TB shape: the semi-join prunes the store side to at most the
     batch's own key count before the band join, so this pass is bounded
     by batch size regardless of store size."""
     batch_keys = new_bands.select(F.col(key_col).alias("__batch_key")).distinct()
+    band_cols = [f"band_{i}" for i in range(n_bands)]
+    # drop rows identical to the batch's own signatures (see docstring)
+    preexisting = store_bands.join(
+        new_bands.select(key_col, *band_cols),
+        [key_col, *band_cols],
+        "left_anti",
+    )
     excluded = (
-        _stack_bands(store_bands, key_col, n_bands)
+        _stack_bands(preexisting, key_col, n_bands)
         .select(F.col(key_col).alias("__store_key"), "band_idx", "band_val")
         .join(
             batch_keys,

@@ -97,7 +97,12 @@ WITH b AS (
   SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
            AS round,
          parsed.queries AS qmap
+  -- ignore_errors mirrors Spark's PERMISSIVE read: a corrupt sidecar
+  -- (disk damage, partial write) yields a NULL parsed row on BOTH
+  -- engines and the IS NOT NULL filter drops it — instead of erroring
+  -- the oracle while Spark silently skips (a divergence by robustness)
   FROM read_json('{_REPO_DIR}/BENCH_r*.json', filename=true,
+        ignore_errors=true,
         columns={{'parsed': 'STRUCT(queries MAP(VARCHAR, DOUBLE))'}})
   WHERE CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
           <= {_META_MAX_ROUND}
@@ -164,7 +169,9 @@ CORRECTNESS_ROUNDS_ORACLE = f"""
 WITH f AS (
   SELECT CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
               AS BIGINT) AS round,
-         json(content) AS j
+         -- TRY_CAST mirrors Spark's null-on-corrupt from_json: a damaged
+         -- sidecar contributes zero rows on BOTH engines
+         TRY_CAST(content AS JSON) AS j
   FROM read_text('{_REPO_DIR}/CORRECTNESS_r*.json')
   WHERE CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
              AS BIGINT) <= {_META_MAX_ROUND}
@@ -399,8 +406,6 @@ def rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # rag_chunk_screen — chunk → MinHash sign → incremental screen
 # --------------------------------------------------------------------------
-
-_CHUNK_ID = "doc_id * 100000 + chunk_idx"
 
 _CHUNK_SHINGLES = """
 list_distinct(

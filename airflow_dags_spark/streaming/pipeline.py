@@ -770,6 +770,10 @@ def ivf_index_sink(
     from airflow_dags_spark.operators.ann_store import IvfIndexStore
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        # null vectors carry no assignment signal, and an all-null FIRST
+        # batch would otherwise crash the quantizer fit on an empty
+        # sample and kill the streaming query
+        batch = batch.where(F.col(vec_col).isNotNull())
         if batch.isEmpty():
             return
         store = IvfIndexStore(

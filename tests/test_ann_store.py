@@ -181,3 +181,38 @@ def test_ivf_index_sink_streaming_maintenance(spark, emb, tmp_path):
 
     run()  # no new files: nothing re-applied
     assert sum(r["n_members"] for r in store.state().collect()) == 110
+
+
+def test_ivf_index_sink_survives_all_null_first_batch(spark, emb, tmp_path):
+    """A non-empty first micro-batch whose vectors are all NULL must not
+    crash the quantizer fit (empty sample) — it is skipped like an empty
+    batch, and the next real batch bootstraps the index."""
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(900, None, None), (901, None, None)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(landing / "b0"))
+
+    def run():
+        q = ivf_index_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing / "*")),
+            str(tmp_path / "ivf"),
+            str(tmp_path / "ck"),
+            n_cells=2,
+            fit_sample=30,
+        )
+        q.awaitTermination(120)
+
+    run()  # all-null batch: no crash, no store
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    assert not store.exists()
+
+    emb.where(F.col("vec_id") < 30).write.parquet(str(landing / "b1"))
+    run()
+    assert store.exists()
+    assert sum(r["n_members"] for r in store.state().collect()) == 30

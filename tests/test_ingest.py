@@ -342,29 +342,36 @@ def test_short_and_empty_docs_flow_through_minhash_surface(spark, tmp_path):
 
 
 def test_advisory_redelivery_catches_cross_batch_miss(spark, tmp_path):
-    """The exact ADVICE-r7 scenario: a batch re-delivers an OLD key K
-    (stored rounds ago) alongside a NEW near-dup D of K. Batch-key
-    exclusion makes the main screen report D novel (K's store rows are
-    excluded); the advisory second pass over exactly those excluded rows
-    must flag D against K — and must NOT flag K against its own stored
-    signature (self-matches are expected on re-delivery)."""
+    """The ADVICE-r7 scenario: a batch re-delivers an OLD key K (stored
+    rounds ago) alongside a NEW near-dup D of K, and the main screen
+    reports D novel (K's store rows are batch-key excluded). The recovery
+    is split by WHO owns the pair:
+
+    - K re-delivered with DRIFTED content (stored signature differs):
+      D↔K_stored is visible to nobody but the advisory pass — it must
+      flag D against K, and must NOT flag K against its own stored
+      signature.
+    - K re-delivered byte-IDENTICAL: K's stored rows are excluded by
+      full-signature identity too (replay purity — see
+      minhash_redelivery_advisory), and D↔K is an INTRA-batch pair,
+      which the documented pre-step (minhash_candidate_pairs) owns."""
+    from airflow_dags_spark.operators.dedup import minhash_candidate_pairs
     from airflow_dags_spark.operators.ingest import MinhashSignatureStore
 
     store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
     store.ingest(_docs(spark, [(1, _BASE)]), "text")  # K = 1, stored
 
-    batch = _docs(
+    # drifted re-delivery: only the advisory pass can see D↔K_stored
+    drifted = _docs(
         spark,
         [
-            (1, _BASE),               # re-delivered old key K
-            (50, _BASE + " at dawn"),  # NEW near-dup D of K
+            (1, _BASE + " under a pale evening sky"),  # K, content drifted
+            (50, _BASE + " at dawn"),                   # NEW near-dup D of old K
         ],
     )
-    screen, new_bands = store.screen(batch, "text")
+    screen, new_bands = store.screen(drifted, "text")
     got = {r.doc_id: r for r in screen.collect()}
-    # main screen: pure function of (pre-batch store, batch) — K's rows
-    # are excluded, so D screens novel (the documented recall loss)
-    assert got[50].matched_store_doc is None
+    assert got[50].matched_store_doc is None  # the documented recall loss
     advisories = {
         r.doc_id: r for r in store.advisory_redelivery(new_bands).collect()
     }
@@ -372,6 +379,17 @@ def test_advisory_redelivery_catches_cross_batch_miss(spark, tmp_path):
     assert advisories[50].advisory_matched_store_doc == 1
     assert advisories[50].n_matching_bands >= 1
     assert 1 not in advisories  # K's self-match is not a near-dup signal
+
+    # identical re-delivery: the advisory stays silent (full-signature
+    # exclusion), and the intra-batch pre-step owns the D↔K pair
+    identical = _docs(spark, [(1, _BASE), (60, _BASE + " at dawn")])
+    _, nb2 = store.screen(identical, "text")
+    assert store.advisory_redelivery(nb2).count() == 0
+    pairs = {
+        (r.key_a, r.key_b)
+        for r in minhash_candidate_pairs(identical, "text", "doc_id").collect()
+    }
+    assert (1, 60) in pairs
 
 
 def test_advisory_redelivery_empty_without_redelivered_keys(spark, tmp_path):
@@ -387,3 +405,38 @@ def test_advisory_redelivery_empty_without_redelivered_keys(spark, tmp_path):
     # the main screen sees this one (key 60 is not in the store)
     assert screen.collect()[0].matched_store_doc == 1
     assert store.advisory_redelivery(new_bands).count() == 0
+
+
+def test_advisory_redelivery_pure_under_replay_after_append(spark, tmp_path):
+    """Replay purity of the advisory pass itself: a batch of two NEW
+    intra-batch near-dups is screened, advisory'd (empty — nothing
+    re-delivered), and appended; a replay AFTER the append landed must
+    still produce an EMPTY advisory — the batch's own just-appended
+    signatures must not read back as 'preexisting' rows (they are
+    excluded by full-signature identity), or the replay would emit
+    intra-batch false flags the first run never produced."""
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    batch = _docs(
+        spark, [(1, _BASE), (2, _BASE + " at dawn")]  # intra-batch near-dups
+    )
+    screen, new_bands = store.screen(batch, "text")
+    assert store.advisory_redelivery(new_bands).count() == 0  # first run
+    store.append_signatures(new_bands, screen)  # append lands, then "crash"
+
+    # the replay re-signs the same batch against the post-append store
+    screen2, new_bands2 = store.screen(batch, "text")
+    assert store.advisory_redelivery(new_bands2).count() == 0
+    # ...while a DRIFTED re-delivery of key 1 (stored signature differs)
+    # plus a new near-dup still flags through the advisory pass
+    drifted = _docs(
+        spark,
+        [
+            (1, _BASE + " under a pale sky"),   # re-delivered key, new text
+            (70, _BASE + " in the evening"),    # new near-dup of stored 1
+        ],
+    )
+    _, nb3 = store.screen(drifted, "text")
+    adv = {r.doc_id: r for r in store.advisory_redelivery(nb3).collect()}
+    assert 70 in adv and adv[70].advisory_matched_store_doc == 1

@@ -820,12 +820,16 @@ def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
     texts = {
         10: base,
         11: "completely different content about distributed query engines",
-        # batch 2: 10 re-delivered, 30 is a NEW near-dup of stored 10
-        30: base + " at dawn",
+        30: base + " at dawn",  # batch 2: NEW near-dup of STORED 10
     }
 
-    def doc(k):
-        return {"doc_id": k, "text": texts[k], "source": "s", "lang": "en"}
+    def doc(k, text=None):
+        return {
+            "doc_id": k,
+            "text": text or texts[k],
+            "source": "s",
+            "lang": "en",
+        }
 
     landing = tmp_path / "docs_landing"
     landing.mkdir()
@@ -854,7 +858,12 @@ def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
     assert not adv.exists() or adv.read().count() == 0  # nothing re-delivered
 
     (landing / "b2.json").write_text(
-        _json.dumps(doc(10)) + "\n" + _json.dumps(doc(30)) + "\n"
+        # key 10 re-delivered with DRIFTED content (an identical
+        # re-delivery is excluded by full-signature identity; its pairs
+        # belong to the intra-batch pre-step) + NEW near-dup 30 of the
+        # STORED 10
+        _json.dumps(doc(10, base + " under a pale evening sky")) + "\n"
+        + _json.dumps(doc(30)) + "\n"
     )
     run()
     acc = ParquetTable(spark, paths["accepted"], "doc_id")
