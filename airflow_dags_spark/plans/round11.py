@@ -92,7 +92,11 @@ _META_MAX_ROUND = _compute_meta_max_round()
 # meta_bench_trend — per-query round-over-round timing ratios
 # --------------------------------------------------------------------------
 
-BENCH_TREND_ORACLE = f"""
+def _bench_trend_oracle(repo_dir: str, pin: int) -> str:
+    """Oracle SQL builder, parameterized on (dir, pin) so the corrupt-file
+    tolerance path is directly testable against scratch sidecars
+    (tests/test_round11_meta.py) with the exact SQL the driver runs."""
+    return f"""
 WITH b AS (
   SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
            AS round,
@@ -101,11 +105,11 @@ WITH b AS (
   -- (disk damage, partial write) yields a NULL parsed row on BOTH
   -- engines and the IS NOT NULL filter drops it — instead of erroring
   -- the oracle while Spark silently skips (a divergence by robustness)
-  FROM read_json('{_REPO_DIR}/BENCH_r*.json', filename=true,
+  FROM read_json('{repo_dir}/BENCH_r*.json', filename=true,
         ignore_errors=true,
         columns={{'parsed': 'STRUCT(queries MAP(VARCHAR, DOUBLE))'}})
   WHERE CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
-          <= {_META_MAX_ROUND}
+          <= {pin}
     AND parsed.queries IS NOT NULL
 ),
 q AS (
@@ -121,17 +125,11 @@ JOIN q prev ON prev.query = cur.query AND prev.round = cur.round - 1
 """
 
 
-@register("meta_bench_trend", BENCH_TREND_ORACLE)
-def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-over-round per-query bench ratios from the recorded
-    BENCH_r*.json history — the scripts_bench_trend.py detector as a
-    relational plan (self-join on (query, round-1)); ``flagged`` applies
-    the same ratio-AND-absolute rule (1.5×, 0.3 s floor). Rounds with no
-    parsed line (the r4 truncation hole) drop out on both engines."""
+def _bench_trend_frame(spark: SparkSession, repo_dir: str, pin: int) -> DataFrame:
     b = (
         spark.read.option("multiLine", "true")
         .schema("parsed struct<queries: map<string,double>>")
-        .json(f"{_REPO_DIR}/BENCH_r*.json")
+        .json(f"{repo_dir}/BENCH_r*.json")
         .select(
             F.regexp_extract(
                 F.col("_metadata.file_path"), r"BENCH_r(\d+)\.json", 1
@@ -140,7 +138,7 @@ def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("round"),
             F.col("parsed.queries").alias("qmap"),
         )
-        .where((F.col("round") <= _META_MAX_ROUND) & F.col("qmap").isNotNull())
+        .where((F.col("round") <= pin) & F.col("qmap").isNotNull())
     )
     q = b.select("round", F.explode("qmap").alias("query", "sec"))
     cur, prev = q.alias("cur"), q.alias("prev")
@@ -161,20 +159,34 @@ def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_TREND_ORACLE = _bench_trend_oracle(_REPO_DIR, _META_MAX_ROUND)
+
+
+@register("meta_bench_trend", BENCH_TREND_ORACLE)
+def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-over-round per-query bench ratios from the recorded
+    BENCH_r*.json history — the scripts_bench_trend.py detector as a
+    relational plan (self-join on (query, round-1)); ``flagged`` applies
+    the same ratio-AND-absolute rule (1.5×, 0.3 s floor). Rounds with no
+    parsed line (the r4 truncation hole) drop out on both engines."""
+    return _bench_trend_frame(spark, _REPO_DIR, _META_MAX_ROUND)
+
+
 # --------------------------------------------------------------------------
 # meta_correctness_rounds — per-round driver-verification summary
 # --------------------------------------------------------------------------
 
-CORRECTNESS_ROUNDS_ORACLE = f"""
+def _correctness_rounds_oracle(repo_dir: str, pin: int) -> str:
+    return f"""
 WITH f AS (
   SELECT CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
               AS BIGINT) AS round,
          -- TRY_CAST mirrors Spark's null-on-corrupt from_json: a damaged
          -- sidecar contributes zero rows on BOTH engines
          TRY_CAST(content AS JSON) AS j
-  FROM read_text('{_REPO_DIR}/CORRECTNESS_r*.json')
+  FROM read_text('{repo_dir}/CORRECTNESS_r*.json')
   WHERE CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
-             AS BIGINT) <= {_META_MAX_ROUND}
+             AS BIGINT) <= {pin}
 ),
 k AS (SELECT round, unnest(json_keys(j)) AS query, j FROM f),
 rw AS (
@@ -195,12 +207,14 @@ FROM rw GROUP BY round
 """
 
 
-@register("meta_correctness_rounds", CORRECTNESS_ROUNDS_ORACLE)
-def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-round driver-verification summary from CORRECTNESS_r*.json —
-    dynamic JSON keys handled as a MAP (wholetext scan + ``from_json``
-    MapType; the oracle unnests ``json_keys``). The engine's own
-    correctness ledger, queryable."""
+CORRECTNESS_ROUNDS_ORACLE = _correctness_rounds_oracle(
+    _REPO_DIR, _META_MAX_ROUND
+)
+
+
+def _correctness_rounds_frame(
+    spark: SparkSession, repo_dir: str, pin: int
+) -> DataFrame:
     row_schema = MapType(
         StringType(),
         StructType(
@@ -211,7 +225,7 @@ def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c = (
-        spark.read.text(f"{_REPO_DIR}/CORRECTNESS_r*.json", wholetext=True)
+        spark.read.text(f"{repo_dir}/CORRECTNESS_r*.json", wholetext=True)
         .select(
             F.regexp_extract(
                 F.col("_metadata.file_path"), r"CORRECTNESS_r(\d+)\.json", 1
@@ -220,7 +234,7 @@ def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("round"),
             F.from_json(F.col("value"), row_schema).alias("m"),
         )
-        .where(F.col("round") <= _META_MAX_ROUND)
+        .where(F.col("round") <= pin)
         .select("round", F.explode("m").alias("query", "row"))
     )
     return c.groupBy("round").agg(
@@ -240,6 +254,15 @@ def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_err"),
     )
+
+
+@register("meta_correctness_rounds", CORRECTNESS_ROUNDS_ORACLE)
+def meta_correctness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round driver-verification summary from CORRECTNESS_r*.json —
+    dynamic JSON keys handled as a MAP (wholetext scan + ``from_json``
+    MapType; the oracle unnests ``json_keys``). The engine's own
+    correctness ledger, queryable."""
+    return _correctness_rounds_frame(spark, _REPO_DIR, _META_MAX_ROUND)
 
 
 # --------------------------------------------------------------------------
