@@ -803,8 +803,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
+    w = Window.partitionBy("cust")
     rk = F.row_number().over(
-        Window.partitionBy("cust").orderBy(
+        w.orderBy(
             F.md5(
                 F.concat(
                     F.lit("aa|"),
@@ -816,17 +817,26 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part",
         )
     )
+    # degree via a COUNT window over the SAME cust partitioning as the cap
+    # ranking — no separate deg aggregate, no deg join. That removes one of
+    # three recomputations of the edge subtree (the join→distinct→window
+    # pipeline has no ReusedExchange under AQE; a localCheckpoint
+    # materialization measured 1.7× SLOWER than recomputing — see SCALE.md
+    # round-8 note) and one shuffle join. Rows per cust are capped, so the
+    # count window is bounded per key.
     edges = (
         raw_edges.withColumn("rk", rk)
         .where(F.col("rk") <= ADAMIC_ADAR_BASKET_CAP)
         .drop("rk")
+        .withColumn("d", F.count(F.lit(1)).over(w))
     )
-    deg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
-    a = edges.select("cust", F.col("part").alias("p1"))
+    # d >= 2 on the left branch only: any (p1 < p2) pair implies the
+    # customer has ≥2 capped edges, so the filter is for pruning, not
+    # correctness (results are identical either way — measured)
+    a = edges.where(F.col("d") >= 2).select("cust", F.col("part").alias("p1"), "d")
     b = edges.select(F.col("cust").alias("cust_b"), F.col("part").alias("p2"))
     pairs = (
         a.join(b, (F.col("cust") == F.col("cust_b")) & (F.col("p1") < F.col("p2")))
-        .join(deg.where(F.col("d") >= 2), "cust")
         .groupBy("p1", "p2")
         .agg(
             F.sum(F.lit(1.0) / F.log(F.col("d"))).alias("aa"),
