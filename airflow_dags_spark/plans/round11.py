@@ -53,7 +53,7 @@ from airflow_dags_spark.sources.tables import read_table
 _REPO_DIR = "/root/repo"
 
 
-def _compute_meta_max_round() -> int:
+def _compute_meta_max_round(repo_dir: str = _REPO_DIR) -> int:
     """The dashboard window pin, computed ONCE at module import: the
     highest round with BOTH sidecars present and cleanly parseable. Both
     the Spark plan and the oracle SQL text are built from this same
@@ -67,10 +67,10 @@ def _compute_meta_max_round() -> int:
     import json
     import re
 
-    rounds: set[int] = set()
+    per_kind: list[set[int]] = []
     for kind in ("BENCH", "CORRECTNESS"):
-        seen = set()
-        for p in glob.glob(f"{_REPO_DIR}/{kind}_r*.json"):
+        seen: set[int] = set()
+        for p in glob.glob(f"{repo_dir}/{kind}_r*.json"):
             m = re.search(rf"{kind}_r(\d+)\.json$", p)
             if not m:
                 continue
@@ -79,7 +79,11 @@ def _compute_meta_max_round() -> int:
             except Exception:
                 continue  # partially-written or corrupt: not pinnable
             seen.add(int(m.group(1)))
-        rounds = seen if not rounds else rounds & seen
+        per_kind.append(seen)
+    # explicit intersection of BOTH kinds — an empty first set must yield
+    # an empty intersection (→ the floor), not fall through to whichever
+    # kind parsed (the empty-set-as-sentinel bug a self-review caught)
+    rounds = set.intersection(*per_kind)
     return max(7, max(rounds) if rounds else 7)
 
 

@@ -86,3 +86,31 @@ def test_pin_hides_rounds_above_it_on_both_engines(spark, tmp_path):
     df = _bench_trend_frame(spark, str(tmp_path), 2)
     assert not compare(df, oracle)
     assert {r["round"] for r in df.collect()} == {2}
+
+
+def test_compute_meta_max_round_requires_both_sidecar_kinds(tmp_path):
+    """The pin is the highest round with BOTH sidecars parseable, floor 7:
+    corrupt BENCH files must pull a round OUT of the intersection even
+    when its CORRECTNESS file parses — and an all-corrupt kind must drop
+    to the floor, not fall through to the other kind's set."""
+    from airflow_dags_spark.plans.round11 import _compute_meta_max_round
+
+    def w(name, content):
+        (tmp_path / name).write_text(content)
+
+    # both kinds parse through round 8; round 9 has a corrupt BENCH
+    for r in (8, 9):
+        w(f"CORRECTNESS_r{r:02d}.json", json.dumps({"q": {"hash_match": True}}))
+    w("BENCH_r08.json", json.dumps({"rc": 0, "parsed": None}))
+    w("BENCH_r09.json", '{"rc": 0, "parsed": {trunc')
+    assert _compute_meta_max_round(str(tmp_path)) == 8
+
+    # every BENCH corrupt → empty intersection → the floor, even though
+    # CORRECTNESS parses to round 9 (the empty-set-as-sentinel bug)
+    w("BENCH_r08.json", "{corrupt")
+    assert _compute_meta_max_round(str(tmp_path)) == 7
+
+    # empty directory → floor
+    import tempfile
+
+    assert _compute_meta_max_round(tempfile.mkdtemp()) == 7
