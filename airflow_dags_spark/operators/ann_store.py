@@ -28,6 +28,12 @@ aggregation; only k×dim (sum, count) partials ever reach the driver — the
 bounded-collect rule of ``operators/clustering.py``. The corpus is never
 re-scanned, mirroring the signature store's sign-once property.
 
+:class:`PqCodebookStore` (round 9) is the product-quantization sibling:
+same versioned-state + batch-ledger discipline over per-(subspace, code)
+sufficient statistics, plus the re-center-vs-re-train drift policy — a
+deterministic md5-sampled vector reservoir feeds a seeded re-fit when the
+codes have drifted past the caller's threshold (see its class docstring).
+
 Reference parity note: the reference system (vinkumdev/airflow-dags) has no
 vector surface at all; this extends the engine's LLM-pipeline brief
 (SURVEY.md §2.9, similarity family).
@@ -113,11 +119,20 @@ class IvfIndexStore:
         return mat / np.where(norms > 0, norms, 1.0)
 
     def centroids(self) -> DataFrame:
-        """Current unit-normalized centroids as (cell, centroid) rows."""
+        """Current unit-normalized centroids as (cell, centroid) rows.
+
+        Empty cells (``n_members == 0``) yield their stored all-zero
+        ``vec_sum`` unchanged — the ZERO vector, exactly what
+        :meth:`centroids_matrix` (the assignment path) returns for the
+        same cell. An unguarded ``vec_sum / 0.0`` would instead emit NULL
+        components and make the two accessors disagree."""
         s = self.state()
-        mean = F.transform(
-            "vec_sum", lambda x: x / F.col("n_members").cast("double")
-        )
+        mean = F.when(
+            F.col("n_members") > 0,
+            F.transform(
+                "vec_sum", lambda x: x / F.col("n_members").cast("double")
+            ),
+        ).otherwise(F.col("vec_sum"))
         norm = F.sqrt(
             F.aggregate(mean, F.lit(0.0), lambda acc, x: acc + x * x)
         )
@@ -267,4 +282,354 @@ class IvfIndexStore:
             "version": version,
             "n_assigned": n_new,
             "mean_centroid_shift": round(shift, 9),
+        }
+
+
+class PqCodebookStore:
+    """Persistent, incrementally re-centered PQ codebooks — the
+    product-quantization analog of :class:`IvfIndexStore` (VERDICT r8
+    §Next-round #5), completing the ANN-maintenance story: the IVF store
+    maintains the COARSE quantizer, this maintains the m per-subspace
+    codebooks that ``similarity.pq_ann_topk`` encodes against.
+
+    State per version: sufficient statistics per (subspace, code) —
+    ``(subspace, code, vec_sum[dim/m], n_members)`` over unit-normalized
+    member SUB-vectors, so the current codebook entry is always
+    ``vec_sum / n_members`` (zero vector for a code that never attracted
+    members — consistent with the IVF empty-cell contract). Each arriving
+    batch is encoded against the CURRENT codebooks (Arrow-batched argmin,
+    shuffle-free), folded in as one new version, and committed through the
+    same K3 batch ledger — replayed batch ids are no-ops, orphan versions
+    heal deterministically.
+
+    **Re-center vs re-train** (the drift policy): incremental folding
+    RE-CENTERS codes toward the true member means, but cannot move a code
+    across Voronoi boundaries — after enough corpus drift the partition
+    itself is stale. The store therefore keeps (a) a deterministic
+    md5-sampled VECTOR RESERVOIR (parquet, keyed insert-if-absent — grows
+    with the corpus at the sample rate, replay-pure), and (b) a ``refit``
+    flag on ledger rows marking which versions were (re)fits.
+    :meth:`drift_since_fit` measures how far the current code centers have
+    re-centered away from the last fit's centers; :meth:`maybe_refit`
+    re-trains the codebooks from the reservoir (seeded Lloyd — the
+    ``_fit_pq_codebooks`` fit) only when that drift exceeds the caller's
+    threshold, and seeds the new version's statistics from the
+    reservoir's assignment to the new books.
+
+    100 TB shape: per-batch cost is one narrow encode pass + one
+    per-(subspace, code, dim) partial aggregation; only m × n_codes ×
+    (dim/m) = n_codes × dim partials reach the driver. A refit reads the
+    bounded reservoir sample, never the corpus.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        key_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key_col = key_col
+        self.vec_col = vec_col
+        self._ledger = ParquetTable(spark, f"{self.path}/ledger", "batch_id")
+        self._sample = ParquetTable(spark, f"{self.path}/sample", key_col)
+
+    # -- state access -------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self._ledger.exists()
+
+    def current_version(self) -> int:
+        if not self.exists():
+            return -1
+        row = self._ledger.read().agg(F.max("version").alias("v")).collect()[0]
+        return int(row["v"])
+
+    def state(self) -> DataFrame:
+        v = self.current_version()
+        if v < 0:
+            raise ValueError(f"PQ store at {self.path} not initialized")
+        return self.spark.read.parquet(f"{self.path}/state/v{v}")
+
+    def _state_at(self, version: int) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/state/v{version}")
+
+    def _books_from(self, state_rows) -> np.ndarray:
+        """(m, n_codes, sub) codebook array from state rows: entry = mean
+        of member sub-vectors; zero vector for empty codes."""
+        by = {(r["subspace"], r["code"]): r for r in state_rows}
+        m = 1 + max(j for j, _ in by)
+        n_codes = 1 + max(c for _, c in by)
+        sub = len(next(iter(by.values()))["vec_sum"])
+        books = np.zeros((m, n_codes, sub))
+        for (j, c), r in by.items():
+            n = int(r["n_members"])
+            if n > 0:
+                books[j, c] = np.asarray(r["vec_sum"], dtype=np.float64) / n
+        return books
+
+    def codebooks(self) -> np.ndarray:
+        """Current (m, n_codes, dim/m) codebooks — bounded driver-side."""
+        return self._books_from(self.state().collect())
+
+    def last_fit_version(self) -> int:
+        rows = (
+            self._ledger.read()
+            .where(F.col("refit"))
+            .agg(F.max("version").alias("v"))
+            .collect()
+        )
+        v = rows[0]["v"]
+        if v is None:
+            raise ValueError(f"PQ store at {self.path} has no fit version")
+        return int(v)
+
+    def drift_since_fit(self) -> float:
+        """Mean L2 shift of code centers between the last (re)fit version's
+        state and the current state — the observable that drives the
+        re-center-vs-re-train policy."""
+        cur = self.codebooks()
+        fit = self._books_from(self._state_at(self.last_fit_version()).collect())
+        m, n_codes = cur.shape[0], cur.shape[1]
+        return float(
+            np.linalg.norm(
+                cur.reshape(m * n_codes, -1) - fit.reshape(m * n_codes, -1),
+                axis=1,
+            ).mean()
+        )
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_state(self, stats: list[tuple], version: int) -> None:
+        df = self.spark.createDataFrame(
+            stats,
+            "subspace int, code int, vec_sum array<double>, n_members bigint",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/state/v{version}"
+        )
+
+    def _commit(self, batch_id: str, version: int, refit: bool) -> None:
+        row = self.spark.createDataFrame(
+            [(batch_id, version, refit)],
+            "batch_id string, version int, refit boolean",
+        )
+        self._ledger.insert_if_absent(row, order_by=["version"])
+
+    def _applied(self, batch_id: str) -> bool:
+        return (
+            self.exists()
+            and self._ledger.read()
+            .where(F.col("batch_id") == batch_id)
+            .count()
+            > 0
+        )
+
+    def _reserve(self, vecs: DataFrame, sample_hex: str) -> None:
+        """Fold the batch's deterministic md5 sample into the reservoir
+        (keyed insert-if-absent → replay-pure, grows at the sample rate)."""
+        picked = vecs.where(
+            F.substring(F.md5(F.col(self.key_col).cast("string")), 1, 1)
+            < sample_hex
+        ).select(self.key_col, as_double(self.vec_col).alias("v"))
+        self._sample.insert_if_absent(picked, order_by=[self.key_col])
+
+    def _fit_from_reservoir(
+        self, m: int, n_codes: int, fit_sample: int, max_iter: int, seed: int
+    ) -> np.ndarray:
+        """Seeded Lloyd on a DETERMINISTIC reservoir subset (ordered by
+        md5(key) — stable under reservoir growth order)."""
+        from airflow_dags_spark.operators.similarity import _fit_pq_codebooks
+
+        sample = self._sample.read().orderBy(
+            F.md5(F.col(self.key_col).cast("string")), F.col(self.key_col)
+        ).limit(fit_sample)
+        return _fit_pq_codebooks(
+            sample.select(F.col("v").alias(self.vec_col)),
+            self.vec_col,
+            m,
+            n_codes,
+            fit_sample,
+            max_iter,
+            seed,
+        )
+
+    def _batch_stats(
+        self, vecs: DataFrame, books: np.ndarray
+    ) -> list[tuple]:
+        """Distributed per-(subspace, code) (Σ unit sub-vector, count) of a
+        batch; only m × n_codes × sub partials are collected."""
+        m, n_codes, sub = books.shape
+
+        @F.pandas_udf("array<int>")
+        def _codes_of(v: pd.Series) -> pd.Series:
+            x = np.vstack(v.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms > 0, norms, 1.0)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d, axis=1)
+            return pd.Series(list(codes))
+
+        v = as_double(self.vec_col)
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+        assigned = vecs.where(F.col(self.vec_col).isNotNull()).select(
+            unit.alias("__u"), _codes_of(v).alias("__codes")
+        )
+        per = (
+            assigned.select(F.posexplode("__u").alias("dim", "val"), "__codes")
+            .select(
+                (F.col("dim") / sub).cast("int").alias("subspace"),
+                (F.col("dim") % sub).alias("subdim"),
+                F.element_at(
+                    "__codes", (F.col("dim") / sub).cast("int") + 1
+                ).alias("code"),
+                "val",
+            )
+            .groupBy("subspace", "code", "subdim")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        rows = per.collect()  # bounded: ≤ m × n_codes × sub rows
+        by: dict[tuple[int, int], list] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in rows:
+            key = (r["subspace"], r["code"])
+            by.setdefault(key, [0.0] * sub)[r["subdim"]] = float(r["s"])
+            if counts.setdefault(key, int(r["n"])) != int(r["n"]):
+                raise ValueError(
+                    "heterogeneous vector lengths in batch: per-subdim "
+                    f"counts disagree for (subspace, code) {key}"
+                )
+        return [
+            (j, c, by.get((j, c), [0.0] * sub), counts.get((j, c), 0))
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+
+    def init_from(
+        self,
+        vecs: DataFrame,
+        m: int,
+        n_codes: int,
+        *,
+        batch_id: str = "__init__",
+        fit_sample: int = 20000,
+        max_iter: int = 10,
+        seed: int = 42,
+        sample_hex: str = "4",
+    ) -> dict:
+        """Train the initial codebooks (sampled, seeded) and fold the full
+        init corpus into code statistics. Idempotent on ``batch_id``."""
+        from airflow_dags_spark.operators.similarity import _fit_pq_codebooks
+
+        if self.exists():
+            if self._applied(batch_id):
+                return {"applied": False, "version": self.current_version()}
+            raise ValueError("init_from on an already-initialized store")
+        clean = vecs.where(F.col(self.vec_col).isNotNull())
+        books = _fit_pq_codebooks(
+            clean, self.vec_col, m, n_codes, fit_sample, max_iter, seed
+        )
+        self._reserve(clean, sample_hex)
+        stats = self._batch_stats(clean, books)
+        self._write_state(stats, 0)
+        self._commit(batch_id, 0, refit=True)
+        return {"applied": True, "version": 0, "m": m, "n_codes": n_codes}
+
+    def add_batch(
+        self, vecs: DataFrame, batch_id: str, *, sample_hex: str = "4"
+    ) -> dict:
+        """Encode a batch against the CURRENT codebooks, fold its
+        per-(subspace, code) sums into the state, persist as the next
+        version. Same replay contract as :meth:`IvfIndexStore.add_batch`."""
+        if self._applied(batch_id):
+            return {"applied": False, "version": self.current_version()}
+        books = self.codebooks()
+        m, n_codes, sub = books.shape
+        clean = vecs.where(F.col(self.vec_col).isNotNull())
+        self._reserve(clean, sample_hex)
+        cur = {
+            (r["subspace"], r["code"]): (list(r["vec_sum"]), int(r["n_members"]))
+            for r in self.state().collect()
+        }
+        delta = self._batch_stats(clean, books)
+        merged = []
+        n_new = 0
+        for j, c, dsum, dn in delta:
+            osum, on = cur[(j, c)]
+            if dn == 0:
+                merged.append((j, c, osum, on))
+                continue
+            if len(dsum) != len(osum):
+                raise ValueError(
+                    f"batch sub-vector dim {len(dsum)} != store dim "
+                    f"{len(osum)} (subspace {j}, code {c})"
+                )
+            merged.append((j, c, [a + b for a, b in zip(osum, dsum)], on + dn))
+            if j == 0:
+                n_new += dn  # each vector contributes once per subspace
+        version = self.current_version() + 1
+        self._write_state(merged, version)
+        self._commit(batch_id, version, refit=False)
+        new_books = np.zeros_like(books)
+        for j, c, s, n in merged:
+            if n > 0:
+                new_books[j, c] = np.asarray(s, dtype=np.float64) / n
+        shift = float(
+            np.linalg.norm(
+                new_books.reshape(m * n_codes, -1)
+                - books.reshape(m * n_codes, -1),
+                axis=1,
+            ).mean()
+        )
+        return {
+            "applied": True,
+            "version": version,
+            "n_assigned": n_new,
+            "mean_code_shift": round(shift, 9),
+        }
+
+    def maybe_refit(
+        self,
+        batch_id: str,
+        *,
+        drift_threshold: float,
+        fit_sample: int = 20000,
+        max_iter: int = 10,
+        seed: int = 42,
+    ) -> dict:
+        """The re-train arm of the drift policy: when the codes have
+        re-centered further than ``drift_threshold`` from the last fit,
+        re-train the codebooks from the reservoir (seeded Lloyd) and seed
+        the new version's statistics from the reservoir's assignment to
+        the new books. Below the threshold: no-op (incremental
+        re-centering is still adequate). Idempotent on ``batch_id`` —
+        a replayed refit never trains twice."""
+        if self._applied(batch_id):
+            return {"applied": False, "version": self.current_version()}
+        drift = self.drift_since_fit()
+        if drift <= drift_threshold:
+            return {"applied": False, "refit": False, "drift": round(drift, 9)}
+        m, n_codes, _sub = self.codebooks().shape
+        books = self._fit_from_reservoir(m, n_codes, fit_sample, max_iter, seed)
+        stats = self._batch_stats(
+            self._sample.read().select(F.col("v").alias(self.vec_col)), books
+        )
+        version = self.current_version() + 1
+        self._write_state(stats, version)
+        self._commit(batch_id, version, refit=True)
+        return {
+            "applied": True,
+            "refit": True,
+            "version": version,
+            "drift": round(drift, 9),
         }

@@ -337,3 +337,114 @@ class MinhashSignatureStore:
             "n_novel": n_batch - n_dup,
             "n_appended": n_appended,
         }
+
+
+def reconcile_advisories(
+    spark,
+    advisory_path: str,
+    accepted_path: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    jaccard_threshold: float = 0.8,
+    quarantine: bool = False,
+    verified_path: str | None = None,
+) -> DataFrame:
+    """CONSUME the re-delivery advisory flags
+    (``streaming.pipeline.screened_ingest_sink(advisory_path=...)`` /
+    ``MinhashSignatureStore.advisory_redelivery``): exact-verify every
+    flagged pair and optionally quarantine the confirmed near-dups out of
+    the accepted corpus — closing the loop the r8 advisory pass opened
+    (the flags were recorded but nothing acted on them; VERDICT r8
+    §Next-round #2).
+
+    Per advisory row ``(key, advisory_matched_store_doc, n_matching_bands,
+    batch_id)``: both sides' text is looked up in the ACCEPTED table (novel
+    routes are the only docs whose signatures enter the store, so the
+    matched store doc is an accepted doc by construction), exact shingle
+    Jaccard (``operators.dedup.ngram_jaccard``) replaces the banded
+    estimate, and ``verified = jaccard >= jaccard_threshold``. The report
+    frame ``(key_col, advisory_matched_store_doc, batch_id,
+    n_matching_bands, jaccard, verified)`` is returned; rows whose text is
+    no longer readable (a side physically compacted away) keep
+    ``jaccard = NULL`` / ``verified = false`` — an audit row, never a
+    silent drop.
+
+    ``quarantine=True`` applies the confirmed set through the K7
+    merge-on-read delete path: ``ParquetTable.logical_delete`` of the
+    ADVISORY KEYS (the later-arriving docs — the stored doc is the
+    survivor, the same min-key/first-wins discipline every dedup surface
+    uses) against the accepted table. O(|confirmed|) per run — a
+    deletion-vector append, no partition rewrite; ``compact_dv()`` applies
+    it physically later. Re-running the reconcile is idempotent: the
+    verification is a pure function of (advisory table, accepted texts) —
+    text lookups read ``read()``, not ``read_current()``, so already
+    quarantined keys re-verify identically — and re-recording the same
+    keys in the deletion vector is absorbed by its distinct-on-read
+    contract.
+
+    ``verified_path`` persists the report keyed by (key, batch_id) via
+    insert-if-absent — the audit trail of what was confirmed when.
+
+    100 TB shape: one broadcast-able join of the (small) advisory table
+    against the accepted corpus per side — the corpus is scanned, the
+    advisory side never exceeds flags-to-date; the Jaccard verify touches
+    flagged pairs only; the delete is a vector append. Nothing rescans
+    signatures or re-signs documents."""
+    from airflow_dags_spark.operators.dedup import ngram_jaccard
+    from airflow_dags_spark.sources.tables import table_exists
+
+    acc = ParquetTable(spark, accepted_path, key_col)
+    if not table_exists(spark, advisory_path):
+        # no flags ever recorded: empty report, nothing to quarantine
+        return spark.createDataFrame(
+            [],
+            f"{key_col} long, advisory_matched_store_doc long, "
+            "batch_id bigint, n_matching_bands bigint, jaccard double, "
+            "verified boolean",
+        )
+    adv = spark.read.parquet(advisory_path)
+    docs = acc.read()  # full read: see docstring (idempotence)
+    new_side = docs.select(
+        F.col(key_col), F.col(text_col).alias("__text_new")
+    )
+    store_side = docs.select(
+        F.col(key_col).alias("advisory_matched_store_doc"),
+        F.col(text_col).alias("__text_store"),
+    )
+    pairs = adv.join(new_side, key_col, "left").join(
+        store_side, "advisory_matched_store_doc", "left"
+    )
+    report = (
+        ngram_jaccard(pairs, "__text_new", "__text_store", n_shingle)
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("__text_new").isNotNull()
+                & F.col("__text_store").isNotNull(),
+                F.col("jaccard"),
+            ),
+        )
+        .select(
+            key_col,
+            "advisory_matched_store_doc",
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            F.col("n_matching_bands").cast("bigint").alias("n_matching_bands"),
+            "jaccard",
+            F.coalesce(
+                F.col("jaccard") >= F.lit(jaccard_threshold), F.lit(False)
+            ).alias("verified"),
+        )
+    )
+    # materialize BEFORE any accepted-table mutation: the report plan reads
+    # the very table logical_delete appends a sidecar next to
+    report = report.localCheckpoint(eager=True)
+    if verified_path is not None:
+        ParquetTable(
+            spark, verified_path, [key_col, "batch_id"]
+        ).insert_if_absent(report, order_by=["advisory_matched_store_doc"])
+    if quarantine:
+        confirmed = report.where(F.col("verified")).select(key_col)
+        acc.logical_delete(confirmed)
+    return report

@@ -70,4 +70,5 @@ def load_all() -> None:
         round9,
         round10,
         round11,
+        round12,
     )

@@ -50,7 +50,20 @@ from airflow_dags_spark.functions.vectors import as_double, cosine
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
 
-_REPO_DIR = "/root/repo"
+# Sidecar location for the meta queries: env override first (driver
+# sandboxes / scratch deployments), else the repo root derived from this
+# module's own location (plans/ → airflow_dags_spark/ → repo). The
+# BENCH_r*/CORRECTNESS_r*.json sidecars are WRITE-ONCE by contract — the
+# driver records each round's file exactly once and never rewrites it;
+# the import-time pin below (and the cross-engine agreement of the meta
+# queries) is sound only under that contract. A sidecar rewritten in
+# place between the Spark run and the oracle run would diverge the
+# engines despite the pin (ADVICE r8).
+import os as _os
+
+_REPO_DIR = _os.environ.get("SPARK_GRAFT_REPO_DIR") or _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
 
 
 def _compute_meta_max_round(repo_dir: str = _REPO_DIR) -> int:

@@ -1,0 +1,232 @@
+"""Round-12 registry additions — the two genuinely-new surfaces the r8
+verdict ranked (§Next-round #2 and #3):
+
+- **dedup_substring_spans** — the SUBSTRING-grain dedup tier
+  (``operators.dedup.duplicated_spans``): maximal per-document token spans
+  whose n-token shingles all occur in ≥2 documents — the distributed
+  shingle-inverted-index stand-in for suffix-array exact-substring dedup
+  (Lee et al. 2022). Completes the grain ladder document → chunk → span.
+- **dedup_advisory_reconcile** — the CONSUMER of the r8 re-delivery
+  advisory flags (``operators.ingest.reconcile_advisories``): the banded
+  advisory estimate is exact-verified with shingle Jaccard, and only
+  confirmed pairs become quarantine candidates. This query is the
+  SQL-expressible single step: store + re-delivered-batch simulation from
+  ``documents`` (md5-deterministic splits, the ``dedup_minhash_incr_screen``
+  convention), advisory pass, exact verify, verdict column. The persistent
+  form (advisory parquet table → deletion-vector quarantine with audit
+  trail) is ``reconcile_advisories`` — pytest-verified end-to-end
+  (tests/test_ingest.py).
+
+Scale notes (100 TB): substring spans shuffle (a) (hash, key) pairs for
+ONE count-distinct hash aggregation, (b) the duplicated-hash semi-join
+(distinct hashes only on the build side), (c) per-document windows bounded
+by document length — document text never crosses an exchange. The
+reconcile query signs each side once (staged shingle projections), the
+advisory join is bounded by the batch's key count BEFORE the band join
+(semi-join pruning in minhash_redelivery_advisory), and the exact verify
+touches flagged pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.operators.dedup import (
+    duplicated_spans,
+    minhash_bands,
+    minhash_redelivery_advisory,
+    ngram_jaccard,
+)
+from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.sources.tables import read_table
+
+_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_spans — cross-document duplicated token spans
+# --------------------------------------------------------------------------
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 8
+),
+sh AS MATERIALIZED (
+  -- 8-token shingle hash per POSITION (no distinct: runs are positional)
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+),
+dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.pos FROM sh s WHERE s.sh IN (SELECT sh FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_substring_spans", SUBSTRING_SPANS_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-grain dedup: maximal token spans whose 8-token shingles
+    all occur in at least one OTHER document (min_run=2 → duplicated
+    substrings of ≥9 tokens) — the boilerplate-inside-unique-documents
+    tier that whole-doc and chunk fingerprints miss.
+
+    Scale shape: see ``operators.dedup.duplicated_spans`` — one narrow
+    position-preserving hash map, one count-distinct hash agg on the
+    shingle hash, one semi-join (distinct duplicated hashes build side),
+    one per-document window. The md5-per-position map stage dominates at
+    test SF, so the scan is spread first (same note as
+    dedup_minhash_incr_screen)."""
+    d = read_table(spark, sf_dir, "documents").repartition(16, "doc_id")
+    return duplicated_spans(d, "text", "doc_id", n_shingle=8, min_run=2)
+
+
+# --------------------------------------------------------------------------
+# dedup_advisory_reconcile — exact-verify the re-delivery advisory flags
+# --------------------------------------------------------------------------
+
+def _sh3(norm: str) -> str:
+    """DuckDB 3-token shingle list over a normalized-text expression (the
+    engine's shingles_from_tokens mirror, parameterized on the column)."""
+    split = f"string_split({norm}, ' ')"
+    return f"""list_distinct(list_transform(
+      generate_series(1, GREATEST(len({split}) - 2, 0)),
+      i -> {split}[i] || ' ' || {split}[i+1] || ' ' || {split}[i+2]))"""
+
+
+def _bands4(sh_col: str) -> str:
+    return ",\n    ".join(
+        f"CASE WHEN len({sh_col}) > 0 THEN "
+        f"list_min(list_transform({sh_col}, s -> md5('b{i}:' || s))) END "
+        f"AS band_{i}"
+        for i in range(4)
+    )
+
+
+ADVISORY_RECONCILE_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_store,
+         substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '4' AS redeliv
+  FROM documents
+),
+batch AS MATERIALIZED (
+  SELECT doc_id, text FROM base WHERE NOT is_store
+  UNION ALL
+  -- re-delivered old keys arrive with DRIFTED content (an identical
+  -- re-delivery is excluded by full-signature identity on both engines)
+  SELECT doc_id, text || ' redelivered revision' AS text
+  FROM base WHERE is_store AND redeliv
+),
+store_sh AS MATERIALIZED (
+  SELECT doc_id, {_sh3(_NORM)} AS sh FROM base WHERE is_store
+),
+batch_sh AS MATERIALIZED (SELECT doc_id, {_sh3(_NORM)} AS sh FROM batch),
+store_bands AS MATERIALIZED (SELECT doc_id, {_bands4('sh')} FROM store_sh),
+batch_bands AS MATERIALIZED (SELECT doc_id, {_bands4('sh')} FROM batch_sh),
+preexist AS (
+  -- store rows keyed by batch members, minus rows byte-identical to the
+  -- batch's own signatures (replay purity — minhash_redelivery_advisory)
+  SELECT s.* FROM store_bands s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM batch_bands b WHERE b.doc_id = s.doc_id
+      AND b.band_0 = s.band_0 AND b.band_1 = s.band_1
+      AND b.band_2 = s.band_2 AND b.band_3 = s.band_3)
+    AND EXISTS (SELECT 1 FROM batch_bands b2 WHERE b2.doc_id = s.doc_id)
+),
+st AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM preexist
+  UNION ALL SELECT doc_id, 1, band_1 FROM preexist
+  UNION ALL SELECT doc_id, 2, band_2 FROM preexist
+  UNION ALL SELECT doc_id, 3, band_3 FROM preexist
+),
+nw AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM batch_bands
+  UNION ALL SELECT doc_id, 1, band_1 FROM batch_bands
+  UNION ALL SELECT doc_id, 2, band_2 FROM batch_bands
+  UNION ALL SELECT doc_id, 3, band_3 FROM batch_bands
+),
+hits AS (
+  SELECT n.doc_id, MIN(s.doc_id) AS advisory_matched_store_doc,
+         CAST(COUNT(DISTINCT n.band_idx) AS BIGINT) AS n_matching_bands
+  FROM nw n JOIN st s ON n.band_idx = s.band_idx AND n.band_val = s.band_val
+  WHERE n.doc_id <> s.doc_id
+  GROUP BY n.doc_id
+),
+jx AS (
+  SELECT h.doc_id, h.advisory_matched_store_doc, h.n_matching_bands,
+         len(list_intersect(bn.sh, ss.sh)) AS inter,
+         len(list_distinct(list_concat(bn.sh, ss.sh))) AS uni
+  FROM hits h
+  JOIN batch_sh bn ON bn.doc_id = h.doc_id
+  JOIN store_sh ss ON ss.doc_id = h.advisory_matched_store_doc
+)
+SELECT doc_id, advisory_matched_store_doc, n_matching_bands,
+  ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 6)
+    AS jaccard,
+  ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 6)
+    >= 0.5 AS verified
+FROM jx
+"""
+
+
+@register("dedup_advisory_reconcile", ADVISORY_RECONCILE_ORACLE)
+def dedup_advisory_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verification of re-delivery advisory flags — the single
+    deterministic step of ``operators.ingest.reconcile_advisories``
+    (VERDICT r8 #2), simulated from ``documents``: the store is the
+    md5 < 'd' split, the batch is everything else PLUS ~25% of store keys
+    re-delivered with drifted content; the advisory pass flags batch docs
+    matching the re-delivered keys' PREEXISTING stored signatures, and
+    exact shingle Jaccard against the stored text decides ``verified`` —
+    banding false positives (1-band accidental collisions) are rejected
+    here, which is the whole point of the verification tier.
+
+    Scale shape: each side is signed once (staged projections inside
+    minhash_bands); minhash_redelivery_advisory prunes the store to at
+    most the batch's key count BEFORE the band join; the verify joins
+    texts for FLAGGED pairs only. Nothing is all-pairs."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(16, "doc_id")
+    )
+    is_store = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d"
+    redeliv = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1) < "4"
+    store_docs = d.where(is_store)
+    batch = d.where(~is_store).unionByName(
+        store_docs.where(redeliv).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" redelivered revision")).alias("text"),
+        )
+    )
+    store_bands = minhash_bands(store_docs, "text", "doc_id")
+    new_bands = minhash_bands(batch, "text", "doc_id")
+    adv = minhash_redelivery_advisory(store_bands, new_bands, "doc_id", 4)
+    pairs = adv.join(
+        batch.select("doc_id", F.col("text").alias("__text_new")), "doc_id"
+    ).join(
+        store_docs.select(
+            F.col("doc_id").alias("advisory_matched_store_doc"),
+            F.col("text").alias("__text_store"),
+        ),
+        "advisory_matched_store_doc",
+    )
+    return ngram_jaccard(pairs, "__text_new", "__text_store", 3).select(
+        "doc_id",
+        "advisory_matched_store_doc",
+        "n_matching_bands",
+        "jaccard",
+        (F.col("jaccard") >= 0.5).alias("verified"),
+    )
+
+
+__all__ = ["dedup_substring_spans", "dedup_advisory_reconcile"]

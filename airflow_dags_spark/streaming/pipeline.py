@@ -716,11 +716,18 @@ def screened_ingest_sink(
         )
         if advisory_path is not None:
             # flags-after-the-fact for the cross-batch re-delivery miss:
-            # advisory only — the routes above never consult this table
+            # advisory only — the routes above never consult this table.
+            # Keyed by (key, batch_id): a key can be legitimately flagged
+            # again by a LATER batch (re-delivered next to a different
+            # near-dup) and an audit table that silently drops the second
+            # flag is lying; replay of the SAME batch still no-ops because
+            # the advisory pass is replay-pure for a fixed batch id
             advisories = store.advisory_redelivery(new_bands).withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
             )
-            ParquetTable(spark, advisory_path, key_col).insert_if_absent(
+            ParquetTable(
+                spark, advisory_path, [key_col, "batch_id"]
+            ).insert_if_absent(
                 advisories, order_by=["advisory_matched_store_doc"]
             )
         # store append LAST (see docstring: replay consistency)
@@ -760,14 +767,30 @@ def ivf_index_sink(
     the store's batch ledger (K3 insert-if-absent keyed by batch id) makes
     a replayed committed batch a no-op, and a crash between the state
     write and the ledger append leaves an orphan version the replay
-    deterministically overwrites. (The screened-sink caveat applies here
-    too: a FRESH checkpoint that re-BATCHES history differently is a
-    reprocess, not a replay — batch ids are per-checkpoint.)
+    deterministically overwrites. Ledger keys are NAMESPACED by the
+    checkpoint location (``<md5(checkpoint_dir)[:12]>:b<batch_id>``):
+    micro-batch ids restart at 0 with every fresh checkpoint, so a bare
+    ``b{batch_id}`` key would make a NEW stream (or a second stream)
+    against an existing store collide with the old run's ledger rows and
+    silently drop whole batches as "replays" — the namespace keeps replay
+    detection scoped to the one checkpoint whose batch ids are actually
+    comparable. (The screened-sink caveat still applies: a FRESH
+    checkpoint that re-BATCHES history differently is a reprocess, not a
+    replay — its batches apply as new folds.)
 
     100 TB shape: per-batch cost is one scan of the batch plus k×dim
     partial sums to the driver; state is k×dim rows per version — index
     maintenance cost is a function of ARRIVING data only."""
+    import hashlib
+
     from airflow_dags_spark.operators.ann_store import IvfIndexStore
+
+    # per-checkpoint ledger namespace (see docstring): replays of THIS
+    # checkpoint re-derive the same prefix; a fresh checkpoint derives a
+    # new one, so its restarted batch ids can't collide with old rows
+    ledger_ns = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         # null vectors carry no assignment signal, and an all-null FIRST
@@ -783,12 +806,12 @@ def ivf_index_sink(
             store.init_from(
                 batch,
                 n_cells,
-                batch_id=f"b{batch_id}",
+                batch_id=f"{ledger_ns}:b{batch_id}",
                 fit_sample=fit_sample,
                 seed=seed,
             )
         else:
-            store.add_batch(batch, f"b{batch_id}")
+            store.add_batch(batch, f"{ledger_ns}:b{batch_id}")
 
     writer = vec_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir

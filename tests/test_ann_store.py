@@ -216,3 +216,225 @@ def test_ivf_index_sink_survives_all_null_first_batch(spark, emb, tmp_path):
     run()
     assert store.exists()
     assert sum(r["n_members"] for r in store.state().collect()) == 30
+
+
+def test_ivf_index_sink_fresh_checkpoint_applies_batches(spark, emb, tmp_path):
+    """ADVICE r8 (medium): micro-batch ids restart at 0 with a fresh
+    checkpoint, so the ledger key must be namespaced per checkpoint — a
+    SECOND stream (new checkpoint, new landing) against an EXISTING store
+    must fold its batches in, not silently skip them as 'replays' of the
+    first stream's batch 0."""
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    store_path = str(tmp_path / "ivf")
+
+    def run(landing, ck):
+        q = ivf_index_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing)),
+            store_path,
+            str(tmp_path / ck),
+            n_cells=4,
+            fit_sample=60,
+        )
+        q.awaitTermination(120)
+
+    l1 = tmp_path / "landing1"
+    l1.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(l1 / "b1"))
+    run(l1 / "*", "ck1")
+    store = IvfIndexStore(spark, store_path)
+    assert sum(r["n_members"] for r in store.state().collect()) == 60
+
+    # fresh checkpoint + fresh landing: its batch 0 must APPLY
+    l2 = tmp_path / "landing2"
+    l2.mkdir()
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 100)).write.parquet(
+        str(l2 / "b1")
+    )
+    run(l2 / "*", "ck2")
+    assert sum(r["n_members"] for r in store.state().collect()) == 100
+    # replay of checkpoint 2 (no new files) still no-ops
+    run(l2 / "*", "ck2")
+    assert sum(r["n_members"] for r in store.state().collect()) == 100
+
+
+def test_centroids_empty_cell_is_zero_vector_not_null(spark, emb, tmp_path):
+    """ADVICE r8 (low): an empty cell's centroid must be the ZERO vector in
+    BOTH accessors — the SQL accessor used to emit NULL components
+    (vec_sum / 0.0) while the assignment path returned zeros."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40)
+    # force an empty cell deterministically: rewrite the state with cell 3
+    # zeroed out (the _write_state seam the crash-healing test also uses)
+    rows = sorted(
+        ((r["cell"], list(r["vec_sum"]), int(r["n_members"]))
+         for r in store.state().collect()),
+    )
+    dim = len(rows[0][1])
+    forced = [
+        (c, [0.0] * dim, 0) if c == 3 else (c, s, n) for c, s, n in rows
+    ]
+    store._write_state(forced, store.current_version())
+
+    frame = {r["cell"]: list(r["centroid"]) for r in store.centroids().collect()}
+    assert frame[3] == [0.0] * dim  # zero vector, no NULL components
+    assert all(x is not None for x in frame[3])
+    mat = store.centroids_matrix()
+    np.testing.assert_allclose(np.asarray(frame[3]), mat[3])
+    # non-empty cells unaffected
+    np.testing.assert_allclose(np.asarray(frame[0]), mat[0], rtol=1e-9)
+
+
+# --- PqCodebookStore: PQ analog of the IVF maintenance store ------------------
+
+
+def _pq_numpy_stats(vectors: np.ndarray, books: np.ndarray):
+    """Reference: encode unit vectors per subspace (argmin squared
+    distance), return per (subspace, code) (sum of unit sub-vectors,
+    count)."""
+    m, n_codes, sub = books.shape
+    xn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    sums = np.zeros((m, n_codes, sub))
+    counts = np.zeros((m, n_codes), dtype=int)
+    for j in range(m):
+        xs = xn[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(n_codes):
+            members = xs[assign == c]
+            counts[j, c] = len(members)
+            if len(members):
+                sums[j, c] = members.sum(axis=0)
+    return sums, counts
+
+
+def test_pq_add_batch_matches_numpy_reference(spark, emb, tmp_path):
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    init = emb.where(F.col("vec_id") < 60)
+    batch = emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 140))
+    store.init_from(init, m=4, n_codes=8, fit_sample=60, seed=7)
+
+    books0 = store.codebooks()
+    state0 = {
+        (r["subspace"], r["code"]): (np.array(r["vec_sum"]), r["n_members"])
+        for r in store.state().collect()
+    }
+    out = store.add_batch(batch, "b1")
+    assert out["applied"] and out["version"] == 1
+
+    X = np.array(
+        [r["embedding"] for r in batch.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    d_sums, d_counts = _pq_numpy_stats(X, books0)
+    assert out["n_assigned"] == len(X)
+    for r in store.state().collect():
+        j, c = r["subspace"], r["code"]
+        exp_sum = state0[(j, c)][0] + d_sums[j, c]
+        exp_n = state0[(j, c)][1] + int(d_counts[j, c])
+        assert r["n_members"] == exp_n, (j, c)
+        np.testing.assert_allclose(np.array(r["vec_sum"]), exp_sum, rtol=1e-9)
+
+
+def test_pq_replay_and_orphan_heal(spark, emb, tmp_path):
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    store.init_from(emb.where(F.col("vec_id") < 40), m=4, n_codes=8, fit_sample=40)
+    b = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    r1 = store.add_batch(b, "batch-A")
+    snap = sorted(
+        (r["subspace"], r["code"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    r2 = store.add_batch(b, "batch-A")
+    assert r1["applied"] and not r2["applied"]
+    assert snap == sorted(
+        (r["subspace"], r["code"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    # orphan heal: state written without ledger -> replay overwrites it
+    books = store.codebooks()
+    cur = {
+        (r["subspace"], r["code"]): (list(r["vec_sum"]), int(r["n_members"]))
+        for r in store.state().collect()
+    }
+    b2 = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 120))
+    delta = store._batch_stats(b2, books)
+    orphan = [
+        (j, c, [a + x for a, x in zip(cur[(j, c)][0], s)], cur[(j, c)][1] + n)
+        for j, c, s, n in delta
+    ]
+    store._write_state(orphan, 2)
+    assert store.current_version() == 1  # orphan invisible
+    out = store.add_batch(b2, "batch-B")
+    assert out["applied"] and out["version"] == 2
+    got = sorted(
+        (r["subspace"], r["code"], r["n_members"], tuple(r["vec_sum"]))
+        for r in store.state().collect()
+    )
+    assert got == sorted((j, c, n, tuple(s)) for j, c, s, n in orphan)
+
+
+def test_pq_drift_policy_refit_only_past_threshold(spark, emb, tmp_path):
+    """Below threshold maybe_refit is a no-op; past it the codebooks are
+    re-trained from the reservoir as a new REFIT version (ledger-flagged),
+    drift_since_fit resets, and a replayed refit batch id no-ops."""
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    # sample_hex 'g': every md5 first hex char < 'g' -> reservoir = all keys
+    store.init_from(
+        emb.where(F.col("vec_id") < 40), m=4, n_codes=8, fit_sample=40,
+        sample_hex="g",
+    )
+    assert store.drift_since_fit() == 0.0  # v0 IS the fit
+    out = store.add_batch(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 120)),
+        "b1",
+        sample_hex="g",
+    )
+    drift = store.drift_since_fit()
+    assert drift > 0.0 and abs(drift - out["mean_code_shift"]) < 1e-9
+
+    high = store.maybe_refit("refit-1", drift_threshold=drift + 1.0)
+    assert not high["applied"] and not high.get("refit", False)
+
+    low = store.maybe_refit("refit-2", drift_threshold=drift / 2)
+    assert low["applied"] and low["refit"]
+    assert store.last_fit_version() == low["version"]
+    assert store.drift_since_fit() == 0.0  # freshly re-trained
+    # reservoir-seeded stats: members = reservoir rows (all 120 keys here)
+    assert (
+        store.state().where(F.col("subspace") == 0)
+        .agg(F.sum("n_members")).collect()[0][0] == 120
+    )
+    # replayed refit never trains twice
+    again = store.maybe_refit("refit-2", drift_threshold=0.0)
+    assert not again["applied"]
+
+
+def test_pq_empty_code_center_is_zero_vector(spark, emb, tmp_path):
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    store.init_from(emb.where(F.col("vec_id") < 30), m=4, n_codes=16, fit_sample=30)
+    # force an empty code deterministically (the _write_state seam the
+    # orphan-heal tests also use): zero out (subspace 0, code 0)
+    sub = len(store.state().collect()[0]["vec_sum"])
+    forced = [
+        (r["subspace"], r["code"], [0.0] * sub, 0)
+        if (r["subspace"], r["code"]) == (0, 0)
+        else (r["subspace"], r["code"], list(r["vec_sum"]), int(r["n_members"]))
+        for r in store.state().collect()
+    ]
+    store._write_state(forced, store.current_version())
+    books = store.codebooks()
+    np.testing.assert_array_equal(books[0, 0], 0.0)
+    # non-empty codes untouched
+    nonzero = [(j, c) for j, c, _s, n in forced if n > 0]
+    assert any(np.linalg.norm(books[j, c]) > 0 for j, c in nonzero)

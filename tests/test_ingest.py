@@ -440,3 +440,168 @@ def test_advisory_redelivery_pure_under_replay_after_append(spark, tmp_path):
     _, nb3 = store.screen(drifted, "text")
     adv = {r.doc_id: r for r in store.advisory_redelivery(nb3).collect()}
     assert 70 in adv and adv[70].advisory_matched_store_doc == 1
+
+
+# --- advisory reconcile: exact-verify -> quarantine (VERDICT r8 #2) ----------
+
+
+def test_reconcile_advisories_verifies_and_quarantines(spark, tmp_path):
+    """End-to-end consumption of the advisory flags: the streamed scenario
+    (old key re-delivered drifted + new near-dup accepted as novel) leaves
+    a flag; reconcile exact-verifies it, records the audit row, and
+    quarantines the confirmed near-dup through the K7 deletion-vector
+    path — read_current() hides it, read() (and a later compact) owns the
+    physical truth. Re-running the reconcile changes nothing."""
+    import json as _json
+
+    from airflow_dags_spark.operators.ingest import reconcile_advisories
+    from airflow_dags_spark.streaming.pipeline import screened_ingest_sink
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        _json.dumps({"doc_id": 10, "text": _BASE}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": "entirely different content on join reordering"}) + "\n"
+    )
+    paths = {
+        n: str(tmp_path / n)
+        for n in ("store", "accepted", "flagged", "adv", "verified")
+    }
+
+    def run():
+        q = screened_ingest_sink(
+            spark.readStream.schema("doc_id long, text string").json(str(landing)),
+            paths["store"],
+            paths["accepted"],
+            paths["flagged"],
+            str(tmp_path / "ck"),
+            advisory_path=paths["adv"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    (landing / "b2.json").write_text(
+        # key 10 re-delivered drifted + NEW near-dup 30 of stored 10
+        _json.dumps({"doc_id": 10, "text": _BASE + " under a pale evening sky"}) + "\n"
+        + _json.dumps({"doc_id": 30, "text": _BASE + " at dawn"}) + "\n"
+    )
+    run()
+    acc = ParquetTable(spark, paths["accepted"], "doc_id")
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 30}
+
+    report = reconcile_advisories(
+        spark,
+        paths["adv"],
+        paths["accepted"],
+        jaccard_threshold=0.5,
+        quarantine=True,
+        verified_path=paths["verified"],
+    )
+    rows = {r.doc_id: r for r in report.collect()}
+    assert set(rows) == {30}
+    assert rows[30].advisory_matched_store_doc == 10
+    assert rows[30].verified and rows[30].jaccard >= 0.5
+    # quarantined: logically deleted, physically still present
+    assert {r.doc_id for r in acc.read_current().collect()} == {10, 11}
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11, 30}
+    # audit trail persisted, keyed (doc_id, batch_id)
+    verified = spark.read.parquet(paths["verified"]).collect()
+    assert len(verified) == 1 and verified[0].verified
+
+    # idempotent re-run: same report, no duplicate audit rows, DV stable
+    report2 = reconcile_advisories(
+        spark,
+        paths["adv"],
+        paths["accepted"],
+        jaccard_threshold=0.5,
+        quarantine=True,
+        verified_path=paths["verified"],
+    )
+    assert {r.doc_id for r in report2.collect()} == {30}
+    assert spark.read.parquet(paths["verified"]).count() == 1
+    assert {r.doc_id for r in acc.read_current().collect()} == {10, 11}
+
+    # compaction applies the quarantine physically
+    assert acc.compact_dv() == 1
+    assert {r.doc_id for r in acc.read().collect()} == {10, 11}
+
+
+def test_reconcile_advisories_rejects_banding_false_positive(spark, tmp_path):
+    """A flag whose exact Jaccard falls below the threshold is reported
+    verified=false and NOT quarantined — the whole point of the exact
+    verification tier over the banded estimate."""
+    from airflow_dags_spark.operators.ingest import (
+        MinhashSignatureStore,
+        reconcile_advisories,
+    )
+
+    # build the surfaces by hand (no streaming needed): store doc 1, then a
+    # batch that re-delivers 1 drifted alongside 80 — 80 shares SOME band
+    # with stored 1 (advisory fires) but overlaps too little for the bar
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    batch1 = _docs(spark, [(1, _BASE)])
+    store.ingest(batch1, "text")
+    ParquetTable(spark, str(tmp_path / "accepted"), "doc_id").insert_if_absent(
+        batch1, order_by=["text"]
+    )
+    batch2 = _docs(
+        spark,
+        [
+            (1, _BASE + " under a pale evening sky"),
+            (80, _BASE + " at dawn"),
+        ],
+    )
+    screen, nb = store.screen(batch2, "text")
+    adv = store.advisory_redelivery(nb).withColumn(
+        "batch_id", F.lit(1).cast("bigint")
+    )
+    ParquetTable(
+        spark, str(tmp_path / "adv"), ["doc_id", "batch_id"]
+    ).insert_if_absent(adv, order_by=["advisory_matched_store_doc"])
+    ParquetTable(spark, str(tmp_path / "accepted"), "doc_id").insert_if_absent(
+        batch2.where(F.col("doc_id") != 1), order_by=["text"]
+    )
+
+    acc = ParquetTable(spark, str(tmp_path / "accepted"), "doc_id")
+    report = reconcile_advisories(
+        spark,
+        str(tmp_path / "adv"),
+        str(tmp_path / "accepted"),
+        jaccard_threshold=0.99,  # above the true Jaccard of the pair
+        quarantine=True,
+    )
+    rows = {r.doc_id: r for r in report.collect()}
+    assert set(rows) == {80}
+    assert rows[80].jaccard is not None and rows[80].jaccard < 0.99
+    assert not rows[80].verified
+    # nothing quarantined
+    assert {r.doc_id for r in acc.read_current().collect()} == {1, 80}
+
+
+def test_reconcile_advisories_missing_table_and_missing_text(spark, tmp_path):
+    """No advisory table -> empty typed report. A flag whose matched doc's
+    text is gone (physically compacted) -> jaccard NULL, verified false,
+    row retained for audit."""
+    from airflow_dags_spark.operators.ingest import reconcile_advisories
+
+    empty = reconcile_advisories(
+        spark, str(tmp_path / "no_adv"), str(tmp_path / "no_acc")
+    )
+    assert empty.count() == 0
+    assert "verified" in empty.columns
+
+    acc = ParquetTable(spark, str(tmp_path / "accepted"), "doc_id")
+    acc.insert_if_absent(_docs(spark, [(30, _BASE + " at dawn")]), order_by=["text"])
+    adv = spark.createDataFrame(
+        [(30, 10, 4, 1)],
+        "doc_id bigint, advisory_matched_store_doc bigint, "
+        "n_matching_bands bigint, batch_id bigint",
+    )
+    adv.write.parquet(str(tmp_path / "adv"))
+    report = reconcile_advisories(
+        spark, str(tmp_path / "adv"), str(tmp_path / "accepted"), quarantine=True
+    )
+    rows = report.collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard is None and not rows[0].verified
+    assert {r.doc_id for r in acc.read_current().collect()} == {30}

@@ -274,3 +274,38 @@ def test_rag_chunk_screen_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 115_000
     assert s["shuffle_records_written"] < 3 * 1_700
     assert s["spill_bytes"] == 0
+
+
+def test_substring_spans_shuffle_budget(spark):
+    """The substring tier shuffles (hash, key, pos) rows — never text:
+    ~926 KiB / ~24.2k records at sf0.01 (500 docs, ~24k shingle
+    positions) across the count-distinct agg, the duplicated-hash
+    semi-join and the per-doc window — ~38 B/record, linear in corpus
+    token count. Shuffling document text (or losing the distinct-hash
+    projection on the semi-join build side) multiplies this; budget 3×
+    headroom."""
+    df = registry.QUERIES["dedup_substring_spans"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 930_000
+    assert s["shuffle_records_written"] < 3 * 24_200
+    assert s["spill_bytes"] == 0
+
+
+def test_advisory_reconcile_shuffle_budget(spark):
+    """The reconcile shuffles band-signature rows plus the flagged-pair
+    text lookups only: ~147 KiB / ~880 records at sf0.01 — bounded by
+    batch signatures (the advisory's semi-join prunes the store side to
+    the batch's key count BEFORE the band join) plus one row per flagged
+    pair. A lost prune (whole store into the band join) or a re-keyed
+    text column multiplies this; budget 3× headroom."""
+    df = registry.QUERIES["dedup_advisory_reconcile"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 150_000
+    assert s["shuffle_records_written"] < 3 * 900
+    assert s["spill_bytes"] == 0

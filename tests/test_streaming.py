@@ -880,3 +880,63 @@ def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
     # no-new-files re-run: advisory surface idempotent like every other
     run()
     assert adv.read().count() == 1
+
+
+def test_screened_ingest_advisory_keeps_later_batch_flags(spark, tmp_path):
+    """ADVICE r8 (low): the advisory table is keyed (doc_id, batch_id) —
+    a key flagged once can be flagged AGAIN by a later batch (re-delivered
+    next to a different near-dup) and the audit table must keep both rows
+    instead of silently dropping the second."""
+    import json as _json
+
+    from airflow_dags_spark.streaming.pipeline import screened_ingest_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while morning light settles on the water"
+    )
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    paths = {
+        n: str(tmp_path / n) for n in ("store", "accepted", "flagged", "adv")
+    }
+
+    def run():
+        q = screened_ingest_sink(
+            spark.readStream.schema("doc_id long, text string").json(str(landing)),
+            paths["store"],
+            paths["accepted"],
+            paths["flagged"],
+            str(tmp_path / "ck"),
+            advisory_path=paths["adv"],
+        )
+        q.awaitTermination(120)
+
+    # batch 1: seed two stores docs
+    (landing / "b1.json").write_text(
+        _json.dumps({"doc_id": 10, "text": base}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": "unrelated text about broadcast joins"}) + "\n"
+    )
+    run()
+    # batch 2: 10 re-delivered drifted + near-dup 30 -> flag (30, b1)
+    (landing / "b2.json").write_text(
+        _json.dumps({"doc_id": 10, "text": base + " under a pale evening sky"}) + "\n"
+        + _json.dumps({"doc_id": 30, "text": base + " at dawn"}) + "\n"
+    )
+    run()
+    # batch 3: 10 re-delivered drifted AGAIN, this time alongside a
+    # re-delivery of 30 (byte-identical, so 30's OWN stored rows are
+    # excluded by full-signature identity — no self flag) — 30's bands
+    # still hit 10's excluded-but-preexisting stored rows, so the SAME
+    # key 30 earns a SECOND advisory row in a later batch. Under the old
+    # doc_id-only keying this row was silently dropped.
+    (landing / "b3.json").write_text(
+        _json.dumps({"doc_id": 10, "text": base + " beneath the winter moon"}) + "\n"
+        + _json.dumps({"doc_id": 30, "text": base + " at dawn"}) + "\n"
+    )
+    run()
+    adv = spark.read.parquet(paths["adv"]).collect()
+    rows_30 = [r for r in adv if r.doc_id == 30]
+    assert {r.advisory_matched_store_doc for r in rows_30} == {10}
+    assert len(rows_30) == 2  # flagged in batch 2 AND batch 3
+    assert len({r.batch_id for r in rows_30}) == 2
