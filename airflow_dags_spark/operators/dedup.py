@@ -356,6 +356,134 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_shingle: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """The ACTIONABLE tier over :func:`duplicated_spans`: rewrite each
+    document with its non-owned duplicated spans removed, keeping exactly
+    ONE copy of every exactly-duplicated span corpus-wide.
+
+    Policy (conservative, deterministic):
+    - spans are grouped by their exact TOKEN CONTENT (md5 of the span's
+      token slice); the OWNER of a content group is the
+      (min key, min span_start) occurrence — the same min-key survivor
+      discipline as every other dedup surface;
+    - every non-owner occurrence has its tokens removed; the owner keeps
+      its copy. Spans with no exact twin elsewhere (partial-overlap runs
+      whose maximal extents differ) are KEPT everywhere — removal never
+      destroys content that exists nowhere else, the property that makes
+      the operator safe to run unsupervised on training data.
+
+    Returns one row per input document:
+    ``(key_col, n_tokens, n_tokens_removed, clean_text)`` where
+    ``clean_text`` is the whitespace-normalized reconstruction (documents
+    with NULL text pass through with NULL clean_text and zero counts).
+
+    Scale shape: inherits :func:`duplicated_spans`' shuffles, plus one
+    groupBy on the span content hash (rows = spans, not tokens), one
+    broadcast-able join of removal intervals back to the doc tokens (the
+    interval side is spans-only), and one per-document reassembly
+    aggregation (partitions bounded by document length). Document text
+    crosses an exchange exactly once — inside the final per-doc
+    collect_list of (pos, token) — the unavoidable cost of rewriting."""
+    spans = duplicated_spans(df, text_col, key_col, n_shingle, min_run)
+    toks = df.select(
+        F.col(key_col), tokens(text_col).alias("__toks")
+    )
+    content = spans.join(toks, key_col).select(
+        key_col,
+        "span_start",
+        "span_end",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__toks",
+                    F.col("span_start").cast("int") + 1,
+                    (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                ),
+            )
+        ).alias("__content"),
+    )
+    owners = content.groupBy("__content").agg(
+        F.min(
+            F.struct(
+                F.col(key_col).alias("k"), F.col("span_start").alias("s")
+            )
+        ).alias("o"),
+        F.count(F.lit(1)).alias("__n_occ"),
+    )
+    losers = (
+        content.join(owners, "__content")
+        .where(
+            (F.col("__n_occ") >= 2)
+            & ~(
+                (F.col(key_col) == F.col("o.k"))
+                & (F.col("span_start") == F.col("o.s"))
+            )
+        )
+        .select(
+            F.col(key_col).alias("__rk"),
+            F.col("span_start").alias("__rs"),
+            F.col("span_end").alias("__re"),
+        )
+    )
+    pos_tok = df.select(F.col(key_col), tokens(text_col).alias("__toks")).select(
+        key_col, F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    kept = pos_tok.join(
+        losers,
+        (F.col(key_col) == F.col("__rk"))
+        & (F.col("__pos") >= F.col("__rs"))
+        & (F.col("__pos") <= F.col("__re")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(key_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("__tok").cast("bigint").alias("__n_kept"),
+    )
+    # left-join back to the FULL doc list: NULL-text docs never explode a
+    # row, and a doc whose every token was removed vanishes from the
+    # groupBy — both must still appear in the output (NULL clean_text)
+    # size(NULL array) is -1 in non-ANSI Spark — the null-text count must
+    # be an explicit 0, not a sentinel leaking into the arithmetic
+    base = df.select(
+        F.col(key_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+        .alias("__nt"),
+    )
+    return (
+        base.join(rebuilt, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("__nt", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (
+                F.coalesce("__nt", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.when(
+                F.coalesce("__n_kept", F.lit(0)) > 0, F.col("clean_text")
+            ).alias("clean_text"),
+        )
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, left_text: str, right_text: str, n_shingle: int = 3
 ) -> DataFrame:

@@ -1,5 +1,5 @@
-"""Round-12 registry additions — the two genuinely-new surfaces the r8
-verdict ranked (§Next-round #2 and #3):
+"""Round-12 registry additions — the surfaces the r8 verdict ranked
+(§Next-round #2, #3 and #5), all fully oracle-checked:
 
 - **dedup_substring_spans** — the SUBSTRING-grain dedup tier
   (``operators.dedup.duplicated_spans``): maximal per-document token spans
@@ -16,6 +16,13 @@ verdict ranked (§Next-round #2 and #3):
   form (advisory parquet table → deletion-vector quarantine with audit
   trail) is ``reconcile_advisories`` — pytest-verified end-to-end
   (tests/test_ingest.py).
+- **dedup_span_removal** — the actionable form of the substring tier:
+  rewrite documents minus non-owned exactly-duplicated spans (one copy
+  kept corpus-wide, partial-overlap spans preserved everywhere).
+- **sim_pq_recenter_step** — one deterministic PQ codebook re-centering
+  step, the SQL-expressible core of ``operators/ann_store.py:
+  PqCodebookStore`` (whose persistent/streaming forms are pytest-verified
+  in tests/test_ann_store.py).
 
 Scale notes (100 TB): substring spans shuffle (a) (hash, key) pairs for
 ONE count-distinct hash aggregation, (b) the duplicated-hash semi-join
@@ -37,6 +44,7 @@ from airflow_dags_spark.operators.dedup import (
     minhash_bands,
     minhash_redelivery_advisory,
     ngram_jaccard,
+    remove_duplicated_spans,
 )
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
@@ -182,7 +190,7 @@ FROM jx
 def dedup_advisory_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-verification of re-delivery advisory flags — the single
     deterministic step of ``operators.ingest.reconcile_advisories``
-    (VERDICT r8 #2), simulated from ``documents``: the store is the
+    (VERDICT r8 item 2), simulated from ``documents``: the store is the
     md5 < 'd' split, the batch is everything else PLUS ~25% of store keys
     re-delivered with drifted content; the advisory pass flags batch docs
     matching the re-delivered keys' PREEXISTING stored signatures, and
@@ -229,4 +237,246 @@ def dedup_advisory_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["dedup_substring_spans", "dedup_advisory_reconcile"]
+# --------------------------------------------------------------------------
+# dedup_span_removal — rewrite documents minus non-owned duplicated spans
+# --------------------------------------------------------------------------
+
+SPAN_REMOVAL_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.pos FROM sh s WHERE s.sh IN (SELECT sh FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+),
+content AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         md5(array_to_string(t[sp.s + 1 : sp.e + 1], ' ')) AS c
+  FROM spans sp JOIN toks USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, s, e,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY doc_id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY c) AS n_occ
+  FROM content
+),
+losers AS (SELECT doc_id, s, e FROM ranked WHERE n_occ >= 2 AND rn > 1),
+pt AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS pos
+  FROM toks
+),
+kept AS (
+  SELECT p.* FROM pt p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM losers l
+    WHERE l.doc_id = p.doc_id AND p.pos BETWEEN l.s AND l.e)
+),
+final AS (
+  SELECT doc_id, COUNT(tok) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(COALESCE(len(tk.t), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(tk.t), 0) - COALESCE(f.n_kept, 0) AS BIGINT)
+         AS n_tokens_removed,
+       CASE WHEN COALESCE(f.n_kept, 0) > 0 THEN md5(f.clean_text) END
+         AS clean_fp
+FROM toks tk LEFT JOIN final f USING (doc_id)
+"""
+
+
+@register("dedup_span_removal", SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of the substring tier
+    (``operators.dedup.remove_duplicated_spans``): rewrite every document
+    with its non-owned duplicated spans removed — exact-content span
+    groups keep ONE copy corpus-wide (min-key/min-start owner), spans
+    with no exact twin are kept everywhere (removal never destroys
+    content that exists nowhere else). Emits per doc the token counts and
+    an md5 fingerprint of the cleaned text (full text stays
+    executor-side; only the fingerprint crosses to the result).
+
+    Scale shape: duplicated_spans' bounded shuffles, plus a spans-count
+    groupBy on content hash, an interval anti-join whose build side is
+    spans only, and one per-document reassembly aggregation (partitions
+    bounded by document length)."""
+    d = read_table(spark, sf_dir, "documents").repartition(16, "doc_id")
+    out = remove_duplicated_spans(d, "text", "doc_id", n_shingle=8, min_run=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_pq_recenter_step — one oracle-checked PQ codebook re-centering step
+# --------------------------------------------------------------------------
+
+_M_SUB = 4       # subspaces over the dim-64 embeddings
+_SUB_DIM = 16    # 64 / 4
+_PQ_CODES = 8    # seed codes per subspace
+
+PQ_RECENTER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS uv
+  FROM e
+),
+subs AS (
+  SELECT vec_id, j AS subspace,
+         uv[j * {_SUB_DIM} + 1 : j * {_SUB_DIM} + {_SUB_DIM}] AS x
+  FROM u, LATERAL (SELECT unnest(generate_series(0, {_M_SUB} - 1)) AS j)
+),
+codes AS (
+  SELECT subspace, CAST(vec_id AS INTEGER) AS code, x AS c
+  FROM subs WHERE vec_id < {_PQ_CODES}
+),
+sims AS (
+  SELECT s.vec_id, s.subspace, cd.code,
+         ROUND(list_dot_product(s.x, s.x)
+               - 2 * list_dot_product(s.x, cd.c)
+               + list_dot_product(cd.c, cd.c), 6) + 0.0 AS d
+  FROM subs s JOIN codes cd ON cd.subspace = s.subspace
+),
+best AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+memb AS (
+  SELECT b.subspace, b.code,
+         unnest(s.x) AS val,
+         unnest(generate_series(0, len(s.x) - 1)) AS dim
+  FROM best b JOIN subs s USING (vec_id, subspace)
+),
+perdim AS (
+  SELECT subspace, code, dim,
+         CAST(COUNT(*) AS BIGINT) AS n_members, AVG(val) AS mval
+  FROM memb GROUP BY subspace, code, dim
+),
+old AS (
+  SELECT subspace, code, unnest(c) AS old_v,
+         unnest(generate_series(0, len(c) - 1)) AS dim
+  FROM codes
+)
+SELECT p.subspace, p.code, p.dim, p.n_members,
+       ROUND(p.mval, 6) + 0.0 AS new_c,
+       ROUND(p.mval - o.old_v, 6) + 0.0 AS shift
+FROM perdim p JOIN old o USING (subspace, code, dim)
+"""
+
+
+@register("sim_pq_recenter_step", PQ_RECENTER_ORACLE)
+def sim_pq_recenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic PQ codebook re-centering step — the
+    SQL-expressible core of ``operators/ann_store.py:PqCodebookStore``
+    and the product-quantization sibling of ``sim_ivf_recenter_step``:
+    unit-normalize, split into 4 subspaces of 16 dims,
+    seed codes = the 8 lowest vec_ids' sub-vectors, assign each
+    sub-vector by ROUNDED squared distance (6 dp, lowest code on ties —
+    argmin via struct-min, no ranking window), and emit per
+    (subspace, code, dim) the member count, re-centered component and its
+    shift.
+
+    Plan: the codebook frame is broadcast per subspace; the
+    (vec × codes) distance rows collapse map-side (partial struct-min per
+    (vec, subspace)) before one narrow exchange; the member join touches
+    sub-vectors once; the final shuffle is bounded at m × n_codes × sub
+    groups."""
+    from airflow_dags_spark.functions.vectors import as_double, dot
+
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    v = F.col("v")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    base = emb.select("vec_id", as_double("embedding").alias("v")).select(
+        "vec_id", unit.alias("u")
+    )
+    subs = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("u", j * _SUB_DIM + 1, _SUB_DIM)
+                    for j in range(_M_SUB)
+                ]
+            )
+        ).alias("subspace", "x"),
+    )
+    codes = subs.where(F.col("vec_id") < _PQ_CODES).select(
+        "subspace", F.col("vec_id").cast("int").alias("code"), F.col("x").alias("c")
+    )
+    d = (
+        F.round(
+            dot(F.col("x"), F.col("x"))
+            - F.lit(2.0) * dot(F.col("x"), F.col("c"))
+            + dot(F.col("c"), F.col("c")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    sims = subs.join(F.broadcast(codes), "subspace").select(
+        "vec_id", "subspace", "code", d.alias("d")
+    )
+    best = (
+        sims.groupBy("vec_id", "subspace")
+        .agg(
+            F.min(
+                F.struct(F.col("d").alias("d"), F.col("code").alias("code"))
+            ).alias("b")
+        )
+        .select("vec_id", "subspace", F.col("b.code").alias("code"))
+    )
+    memb = subs.join(best, ["vec_id", "subspace"]).select(
+        "subspace", "code", F.posexplode("x").alias("dim", "val")
+    )
+    perdim = memb.groupBy("subspace", "code", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.avg("val").alias("mval"),
+    )
+    old = codes.select(
+        "subspace", "code", F.posexplode("c").alias("dim", "old_v")
+    )
+    return perdim.join(F.broadcast(old), ["subspace", "code", "dim"]).select(
+        "subspace",
+        "code",
+        "dim",
+        "n_members",
+        (F.round(F.col("mval"), 6) + F.lit(0.0)).alias("new_c"),
+        (F.round(F.col("mval") - F.col("old_v"), 6) + F.lit(0.0)).alias("shift"),
+    )
+
+
+__all__ = [
+    "dedup_substring_spans",
+    "dedup_advisory_reconcile",
+    "dedup_span_removal",
+    "sim_pq_recenter_step",
+]

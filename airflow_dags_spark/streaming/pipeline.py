@@ -819,3 +819,81 @@ def ivf_index_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pq_codebook_sink(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    m: int = 4,
+    n_codes: int = 16,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int = 20000,
+    seed: int = 42,
+    sample_hex: str = "4",
+    refit_drift_threshold: float | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintenance of the persistent PQ codebooks — the
+    product-quantization sibling of :func:`ivf_index_sink` over
+    ``operators/ann_store.py:PqCodebookStore``: the first micro-batch
+    trains the codebooks and seeds the per-(subspace, code) statistics;
+    every later batch is encoded against the CURRENT codebooks
+    (Arrow-batched argmin, shuffle-free) and folded in as one new version,
+    feeding the deterministic md5-sampled reservoir as it goes.
+
+    ``refit_drift_threshold`` arms the RE-TRAIN side of the drift policy:
+    after each fold, if the codes have re-centered further than the
+    threshold from the last fit, the codebooks are re-trained from the
+    reservoir as a ledger-flagged refit version (``maybe_refit``). Leave
+    ``None`` to fold-only and drive refits out-of-band.
+
+    Same exactly-once discipline as the IVF sink: ledger keys are
+    namespaced per checkpoint (batch ids restart at 0 with a fresh
+    checkpoint), replayed batches no-op, orphan versions heal. Per-batch
+    cost is one encode pass + n_codes × dim partials to the driver; a
+    refit reads the bounded reservoir, never the corpus."""
+    import hashlib
+
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    ledger_ns = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.where(F.col(vec_col).isNotNull())
+        if batch.isEmpty():
+            return
+        store = PqCodebookStore(
+            batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
+        )
+        bid = f"{ledger_ns}:b{batch_id}"
+        if not store.exists():
+            store.init_from(
+                batch,
+                m,
+                n_codes,
+                batch_id=bid,
+                fit_sample=fit_sample,
+                seed=seed,
+                sample_hex=sample_hex,
+            )
+            return
+        store.add_batch(batch, bid, sample_hex=sample_hex)
+        if refit_drift_threshold is not None:
+            store.maybe_refit(
+                f"{bid}:refit",
+                drift_threshold=refit_drift_threshold,
+                fit_sample=fit_sample,
+                seed=seed,
+            )
+
+    writer = vec_stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -438,3 +438,100 @@ def test_pq_empty_code_center_is_zero_vector(spark, emb, tmp_path):
     # non-empty codes untouched
     nonzero = [(j, c) for j, c, _s, n in forced if n > 0]
     assert any(np.linalg.norm(books[j, c]) > 0 for j, c in nonzero)
+
+
+def test_pq_codebook_sink_streaming_maintenance(spark, emb, tmp_path):
+    """Streaming end-to-end for the PQ sink: batch 1 bootstraps
+    (codebook fit + seed statistics), batch 2 folds against the batch-1
+    books, a no-new-files re-run advances nothing, and a FRESH checkpoint
+    against the existing store still applies (namespaced ledger)."""
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+    from airflow_dags_spark.streaming.pipeline import pq_codebook_sink
+
+    store_path = str(tmp_path / "pq")
+
+    def run(landing, ck):
+        q = pq_codebook_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing)),
+            store_path,
+            str(tmp_path / ck),
+            m=4,
+            n_codes=8,
+            fit_sample=60,
+        )
+        q.awaitTermination(120)
+
+    l1 = tmp_path / "landing1"
+    l1.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(l1 / "b1"))
+    run(l1 / "*", "ck1")
+    store = PqCodebookStore(spark, store_path)
+    assert store.current_version() == 0
+
+    def members():
+        return (
+            store.state().where(F.col("subspace") == 0)
+            .agg(F.sum("n_members")).collect()[0][0]
+        )
+
+    assert members() == 60
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 110)).write.parquet(
+        str(l1 / "b2")
+    )
+    run(l1 / "*", "ck1")
+    assert store.current_version() >= 1 and members() == 110
+    run(l1 / "*", "ck1")  # no new files
+    assert members() == 110
+
+    # fresh checkpoint + fresh landing: batch 0 must APPLY, not no-op
+    l2 = tmp_path / "landing2"
+    l2.mkdir()
+    emb.where((F.col("vec_id") >= 110) & (F.col("vec_id") < 150)).write.parquet(
+        str(l2 / "b1")
+    )
+    run(l2 / "*", "ck2")
+    assert members() == 150
+
+
+def test_pq_codebook_sink_drift_triggered_refit(spark, emb, tmp_path):
+    """With refit_drift_threshold=0.0 any positive drift after a fold
+    triggers the reservoir re-train in the SAME batch: the ledger gains a
+    refit-flagged version and drift_since_fit resets to 0."""
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+    from airflow_dags_spark.streaming.pipeline import pq_codebook_sink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(landing / "b1"))
+
+    def run():
+        q = pq_codebook_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing / "*")),
+            str(tmp_path / "pq"),
+            str(tmp_path / "ck"),
+            m=4,
+            n_codes=8,
+            fit_sample=60,
+            sample_hex="g",  # reservoir = every key (deterministic)
+            refit_drift_threshold=0.0,
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    assert store.last_fit_version() == 0  # init IS a fit; no drift yet
+
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 120)).write.parquet(
+        str(landing / "b2")
+    )
+    run()
+    # fold (one version) + refit (next version), refit is the fit pointer
+    assert store.current_version() == 2
+    assert store.last_fit_version() == 2
+    assert store.drift_since_fit() == 0.0
+    run()  # no new files: nothing moves
+    assert store.current_version() == 2

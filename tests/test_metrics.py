@@ -309,3 +309,37 @@ def test_advisory_reconcile_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 150_000
     assert s["shuffle_records_written"] < 3 * 900
     assert s["spill_bytes"] == 0
+
+
+def test_pq_recenter_shuffle_budget(spark):
+    """PQ re-centering shuffles the struct-min partials (one row per
+    (vec, subspace) after map-side combine) plus m × n_codes × sub final
+    groups: ~50 KiB / ~2.5k records at sf0.01 (500 vectors × 4
+    subspaces). Losing the partial min (full vec × codes rows into the
+    exchange) multiplies this by n_codes; budget 3× headroom."""
+    df = registry.QUERIES["sim_pq_recenter_step"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 51_000
+    assert s["shuffle_records_written"] < 3 * 2_600
+    assert s["spill_bytes"] == 0
+
+
+def test_span_removal_shuffle_budget(spark):
+    """Span removal adds the content-hash agg (rows = spans), the
+    interval anti-join (build side = loser spans only) and the per-doc
+    reassembly to the substring tier's shuffles: ~1.29 MiB / ~26.3k
+    records at sf0.01 — document tokens cross once (the reassembly
+    collect_list), positions/hashes otherwise. Shuffling full text per
+    span (or exploding the corpus against all spans) multiplies this;
+    budget 3× headroom."""
+    df = registry.QUERIES["dedup_span_removal"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 1_290_000
+    assert s["shuffle_records_written"] < 3 * 26_400
+    assert s["spill_bytes"] == 0

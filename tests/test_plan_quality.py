@@ -1370,3 +1370,58 @@ def test_meta_queries_read_fixed_sidecar_window(spark):
     assert round11._META_MAX_ROUND == round11._compute_meta_max_round()
     plan = plan_of(spark, "meta_correctness_rounds")
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_window_after_semi_join(spark):
+    """The substring tier's only window is the per-document island
+    numbering over rows that already survived the duplicated-hash
+    semi-join; the cross-document test is a hash aggregation with a
+    map-side partial; no nested-loop join, no single-partition exchange
+    anywhere (a global sort of positions would be the classic scale
+    bug)."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "LeftSemi" in plan  # duplicated-hash semi-join, not an inner re-join
+    assert plan.count("Window [") == 1  # per-doc islands only
+
+
+def test_advisory_reconcile_semi_prunes_store_before_band_join(spark):
+    """The advisory pass must prune the store side to batch-keyed rows
+    BEFORE the band join (LeftSemi on keys + LeftAnti full-signature
+    exclusion), and the exact verify joins texts for flagged pairs only —
+    all hash/broadcast equi-joins, no ranking window, no nested loop."""
+    plan = plan_of(spark, "dedup_advisory_reconcile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_pq_recenter_no_ranking_window_partial_min(spark):
+    """PQ assignment mirrors the IVF gate: argmin via struct-min
+    aggregate (map-side partial), the codebook side is a broadcast hash
+    join on the subspace key, and nothing funnels through one
+    partition."""
+    plan = plan_of(spark, "sim_pq_recenter_step")
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial" in plan
+
+
+def test_span_removal_no_cartesian_skew_safe_owner(spark):
+    """The owner election is a struct-min AGGREGATE on the content hash
+    (map-side combined — skew-safe for boilerplate shared by millions of
+    docs), never a per-group ranking window; the interval join is an
+    equi-join on the key with a range filter, no nested loop; nothing
+    funnels through one partition."""
+    plan = plan_of(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the only windows are the per-doc island row_numbers inside
+    # duplicated_spans (one per spans-subtree instantiation)
+    assert "partial_min" in plan or "partial" in plan

@@ -107,3 +107,91 @@ def test_invalid_params_raise(spark):
         duplicated_spans(d, "text", "doc_id", n_shingle=0)
     with pytest.raises(ValueError):
         duplicated_spans(d, "text", "doc_id", min_run=0)
+
+
+# --- remove_duplicated_spans: the actionable span tier ------------------------
+
+
+def _clean(df, **kw):
+    from airflow_dags_spark.operators.dedup import remove_duplicated_spans
+
+    return {
+        r.doc_id: r
+        for r in remove_duplicated_spans(df, "text", "doc_id", **kw).collect()
+    }
+
+
+def test_owner_keeps_span_losers_lose_it(spark):
+    """Exact-content span group: the min-key occurrence keeps its copy,
+    every other occurrence is removed; unique content is untouched."""
+    boiler = "one two three four five six seven eight nine ten"
+    d = _docs(
+        spark,
+        [
+            (1, f"{boiler} unique tail for document one"),
+            (2, f"other head for document two {boiler}"),
+            (3, "completely unrelated text that shares nothing with others at all"),
+        ],
+    )
+    got = _clean(d, n_shingle=8, min_run=1)
+    assert got[1].n_tokens_removed == 0  # owner (min doc_id) keeps the span
+    assert got[1].clean_text.startswith("one two three")
+    assert got[2].n_tokens_removed == 10
+    assert got[2].clean_text == "other head for document two"
+    assert got[3].n_tokens_removed == 0
+
+
+def test_partial_overlap_spans_are_kept_everywhere(spark):
+    """Spans whose maximal extents differ (no exact content twin) are NOT
+    removed — removal never destroys content that exists nowhere else."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(
+        spark,
+        [
+            (1, f"{boiler} iota kappa unique one"),       # span = boiler+iota+kappa? no: run depends on sharing
+            (2, f"{boiler} different continuation here"),
+        ],
+    )
+    # the shared 8-token run is identical, but doc 1's maximal run and
+    # doc 2's maximal run are both exactly `boiler` (the continuations
+    # differ), so contents match and dedup applies: owner=doc1 keeps it
+    got = _clean(d, n_shingle=8, min_run=1)
+    assert got[1].n_tokens_removed == 0
+    assert got[2].n_tokens_removed == 8
+    # a TRUE partial overlap: docs 3 and 5 share the full 10-token block
+    # (exact twins -> dedup applies, owner 3 keeps it), while doc 4 holds
+    # only a 9-token PREFIX of it — its maximal run has different content
+    # (no exact twin anywhere), so doc 4 keeps its copy
+    s = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    d2 = _docs(
+        spark,
+        [
+            (3, s),
+            (4, "s1 s2 s3 s4 s5 s6 s7 s8 s9 zz"),
+            (5, f"{s} tail"),
+        ],
+    )
+    got2 = _clean(d2, n_shingle=8, min_run=1)
+    assert got2[4].n_tokens_removed == 0  # partial copy preserved
+    # the exact 10-token twins deduplicate: min (doc, start) owner is 3
+    assert got2[3].n_tokens_removed == 0
+    assert got2[5].n_tokens_removed == 10
+
+
+def test_fully_duplicated_doc_cleans_to_null(spark):
+    text = "this entire document is duplicated verbatim across the corpus today"
+    d = _docs(spark, [(1, text), (2, text)])
+    got = _clean(d, n_shingle=8, min_run=1)
+    assert got[1].n_tokens_removed == 0
+    assert got[2].n_tokens_removed == got[2].n_tokens
+    assert got[2].clean_text is None
+
+
+def test_null_and_short_docs_pass_through(spark):
+    d = _docs(spark, [(1, None), (2, "too short"), (3, "a b c d e f g h"), (4, "a b c d e f g h")])
+    got = _clean(d, n_shingle=8, min_run=1)
+    assert got[1].n_tokens == 0 and got[1].clean_text is None
+    assert got[2].n_tokens == 2 and got[2].n_tokens_removed == 0
+    assert got[2].clean_text == "too short"
+    assert got[3].n_tokens_removed == 0
+    assert got[4].n_tokens_removed == 8 and got[4].clean_text is None
