@@ -553,31 +553,35 @@ class PqCodebookStore:
         version. Same replay contract as :meth:`IvfIndexStore.add_batch`."""
         if self._applied(batch_id):
             return {"applied": False, "version": self.current_version()}
-        books = self.codebooks()
+        # ONE state read serves both the codebooks and the fold base (this
+        # runs per micro-batch in pq_codebook_sink — redundant collects of
+        # the same bounded frame are hot-path driver round-trips), and ONE
+        # ledger read serves the version arithmetic
+        version0 = self.current_version()
+        state_rows = self._state_at(version0).collect()
+        books = self._books_from(state_rows)
         m, n_codes, sub = books.shape
         clean = vecs.where(F.col(self.vec_col).isNotNull())
         self._reserve(clean, sample_hex)
         cur = {
             (r["subspace"], r["code"]): (list(r["vec_sum"]), int(r["n_members"]))
-            for r in self.state().collect()
+            for r in state_rows
         }
         delta = self._batch_stats(clean, books)
         merged = []
         n_new = 0
         for j, c, dsum, dn in delta:
+            # dsum is always padded to the BOOKS' sub-dim by _batch_stats
+            # (a genuinely mis-dimensioned batch fails earlier, inside the
+            # encode UDF's vstack/matmul), so no per-cell length check here
             osum, on = cur[(j, c)]
             if dn == 0:
                 merged.append((j, c, osum, on))
                 continue
-            if len(dsum) != len(osum):
-                raise ValueError(
-                    f"batch sub-vector dim {len(dsum)} != store dim "
-                    f"{len(osum)} (subspace {j}, code {c})"
-                )
             merged.append((j, c, [a + b for a, b in zip(osum, dsum)], on + dn))
             if j == 0:
                 n_new += dn  # each vector contributes once per subspace
-        version = self.current_version() + 1
+        version = version0 + 1
         self._write_state(merged, version)
         self._commit(batch_id, version, refit=False)
         new_books = np.zeros_like(books)
@@ -613,18 +617,40 @@ class PqCodebookStore:
         the new version's statistics from the reservoir's assignment to
         the new books. Below the threshold: no-op (incremental
         re-centering is still adequate). Idempotent on ``batch_id`` —
-        a replayed refit never trains twice."""
+        a replayed refit never trains twice. An EMPTY reservoir (no key
+        sampled yet at the configured ``sample_hex`` rate) is a
+        diagnosed no-op, never a crash — the streaming sink must not die
+        mid-batch on a small corpus."""
         if self._applied(batch_id):
             return {"applied": False, "version": self.current_version()}
-        drift = self.drift_since_fit()
+        # one state read serves drift, shape, and the version base
+        version0 = self.current_version()
+        cur_books = self._books_from(self._state_at(version0).collect())
+        fit_books = self._books_from(
+            self._state_at(self.last_fit_version()).collect()
+        )
+        m, n_codes, _sub = cur_books.shape
+        drift = float(
+            np.linalg.norm(
+                cur_books.reshape(m * n_codes, -1)
+                - fit_books.reshape(m * n_codes, -1),
+                axis=1,
+            ).mean()
+        )
         if drift <= drift_threshold:
             return {"applied": False, "refit": False, "drift": round(drift, 9)}
-        m, n_codes, _sub = self.codebooks().shape
+        if not self._sample.exists() or self._sample.read().limit(1).count() == 0:
+            return {
+                "applied": False,
+                "refit": False,
+                "drift": round(drift, 9),
+                "reason": "empty_reservoir",
+            }
         books = self._fit_from_reservoir(m, n_codes, fit_sample, max_iter, seed)
         stats = self._batch_stats(
             self._sample.read().select(F.col("v").alias(self.vec_col)), books
         )
-        version = self.current_version() + 1
+        version = version0 + 1
         self._write_state(stats, version)
         self._commit(batch_id, version, refit=True)
         return {

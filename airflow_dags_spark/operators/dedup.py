@@ -432,9 +432,7 @@ def remove_duplicated_spans(
             F.col("span_end").alias("__re"),
         )
     )
-    pos_tok = df.select(F.col(key_col), tokens(text_col).alias("__toks")).select(
-        key_col, F.posexplode("__toks").alias("__pos", "__tok")
-    )
+    pos_tok = toks.select(key_col, F.posexplode("__toks").alias("__pos", "__tok"))
     kept = pos_tok.join(
         losers,
         (F.col(key_col) == F.col("__rk"))

@@ -397,10 +397,17 @@ def reconcile_advisories(
 
     acc = ParquetTable(spark, accepted_path, key_col)
     if not table_exists(spark, advisory_path):
-        # no flags ever recorded: empty report, nothing to quarantine
+        # no flags ever recorded: empty report, nothing to quarantine.
+        # Key type copies the accepted table's when it exists (string keys
+        # must not fabricate a bigint schema), long otherwise.
+        ktype = (
+            acc.read().schema[key_col].dataType.simpleString()
+            if acc.exists()
+            else "long"
+        )
         return spark.createDataFrame(
             [],
-            f"{key_col} long, advisory_matched_store_doc long, "
+            f"{key_col} {ktype}, advisory_matched_store_doc {ktype}, "
             "batch_id bigint, n_matching_bands bigint, jaccard double, "
             "verified boolean",
         )

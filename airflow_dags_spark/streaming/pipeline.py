@@ -743,6 +743,24 @@ def screened_ingest_sink(
     return writer.start()
 
 
+def _ledger_namespace(checkpoint_dir: str) -> str:
+    """Per-checkpoint ledger-key namespace shared by the index-maintenance
+    sinks: micro-batch ids restart at 0 with every fresh checkpoint, so
+    ledger keys are ``<md5(checkpoint_dir)[:12]>:b<batch_id>`` — replay
+    detection scoped to the one checkpoint whose batch ids are actually
+    comparable. This format is a cross-release compatibility contract:
+    replays of a committed batch are recognized only under the SAME
+    format, so a store whose ledger predates the namespacing cannot
+    disambiguate an in-flight batch across an upgrade (let the stream
+    drain before upgrading, or accept one re-fold of the in-flight
+    batch)."""
+    import hashlib
+
+    return hashlib.md5(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+
+
 def ivf_index_sink(
     vec_stream: DataFrame,
     store_path: str,
@@ -781,16 +799,9 @@ def ivf_index_sink(
     100 TB shape: per-batch cost is one scan of the batch plus k×dim
     partial sums to the driver; state is k×dim rows per version — index
     maintenance cost is a function of ARRIVING data only."""
-    import hashlib
-
     from airflow_dags_spark.operators.ann_store import IvfIndexStore
 
-    # per-checkpoint ledger namespace (see docstring): replays of THIS
-    # checkpoint re-derive the same prefix; a fresh checkpoint derives a
-    # new one, so its restarted batch ids can't collide with old rows
-    ledger_ns = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode("utf-8")
-    ).hexdigest()[:12]
+    ledger_ns = _ledger_namespace(checkpoint_dir)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         # null vectors carry no assignment signal, and an all-null FIRST
@@ -855,13 +866,9 @@ def pq_codebook_sink(
     checkpoint), replayed batches no-op, orphan versions heal. Per-batch
     cost is one encode pass + n_codes × dim partials to the driver; a
     refit reads the bounded reservoir, never the corpus."""
-    import hashlib
-
     from airflow_dags_spark.operators.ann_store import PqCodebookStore
 
-    ledger_ns = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode("utf-8")
-    ).hexdigest()[:12]
+    ledger_ns = _ledger_namespace(checkpoint_dir)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.where(F.col(vec_col).isNotNull())

@@ -103,6 +103,15 @@ HEADLINE = [
     "sim_ivf_recenter_step",
     "rag_chunk_dedup",
     "rag_chunk_screen",
+    # round-12: substring-grain dedup (position-preserving shingle hashes,
+    # cross-doc test as one count-distinct agg) and the PQ re-centering
+    # step (struct-min assignment, n_codes×dim agg). The other two
+    # round-12 entrants stay sweep-only: dedup_advisory_reconcile signs
+    # two corpus splits (~10 s at sf0.1) and dedup_span_removal is the
+    # spans tier plus a full rewrite (~3.8 s) — headline cost without new
+    # plan-shape signal beyond dedup_substring_spans.
+    "dedup_substring_spans",
+    "sim_pq_recenter_step",
 ]
 
 

@@ -82,6 +82,11 @@ NAMES = [
     "sim_ivf_recenter_step",
     "rag_chunk_dedup",
     "rag_chunk_screen",
+    # round-12 representatives
+    "dedup_substring_spans",
+    "dedup_span_removal",
+    "dedup_advisory_reconcile",
+    "sim_pq_recenter_step",
     "meta_bench_trend",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",

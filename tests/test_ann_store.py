@@ -535,3 +535,25 @@ def test_pq_codebook_sink_drift_triggered_refit(spark, emb, tmp_path):
     assert store.drift_since_fit() == 0.0
     run()  # no new files: nothing moves
     assert store.current_version() == 2
+
+
+def test_pq_maybe_refit_empty_reservoir_is_diagnosed_noop(spark, emb, tmp_path):
+    """A reservoir that never sampled a key (sample_hex='0' admits
+    nothing) must make an armed refit a DIAGNOSED no-op, not an opaque
+    numpy crash killing a streaming batch mid-fold."""
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    store.init_from(
+        emb.where(F.col("vec_id") < 40), m=4, n_codes=8, fit_sample=40,
+        sample_hex="0",
+    )
+    store.add_batch(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 100)),
+        "b1",
+        sample_hex="0",
+    )
+    out = store.maybe_refit("refit-1", drift_threshold=0.0)
+    assert not out["applied"] and out.get("reason") == "empty_reservoir"
+    assert out["drift"] > 0.0
+    assert store.last_fit_version() == 0  # nothing trained
