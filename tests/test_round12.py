@@ -195,3 +195,57 @@ def test_null_and_short_docs_pass_through(spark):
     assert got[2].clean_text == "too short"
     assert got[3].n_tokens_removed == 0
     assert got[4].n_tokens_removed == 8 and got[4].clean_text is None
+
+
+# --- property: duplicated_spans vs a brute-force Python reference -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_spans(texts: dict[int, str], n: int, min_run: int):
+    """Brute-force reference: per doc, positions whose n-token shingle
+    occurs in >= 2 distinct docs; maximal consecutive runs >= min_run."""
+    toks = {k: t.lower().split() for k, t in texts.items() if t is not None}
+    sh_docs: dict[tuple, set] = {}
+    for k, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            sh_docs.setdefault(tuple(ts[i : i + n]), set()).add(k)
+    out = []
+    for k, ts in toks.items():
+        if len(ts) < n:
+            continue
+        dup_pos = [
+            i
+            for i in range(len(ts) - n + 1)
+            if len(sh_docs[tuple(ts[i : i + n])]) >= 2
+        ]
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    out.append((k, run[0], run[-1] + n - 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return sorted(out)
+
+
+# small vocabulary forces collisions/overlaps; docs of 0-14 tokens
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from("a b c d".split()), max_size=14).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_doc_strategy, n=st.integers(2, 4), min_run=st.integers(1, 3))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_duplicated_spans_matches_reference(spark, docs, n, min_run):
+    texts = {i: t for i, t in enumerate(docs)}
+    df = _docs(spark, list(texts.items()))
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_shingles)
+        for r in duplicated_spans(df, "text", "doc_id", n, min_run).collect()
+    )
+    assert got == _ref_spans(texts, n, min_run)
