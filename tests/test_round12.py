@@ -249,3 +249,51 @@ def test_duplicated_spans_matches_reference(spark, docs, n, min_run):
         for r in duplicated_spans(df, "text", "doc_id", n, min_run).collect()
     )
     assert got == _ref_spans(texts, n, min_run)
+
+
+def _ref_removal(texts: dict[int, str], n: int, min_run: int):
+    """Brute-force reference for remove_duplicated_spans: group the
+    reference spans by exact token content, owner = min (doc, start),
+    strip non-owner spans' token ranges, rebuild."""
+    spans = _ref_spans(texts, n, min_run)
+    # Spark-faithful tokenization: split(normalized, ' ') yields [''] for
+    # empty/whitespace-only text (1 empty token), never []
+    toks = {
+        k: (" ".join(t.lower().split()).split(" ") if t is not None else None)
+        for k, t in texts.items()
+    }
+    groups: dict[tuple, list] = {}
+    for k, s, e, _c in spans:
+        groups.setdefault(tuple(toks[k][s : e + 1]), []).append((k, s, e))
+    out = {}
+    losers: dict[int, list] = {}
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        members.sort()
+        for k, s, e in members[1:]:
+            losers.setdefault(k, []).append((s, e))
+    for k, ts in toks.items():
+        if ts is None:
+            out[k] = (0, 0, None)
+            continue
+        drop = set()
+        for s, e in losers.get(k, []):
+            drop.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(ts) if i not in drop]
+        out[k] = (len(ts), len(ts) - len(kept), " ".join(kept) if kept else None)
+    return out
+
+
+@given(docs=_doc_strategy, n=st.integers(2, 4), min_run=st.integers(1, 2))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_remove_duplicated_spans_matches_reference(spark, docs, n, min_run):
+    from airflow_dags_spark.operators.dedup import remove_duplicated_spans
+
+    texts = {i: t for i, t in enumerate(docs)}
+    df = _docs(spark, list(texts.items()))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_removed, r.clean_text)
+        for r in remove_duplicated_spans(df, "text", "doc_id", n, min_run).collect()
+    }
+    assert got == _ref_removal(texts, n, min_run)
