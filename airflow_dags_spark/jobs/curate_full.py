@@ -8,9 +8,14 @@ Stages (each optional, each observable):
 2. exact dedup       — md5 content hash, first-key-wins
 3. near dedup        — MinHash banding candidates → exact n-gram Jaccard
                        verify ≥ threshold, min-key survivor
-4. semantic dedup    — SemDeDup over the embeddings table (cluster-bounded
+4. span removal      — (optional, ``remove_spans=True``) substring-grain
+                       rewrite: non-owned exactly-duplicated spans removed
+                       (operators/dedup.remove_duplicated_spans); docs
+                       left empty by the rewrite drop out of the funnel,
+                       and the stage row carries ``tokens_removed``
+5. semantic dedup    — SemDeDup over the embeddings table (cluster-bounded
                        cosine), joined back by doc id
-5. shard export      — deterministic hash shards via
+6. shard export      — deterministic hash shards via
                        operators/export.write_training_shards
 
 Funnel accounting is single-pass: boundary counts come from Observations
@@ -57,6 +62,9 @@ def curate_full(
     max_punct_ratio: float = 0.3,
     languages: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.8,
+    remove_spans: bool = False,
+    span_n_shingle: int = 8,
+    span_min_run: int = 2,
     semantic_threshold: float = 0.95,
     emb_key: str = "vec_id",
     n_shards: int = 16,
@@ -150,7 +158,43 @@ def curate_full(
     ).distinct()
     near = exact.join(losers, key_col, "left_anti")
 
-    # 4 — semantic dedup (optional): SemDeDup kept-flags joined back
+    # 4 — span removal (optional): substring-grain rewrite of the
+    # surviving corpus. remove_duplicated_spans consumes its input through
+    # several branches (positioned hashes twice, content twice, the token
+    # rebuild) — persist the stage-3 survivors first so those branches
+    # read a local copy instead of re-running stages 1-3 (the same
+    # DISK_ONLY discipline as the stage-2 cache), at the cost of one extra
+    # boundary action for the concrete near-dedup count.
+    obs_span = None
+    n_near_concrete = None
+    near_cached = None
+    if remove_spans:
+        from airflow_dags_spark.operators.dedup import remove_duplicated_spans
+
+        near_cached = near.persist(StorageLevel.DISK_ONLY)
+        n_near_concrete = near_cached.count()  # executes stage 3 once
+        cleaned = remove_duplicated_spans(
+            near_cached, text_col, key_col, span_n_shingle, span_min_run
+        )
+        # inner join: docs whose every token was a non-owned duplicated
+        # span have NULL clean_text and DROP out of the funnel here
+        near = near_cached.drop(text_col).join(
+            cleaned.where(F.col("clean_text").isNotNull()).select(
+                F.col(key_col),
+                F.col("clean_text").alias(text_col),
+                "n_tokens_removed",
+            ),
+            key_col,
+        )
+        near, obs_span = with_observation(
+            near,
+            "curate_span",
+            n=F.count(F.lit(1)),
+            tok=F.sum("n_tokens_removed"),
+        )
+        near = near.drop("n_tokens_removed")
+
+    # 5 — semantic dedup (optional): SemDeDup kept-flags joined back
     result = near
     obs_near = None
     if embeddings is not None:
@@ -167,7 +211,7 @@ def curate_full(
     out: dict = {"funnel": funnel, "result": result}
 
     # The FINAL action both finishes the funnel and (optionally) ships the
-    # shards: stages 3-4 execute exactly once, off the stage-2 cache.
+    # shards: stages 3-5 execute exactly once, off the stage caches.
     if out_path is not None:
         from airflow_dags_spark.operators.export import write_training_shards
 
@@ -176,11 +220,33 @@ def curate_full(
         n_final = stats["rows"]
     else:
         n_final = result.count()
-    if obs_near is not None:
+
+    # resolve the observation chain back-to-front into funnel rows; each
+    # stage's rows_in IS the previous stage's rows_out
+    if remove_spans:
+        n_span = int(obs_span.get["n"])
+        tokens_removed = int(obs_span.get["tok"] or 0)
+        record("near_dedup", n_exact, n_near_concrete)
+        funnel.append(
+            {
+                "stage": "span_removal",
+                "rows_in": n_near_concrete,
+                "rows_out": n_span,
+                "dropped": n_near_concrete - n_span,
+                "tokens_removed": tokens_removed,
+            }
+        )
+        if obs_near is not None:
+            # obs_near re-measures the span output on the semantic branch;
+            # the semantic row is the only one left to emit
+            record("semantic_dedup", n_span, n_final)
+    elif obs_near is not None:
         n_near = int(obs_near.get["n"])
         record("near_dedup", n_exact, n_near)
         record("semantic_dedup", n_near, n_final)
     else:
         record("near_dedup", n_exact, n_final)
+    if near_cached is not None:
+        near_cached.unpersist(blocking=False)
     exact.unpersist(blocking=False)
     return out

@@ -108,3 +108,69 @@ def test_funnel_is_single_pass(spark):
     assert out["funnel"][0]["rows_in"] == 200
     # one streaming of 200 input rows — not 2× per stage
     assert acc.value == 200
+
+
+def test_span_removal_stage_rewrites_and_accounts(spark):
+    """remove_spans=True inserts the substring tier: shared boilerplate
+    inside otherwise-distinct survivors is stripped from every non-owner
+    (the owner keeps one copy), a doc consisting ONLY of duplicated spans
+    drops out of the funnel, and the stage row carries tokens_removed."""
+    boiler = (
+        "all rights reserved contact the publisher for permissions and "
+        "licensing of this material in any form"
+    )
+    rows = [
+        (1, f"{boiler} the first unique document body about broadcast joins"),
+        (2, f"the second unique document body about shuffle partitions {boiler}"),
+        (3, boiler),  # nothing but the boilerplate -> fully removed
+        (4, "the completely different english document about query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curate_full(
+        spark,
+        docs,
+        min_tokens=5,
+        jaccard_threshold=0.9,
+        remove_spans=True,
+        span_n_shingle=8,
+        span_min_run=1,
+    )
+    by = {s["stage"]: s for s in out["funnel"]}
+    stages = [s["stage"] for s in out["funnel"]]
+    assert stages == ["quality_gate", "exact_dedup", "near_dedup", "span_removal"]
+    span = by["span_removal"]
+    assert span["tokens_removed"] > 0
+    assert span["dropped"] == 1  # doc 3 cleaned to nothing
+    # funnel chain still consistent
+    for prev, cur in zip(out["funnel"], out["funnel"][1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+    got = {r.doc_id: r.text for r in out["result"].collect()}
+    assert sorted(got) == [1, 2, 4]
+    # doc 1 is the owner (min key): keeps the boilerplate; doc 2 lost it
+    assert "all rights reserved" in got[1]
+    assert "all rights reserved" not in got[2]
+    assert got[2].startswith("the second unique document body")
+
+
+def test_span_removal_composes_with_semantic_stage(spark, tmp_path):
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = read_table(spark, SF_DIR, "embeddings")
+    out = curate_full(
+        spark,
+        docs,
+        embeddings=emb,
+        out_path=str(tmp_path / "shards"),
+        n_shards=2,
+        remove_spans=True,
+        semantic_threshold=0.95,
+    )
+    stages = [s["stage"] for s in out["funnel"]]
+    assert stages == [
+        "quality_gate", "exact_dedup", "near_dedup", "span_removal",
+        "semantic_dedup",
+    ]
+    for prev, cur in zip(out["funnel"], out["funnel"][1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+    for s in out["funnel"]:
+        assert s["dropped"] == s["rows_in"] - s["rows_out"] >= 0
+    assert out["shards"]["rows"] == out["funnel"][-1]["rows_out"]
