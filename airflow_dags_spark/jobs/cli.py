@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--n-shards", type=int, default=16)
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument(
+        "--remove-spans",
+        action="store_true",
+        help="insert the substring-grain span-removal stage",
+    )
 
     p = sub.add_parser("dq-audit")
     p.add_argument("table_path")
@@ -187,6 +192,7 @@ def main(argv: list[str] | None = None) -> None:
             text_col=args.text_col,
             n_shards=args.n_shards,
             jaccard_threshold=args.jaccard_threshold,
+            remove_spans=args.remove_spans,
         )
         for s_ in out["funnel"]:
             print(s_["stage"], s_["rows_in"], "->", s_["rows_out"])

@@ -81,7 +81,14 @@ def test_cli_curate_full(spark, tmp_path, monkeypatch, capsys):
     cli_main(["curate-full", docs, out, "--n-shards", "2"])
     printed = capsys.readouterr().out
     assert "quality_gate" in printed and "near_dedup" in printed
+    assert "span_removal" not in printed  # opt-in stage stays off
     assert spark.read.parquet(out).count() > 0
+
+    out2 = str(tmp_path / "out2")
+    cli_main(["curate-full", docs, out2, "--n-shards", "2", "--remove-spans"])
+    printed2 = capsys.readouterr().out
+    assert "span_removal" in printed2
+    assert spark.read.parquet(out2).count() > 0
 
 
 def test_funnel_is_single_pass(spark):
