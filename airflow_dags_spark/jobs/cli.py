@@ -13,6 +13,8 @@ One file the orchestrator ships to the cluster:
     spark-submit .../cli.py curate-export <docs> <out> [--lang en]
     spark-submit .../cli.py wds-export <docs> <out> [--n-shards 8]
     spark-submit .../cli.py semantic-dedup <embeddings> <out> [--threshold 0.95]
+    spark-submit .../cli.py reconcile-advisories <advisory> <accepted>
+                            [--quarantine] [--verified-path p]
     spark-submit .../cli.py vacuum <table>
 
 The HTTP jobs use the stdlib-based fetchers from jobs/live_http.py; tests
@@ -95,6 +97,19 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("vacuum")
     p.add_argument("table_path")
     p.add_argument("--key", default="id")
+
+    p = sub.add_parser("reconcile-advisories")
+    p.add_argument("advisory_path", help="flags written by screened_ingest_sink(advisory_path=...)")
+    p.add_argument("accepted_path", help="the accepted-docs table the flags refer to")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="logical-delete confirmed near-dups from the accepted table",
+    )
+    p.add_argument("--verified-path", default=None, help="audit-table path")
 
     p = sub.add_parser("curate-full")
     p.add_argument("docs_path")
@@ -237,6 +252,25 @@ def main(argv: list[str] | None = None) -> None:
 
         removed = ParquetTable(spark, args.table_path, args.key).vacuum_orphans()
         print(f"removed={len(removed)}")
+    elif args.cmd == "reconcile-advisories":
+        from airflow_dags_spark.operators.ingest import reconcile_advisories
+
+        report = reconcile_advisories(
+            spark,
+            args.advisory_path,
+            args.accepted_path,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            jaccard_threshold=args.jaccard_threshold,
+            quarantine=args.quarantine,
+            verified_path=args.verified_path,
+        )
+        n_flags = report.count()
+        n_confirmed = report.where("verified").count()
+        print(
+            f"flags={n_flags} confirmed={n_confirmed} "
+            f"quarantined={n_confirmed if args.quarantine else 0}"
+        )
     elif args.cmd == "compact":
         from airflow_dags_spark.operators.maintenance import compact
 

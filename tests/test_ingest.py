@@ -605,3 +605,49 @@ def test_reconcile_advisories_missing_table_and_missing_text(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].jaccard is None and not rows[0].verified
     assert {r.doc_id for r in acc.read_current().collect()} == {30}
+
+
+def test_cli_reconcile_advisories(spark, tmp_path, monkeypatch, capsys):
+    """spark-submit surface for the quarantine loop: flags -> confirmed
+    counts printed, --quarantine applies the deletion vector."""
+    from airflow_dags_spark.jobs.cli import main as cli_main
+    from airflow_dags_spark.operators.ingest import MinhashSignatureStore
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    monkeypatch.setattr(
+        "airflow_dags_spark.session.get_spark", lambda **kw: spark
+    )
+    store = MinhashSignatureStore(spark, str(tmp_path / "sig"))
+    batch1 = _docs(spark, [(10, _BASE)])
+    store.ingest(batch1, "text")
+    acc = ParquetTable(spark, str(tmp_path / "accepted"), "doc_id")
+    acc.insert_if_absent(batch1, order_by=["text"])
+    batch2 = _docs(
+        spark,
+        [(10, _BASE + " under a pale evening sky"), (30, _BASE + " at dawn")],
+    )
+    _, nb = store.screen(batch2, "text")
+    adv = store.advisory_redelivery(nb).withColumn(
+        "batch_id", F.lit(1).cast("bigint")
+    )
+    ParquetTable(
+        spark, str(tmp_path / "adv"), ["doc_id", "batch_id"]
+    ).insert_if_absent(adv, order_by=["advisory_matched_store_doc"])
+    acc.insert_if_absent(
+        batch2.where(F.col("doc_id") == 30), order_by=["text"]
+    )
+
+    cli_main(
+        [
+            "reconcile-advisories",
+            str(tmp_path / "adv"),
+            str(tmp_path / "accepted"),
+            "--jaccard-threshold", "0.5",
+            "--quarantine",
+            "--verified-path", str(tmp_path / "verified"),
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "flags=1 confirmed=1 quarantined=1" in printed
+    assert {r.doc_id for r in acc.read_current().collect()} == {10}
+    assert spark.read.parquet(str(tmp_path / "verified")).count() == 1
