@@ -27,6 +27,18 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalized(col), " ")
 
 
+def tokens_cased(col: Column | str) -> Column:
+    """Whitespace tokenization WITHOUT lowercasing → array<string>.
+
+    Positionally aligned with :func:`tokens` — ``lower()`` never changes
+    whitespace, so token i here is the case-preserving form of token i
+    there. For surfaces that DETECT on the normalized form but must
+    REBUILD text case-preserving (dedup.remove_duplicated_spans: a
+    curation rewrite that lowercased every surviving document corpus-wide
+    would destroy case information in the training data)."""
+    return F.split(F.regexp_replace(F.trim(_c(col)), r"\s+", " "), " ")
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 

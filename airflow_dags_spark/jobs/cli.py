@@ -122,7 +122,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--remove-spans",
         action="store_true",
-        help="insert the substring-grain span-removal stage",
+        help="insert the substring-grain span-removal stage (rewrites "
+        "surviving docs whitespace-normalized, case preserved)",
     )
 
     p = sub.add_parser("dq-audit")

@@ -10,9 +10,12 @@ Stages (each optional, each observable):
                        verify ≥ threshold, min-key survivor
 4. span removal      — (optional, ``remove_spans=True``) substring-grain
                        rewrite: non-owned exactly-duplicated spans removed
-                       (operators/dedup.remove_duplicated_spans); docs
-                       left empty by the rewrite drop out of the funnel,
-                       and the stage row carries ``tokens_removed``
+                       (operators/dedup.remove_duplicated_spans — the
+                       rewrite is whitespace-normalized but CASE-
+                       PRESERVING); docs left empty by the rewrite drop
+                       out of the funnel, and the stage row carries
+                       ``tokens_removed`` summed over ALL docs, including
+                       the fully-removed ones
 5. semantic dedup    — SemDeDup over the embeddings table (cluster-bounded
                        cosine), joined back by doc id
 6. shard export      — deterministic hash shards via
@@ -176,23 +179,27 @@ def curate_full(
         cleaned = remove_duplicated_spans(
             near_cached, text_col, key_col, span_n_shingle, span_min_run
         )
+        # tokens_removed is observed BEFORE the NULL filter: docs whose
+        # ENTIRE text was removed (clean_text NULL) are exactly the
+        # largest removals, and summing after the inner join below would
+        # exclude them from the reported total. CollectMetrics is a
+        # predicate-pushdown barrier, so the filter cannot sink below the
+        # observation (tests/test_curate_full.py pins this).
+        cleaned, obs_tok = with_observation(
+            cleaned, "curate_span_tokens", tok=F.sum("n_tokens_removed")
+        )
         # inner join: docs whose every token was a non-owned duplicated
         # span have NULL clean_text and DROP out of the funnel here
         near = near_cached.drop(text_col).join(
             cleaned.where(F.col("clean_text").isNotNull()).select(
                 F.col(key_col),
                 F.col("clean_text").alias(text_col),
-                "n_tokens_removed",
             ),
             key_col,
         )
         near, obs_span = with_observation(
-            near,
-            "curate_span",
-            n=F.count(F.lit(1)),
-            tok=F.sum("n_tokens_removed"),
+            near, "curate_span", n=F.count(F.lit(1))
         )
-        near = near.drop("n_tokens_removed")
 
     # 5 — semantic dedup (optional): SemDeDup kept-flags joined back
     result = near
@@ -225,7 +232,7 @@ def curate_full(
     # stage's rows_in IS the previous stage's rows_out
     if remove_spans:
         n_span = int(obs_span.get["n"])
-        tokens_removed = int(obs_span.get["tok"] or 0)
+        tokens_removed = int(obs_tok.get["tok"] or 0)
         record("near_dedup", n_exact, n_near_concrete)
         funnel.append(
             {

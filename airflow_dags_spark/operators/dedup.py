@@ -34,6 +34,7 @@ from airflow_dags_spark.functions.text import (
     minhash_from_shingles,
     shingles_from_tokens,
     tokens,
+    tokens_cased,
 )
 
 DEFAULT_SALTS = ["b0:", "b1:", "b2:", "b3:"]
@@ -380,8 +381,14 @@ def remove_duplicated_spans(
 
     Returns one row per input document:
     ``(key_col, n_tokens, n_tokens_removed, clean_text)`` where
-    ``clean_text`` is the whitespace-normalized reconstruction (documents
-    with NULL text pass through with NULL clean_text and zero counts).
+    ``clean_text`` is the whitespace-normalized but CASE-PRESERVING
+    reconstruction: span DETECTION runs on lowercased tokens (the
+    engine-wide normalized form, so "The Same Boilerplate" and "the same
+    boilerplate" dedup together) while the REBUILD re-assembles the
+    original-case tokens — positions align because lower() never changes
+    whitespace. A rewrite that lowercased every surviving document would
+    silently destroy case information corpus-wide (documents with NULL
+    text pass through with NULL clean_text and zero counts).
 
     Scale shape: inherits :func:`duplicated_spans`' shuffles, plus one
     groupBy on the span content hash (rows = spans, not tokens), one
@@ -432,7 +439,12 @@ def remove_duplicated_spans(
             F.col("span_end").alias("__re"),
         )
     )
-    pos_tok = toks.select(key_col, F.posexplode("__toks").alias("__pos", "__tok"))
+    # the rebuild explodes CASE-PRESERVING tokens (same positions as the
+    # lowercased detection tokens — lower() never changes whitespace)
+    pos_tok = df.select(
+        F.col(key_col),
+        F.posexplode(tokens_cased(text_col)).alias("__pos", "__tok"),
+    )
     kept = pos_tok.join(
         losers,
         (F.col(key_col) == F.col("__rk"))

@@ -130,7 +130,7 @@ def test_span_removal_stage_rewrites_and_accounts(spark):
         (1, f"{boiler} the first unique document body about broadcast joins"),
         (2, f"the second unique document body about shuffle partitions {boiler}"),
         (3, boiler),  # nothing but the boilerplate -> fully removed
-        (4, "the completely different english document about query engines"),
+        (4, "The Completely Different English Document About Query Engines"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = curate_full(
@@ -146,7 +146,11 @@ def test_span_removal_stage_rewrites_and_accounts(spark):
     stages = [s["stage"] for s in out["funnel"]]
     assert stages == ["quality_gate", "exact_dedup", "near_dedup", "span_removal"]
     span = by["span_removal"]
-    assert span["tokens_removed"] > 0
+    # 16 boilerplate tokens removed from doc 2 AND all 16 of fully-removed
+    # doc 3 — the total must include docs whose entire text was removed
+    # (they drop out of the funnel before the inner join, so an
+    # after-the-join sum would miss exactly the largest removals)
+    assert span["tokens_removed"] == 32
     assert span["dropped"] == 1  # doc 3 cleaned to nothing
     # funnel chain still consistent
     for prev, cur in zip(out["funnel"], out["funnel"][1:]):
@@ -157,6 +161,9 @@ def test_span_removal_stage_rewrites_and_accounts(spark):
     assert "all rights reserved" in got[1]
     assert "all rights reserved" not in got[2]
     assert got[2].startswith("the second unique document body")
+    # the rewrite is case-preserving — an exported corpus must not come
+    # back lowercased (ADVICE r9)
+    assert got[4] == "The Completely Different English Document About Query Engines"
 
 
 def test_span_removal_composes_with_semantic_stage(spark, tmp_path):

@@ -187,6 +187,21 @@ def test_fully_duplicated_doc_cleans_to_null(spark):
     assert got[2].clean_text is None
 
 
+def test_rebuild_preserves_case(spark):
+    # duplicated span is detected case-insensitively (normalized tokens)
+    # but surviving text keeps its original case — a rewrite that
+    # lowercased the corpus would be a training-data regression
+    dup = "This Exact Boilerplate Sentence Repeats Verbatim Across Documents"
+    d = _docs(
+        spark,
+        [(1, f"Unique Head One {dup}"), (2, f"{dup.lower()} Unique Tail Two")],
+    )
+    got = _clean(d, n_shingle=8, min_run=1)
+    # owner (doc 1, min key) keeps its ORIGINAL-CASE copy
+    assert got[1].clean_text == f"Unique Head One {dup}"
+    assert got[2].clean_text == "Unique Tail Two"
+
+
 def test_null_and_short_docs_pass_through(spark):
     d = _docs(spark, [(1, None), (2, "too short"), (3, "a b c d e f g h"), (4, "a b c d e f g h")])
     got = _clean(d, n_shingle=8, min_run=1)
@@ -231,9 +246,11 @@ def _ref_spans(texts: dict[int, str], n: int, min_run: int):
     return sorted(out)
 
 
-# small vocabulary forces collisions/overlaps; docs of 0-14 tokens
+# small vocabulary forces collisions/overlaps; docs of 0-14 tokens.
+# Uppercase variants collide with lowercase for DETECTION (normalized
+# form) but must survive the rebuild with their case intact.
 _doc_strategy = st.lists(
-    st.lists(st.sampled_from("a b c d".split()), max_size=14).map(" ".join),
+    st.lists(st.sampled_from("a b c d A B".split()), max_size=14).map(" ".join),
     min_size=1,
     max_size=6,
 )
@@ -257,9 +274,15 @@ def _ref_removal(texts: dict[int, str], n: int, min_run: int):
     strip non-owner spans' token ranges, rebuild."""
     spans = _ref_spans(texts, n, min_run)
     # Spark-faithful tokenization: split(normalized, ' ') yields [''] for
-    # empty/whitespace-only text (1 empty token), never []
+    # empty/whitespace-only text (1 empty token), never [].
+    # Detection/grouping uses LOWERCASED tokens; the rebuild uses the
+    # CASE-PRESERVING ones (same positions — lower() keeps whitespace).
     toks = {
         k: (" ".join(t.lower().split()).split(" ") if t is not None else None)
+        for k, t in texts.items()
+    }
+    cased = {
+        k: (" ".join(t.split()).split(" ") if t is not None else None)
         for k, t in texts.items()
     }
     groups: dict[tuple, list] = {}
@@ -280,7 +303,7 @@ def _ref_removal(texts: dict[int, str], n: int, min_run: int):
         drop = set()
         for s, e in losers.get(k, []):
             drop.update(range(s, e + 1))
-        kept = [t for i, t in enumerate(ts) if i not in drop]
+        kept = [t for i, t in enumerate(cased[k]) if i not in drop]
         out[k] = (len(ts), len(ts) - len(kept), " ".join(kept) if kept else None)
     return out
 
