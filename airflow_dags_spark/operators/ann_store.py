@@ -30,9 +30,13 @@ re-scanned, mirroring the signature store's sign-once property.
 
 :class:`PqCodebookStore` (round 9) is the product-quantization sibling:
 same versioned-state + batch-ledger discipline over per-(subspace, code)
-sufficient statistics, plus the re-center-vs-re-train drift policy — a
-deterministic md5-sampled vector reservoir feeds a seeded re-fit when the
-codes have drifted past the caller's threshold (see its class docstring).
+sufficient statistics. BOTH stores carry the re-center-vs-re-train drift
+policy (round 10 backported it to the IVF store): a deterministic
+md5-sampled vector reservoir feeds a seeded re-fit via ``maybe_refit``
+when the maintained centers have drifted past the caller's threshold —
+and both feed the SERVING path directly: ``ivf_ann_topk(centers=
+store.centroids_matrix())`` / ``pq_ann_topk(books=store.codebooks())``
+search against the maintained artifacts with no per-call re-fit.
 
 Reference parity note: the reference system (vinkumdev/airflow-dags) has no
 vector surface at all; this extends the engine's LLM-pipeline brief
@@ -74,7 +78,24 @@ def _assign_cells(vec_col: str, centers: np.ndarray):
 
 class IvfIndexStore:
     """Parquet-backed IVF cell state with batch-grained incremental
-    re-centering. See the module docstring for the design contract."""
+    re-centering. See the module docstring for the design contract.
+
+    **Re-center vs re-train** (the drift policy, mirroring
+    :class:`PqCodebookStore`): incremental folding re-centers cells toward
+    their true member means but cannot move a vector across Voronoi
+    boundaries — after enough corpus drift the coarse PARTITION itself is
+    stale, and a stale coarse quantizer hurts probe recall more than any
+    codebook does. The store keeps a deterministic md5-sampled vector
+    reservoir and a ``refit`` ledger flag; :meth:`drift_since_fit`
+    measures how far the current centroids have re-centered away from the
+    last fit's, and :meth:`maybe_refit` re-trains the quantizer from the
+    reservoir (seeded Lloyd) only past the caller's threshold.
+
+    Ledger format note: rounds ≤ 9 wrote ``(batch_id, version)`` rows;
+    the drift policy adds a ``refit`` flag. A legacy ledger is migrated
+    in place on the first commit (tiny table, atomic swap) with its
+    version-0 init marked as the fit — so ``last_fit_version`` on an
+    un-migrated store reads 0, which is exactly the fit it had."""
 
     def __init__(
         self,
@@ -89,6 +110,7 @@ class IvfIndexStore:
         self.key_col = key_col
         self.vec_col = vec_col
         self._ledger = ParquetTable(spark, f"{self.path}/ledger", "batch_id")
+        self._sample = ParquetTable(spark, f"{self.path}/sample", key_col)
 
     # -- state access -------------------------------------------------------
 
@@ -108,15 +130,43 @@ class IvfIndexStore:
             raise ValueError(f"IVF index at {self.path} not initialized")
         return self.spark.read.parquet(f"{self.path}/state/v{v}")
 
-    def centroids_matrix(self) -> np.ndarray:
-        """Current centroids as a dense (k, dim) array — bounded k×dim
-        driver-side, ordered by cell id."""
-        rows = self.state().orderBy("cell").collect()
+    @staticmethod
+    def _centers_from(state_rows) -> np.ndarray:
+        """(k, dim) unit-normalized centroid matrix from state rows."""
+        rows = sorted(state_rows, key=lambda r: r["cell"])
         mat = np.asarray([r["vec_sum"] for r in rows], dtype=np.float64)
         n = np.asarray([r["n_members"] for r in rows], dtype=np.float64)
         mat = mat / np.where(n > 0, n, 1.0)[:, None]
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         return mat / np.where(norms > 0, norms, 1.0)
+
+    def centroids_matrix(self) -> np.ndarray:
+        """Current centroids as a dense (k, dim) array — bounded k×dim
+        driver-side, ordered by cell id."""
+        return self._centers_from(self.state().collect())
+
+    def _state_at(self, version: int) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/state/v{version}")
+
+    def last_fit_version(self) -> int:
+        """Version of the last (re)train; a pre-drift-policy ledger (no
+        ``refit`` column yet) has exactly one fit — its version-0 init."""
+        led = self._ledger.read()
+        if "refit" not in led.columns:
+            return 0
+        rows = led.where(F.col("refit")).agg(F.max("version").alias("v")).collect()
+        v = rows[0]["v"]
+        if v is None:
+            return 0
+        return int(v)
+
+    def drift_since_fit(self) -> float:
+        """Mean L2 shift of unit centroids between the last (re)fit
+        version's state and the current state — the observable that
+        drives the re-center-vs-re-train policy."""
+        cur = self.centroids_matrix()
+        fit = self._centers_from(self._state_at(self.last_fit_version()).collect())
+        return float(np.linalg.norm(cur - fit, axis=1).mean())
 
     def centroids(self) -> DataFrame:
         """Current unit-normalized centroids as (cell, centroid) rows.
@@ -152,11 +202,39 @@ class IvfIndexStore:
             f"{self.path}/state/v{version}"
         )
 
-    def _commit(self, batch_id: str, version: int) -> None:
+    def _commit(self, batch_id: str, version: int, refit: bool) -> None:
+        if self._ledger.exists() and "refit" not in self._ledger.read().columns:
+            # one-time in-place schema migration of a pre-drift-policy
+            # ledger (tiny table, atomic swap): its version-0 init was
+            # its one fit. insert_if_absent projects the source onto the
+            # TARGET's columns, so appending to the old schema would
+            # silently drop the flag instead.
+            self._ledger._atomic_overwrite(
+                self._ledger.read().withColumn("refit", F.col("version") == 0)
+            )
         row = self.spark.createDataFrame(
-            [(batch_id, version)], "batch_id string, version int"
+            [(batch_id, version, refit)],
+            "batch_id string, version int, refit boolean",
         )
         self._ledger.insert_if_absent(row, order_by=["version"])
+
+    def _applied(self, batch_id: str) -> bool:
+        return (
+            self.exists()
+            and self._ledger.read()
+            .where(F.col("batch_id") == batch_id)
+            .count()
+            > 0
+        )
+
+    def _reserve(self, vecs: DataFrame, sample_hex: str) -> None:
+        """Fold the batch's deterministic md5 sample into the reservoir
+        (keyed insert-if-absent → replay-pure, grows at the sample rate)."""
+        picked = vecs.where(
+            F.substring(F.md5(F.col(self.key_col).cast("string")), 1, 1)
+            < sample_hex
+        ).select(self.key_col, as_double(self.vec_col).alias("v"))
+        self._sample.insert_if_absent(picked, order_by=[self.key_col])
 
     def init_from(
         self,
@@ -167,6 +245,7 @@ class IvfIndexStore:
         fit_sample: int = 20000,
         max_iter: int = 10,
         seed: int = 42,
+        sample_hex: str = "4",
     ) -> dict:
         """Train the initial quantizer (sampled, seeded — the
         `ivf_ann_topk` fit) and fold the full init corpus into cell
@@ -174,18 +253,17 @@ class IvfIndexStore:
         from airflow_dags_spark.operators.similarity import _fit_coarse_quantizer
 
         if self.exists():
-            applied = {
-                r["batch_id"] for r in self._ledger.read().select("batch_id").collect()
-            }
-            if batch_id in applied:
+            if self._applied(batch_id):
                 return {"applied": False, "version": self.current_version()}
             raise ValueError("init_from on an already-initialized store")
+        clean = vecs.where(F.col(self.vec_col).isNotNull())
         centers = _fit_coarse_quantizer(
-            vecs, self.vec_col, n_cells, fit_sample, max_iter, seed
+            clean, self.vec_col, n_cells, fit_sample, max_iter, seed
         )
-        stats = self._batch_stats(vecs, centers, n_cells)
+        self._reserve(clean, sample_hex)
+        stats = self._batch_stats(clean, centers, n_cells)
         self._write_state(stats, 0)
-        self._commit(batch_id, 0)
+        self._commit(batch_id, 0, refit=True)
         return {"applied": True, "version": 0, "n_cells": n_cells}
 
     def _batch_stats(
@@ -229,17 +307,18 @@ class IvfIndexStore:
             )
         return out
 
-    def add_batch(self, vecs: DataFrame, batch_id: str) -> dict:
+    def add_batch(
+        self, vecs: DataFrame, batch_id: str, *, sample_hex: str = "4"
+    ) -> dict:
         """Assign a new batch to the CURRENT centroids, fold its per-cell
         sums into the state, persist as the next version. Replay of an
         applied ``batch_id`` is a no-op (ledger check); a crash between
         the state write and the ledger append is healed by the replay
         deterministically overwriting the orphan version."""
-        applied = {
-            r["batch_id"] for r in self._ledger.read().select("batch_id").collect()
-        }
-        if batch_id in applied:
+        if self._applied(batch_id):
             return {"applied": False, "version": self.current_version()}
+        vecs = vecs.where(F.col(self.vec_col).isNotNull())
+        self._reserve(vecs, sample_hex)
         centers = self.centroids_matrix()
         cur = {
             r["cell"]: (list(r["vec_sum"]), int(r["n_members"]))
@@ -266,7 +345,7 @@ class IvfIndexStore:
             n_new += dn
         version = self.current_version() + 1
         self._write_state(merged, version)
-        self._commit(batch_id, version)
+        self._commit(batch_id, version, refit=False)
         # mean centroid shift — the observable re-centering magnitude,
         # derived from `merged` in memory (no state re-read: the streaming
         # sink calls this per micro-batch and extra Spark jobs here are
@@ -282,6 +361,69 @@ class IvfIndexStore:
             "version": version,
             "n_assigned": n_new,
             "mean_centroid_shift": round(shift, 9),
+        }
+
+    def maybe_refit(
+        self,
+        batch_id: str,
+        *,
+        drift_threshold: float,
+        fit_sample: int = 20000,
+        max_iter: int = 10,
+        seed: int = 42,
+    ) -> dict:
+        """The re-train arm of the drift policy (mirrors
+        :meth:`PqCodebookStore.maybe_refit`): when the centroids have
+        re-centered further than ``drift_threshold`` from the last fit,
+        re-train the coarse quantizer from the reservoir (seeded Lloyd on
+        a DETERMINISTIC md5-ordered subset) and seed the new version's
+        cell statistics from the reservoir's assignment to the new
+        quantizer. Below the threshold: no-op. Idempotent on
+        ``batch_id``; an empty reservoir is a diagnosed no-op, never a
+        crash (the streaming sink must not die mid-batch)."""
+        from airflow_dags_spark.operators.similarity import _fit_coarse_quantizer
+
+        if self._applied(batch_id):
+            return {"applied": False, "version": self.current_version()}
+        version0 = self.current_version()
+        state_rows = self._state_at(version0).collect()
+        cur = self._centers_from(state_rows)
+        fit = self._centers_from(self._state_at(self.last_fit_version()).collect())
+        n_cells = len(state_rows)
+        drift = float(np.linalg.norm(cur - fit, axis=1).mean())
+        if drift <= drift_threshold:
+            return {"applied": False, "refit": False, "drift": round(drift, 9)}
+        if not self._sample.exists() or self._sample.read().limit(1).count() == 0:
+            return {
+                "applied": False,
+                "refit": False,
+                "drift": round(drift, 9),
+                "reason": "empty_reservoir",
+            }
+        sample = (
+            self._sample.read()
+            .orderBy(
+                F.md5(F.col(self.key_col).cast("string")), F.col(self.key_col)
+            )
+            .limit(fit_sample)
+            .select(F.col("v").alias(self.vec_col))
+        )
+        centers = _fit_coarse_quantizer(
+            sample, self.vec_col, n_cells, fit_sample, max_iter, seed
+        )
+        stats = self._batch_stats(
+            self._sample.read().select(F.col("v").alias(self.vec_col)),
+            centers,
+            n_cells,
+        )
+        version = version0 + 1
+        self._write_state(stats, version)
+        self._commit(batch_id, version, refit=True)
+        return {
+            "applied": True,
+            "refit": True,
+            "version": version,
+            "drift": round(drift, 9),
         }
 
 

@@ -218,10 +218,22 @@ def ivf_ann_topk(
     seed: int = 42,
     fit_sample: int = 20000,
     max_iter: int = 10,
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: a sample-trained coarse quantizer (spherical k-means)
     partitions the corpus into cells; queries probe only the ``nprobe``
     nearest cells, exact cosine ranks within probed cells.
+
+    ``centers`` injects a MAINTAINED quantizer — pass
+    ``IvfIndexStore.centroids_matrix()`` to search against the index the
+    streaming sink keeps re-centered (``ivf_index_sink``). This is the
+    serving path the store exists for: without it every query batch
+    re-samples the corpus and re-fits a quantizer (``_fit_coarse_
+    quantizer``'s driver-side collect), and — worse than the cost — it
+    searches against DIFFERENT centroids than the ones being maintained.
+    With ``centers`` given there is no fit and no corpus sample;
+    ``n_cells`` is taken from the matrix (rows must be the unit-norm
+    (k, dim) layout ``centroids_matrix`` returns, ordered by cell id).
 
     Recall/cost dial = nprobe/n_cells (fraction of corpus scanned). Cell
     assignment and probe selection run as Arrow-batched pandas UDFs — one
@@ -234,9 +246,20 @@ def ivf_ann_topk(
     against brute force (nprobe = n_cells degenerates to exact)."""
     from pyspark.sql.functions import pandas_udf
 
-    centers = _fit_coarse_quantizer(
-        embeddings, vec_col, n_cells, fit_sample, max_iter, seed
-    )
+    if centers is None:
+        centers = _fit_coarse_quantizer(
+            embeddings, vec_col, n_cells, fit_sample, max_iter, seed
+        )
+    else:
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.ndim != 2:
+            raise ValueError(
+                f"centers must be a (n_cells, dim) matrix, got shape "
+                f"{centers.shape}"
+            )
+        n_cells = centers.shape[0]
+    if nprobe > n_cells:
+        nprobe = n_cells
 
     def _unit_sims(v: "pd.Series") -> "np.ndarray":
         # cosine(v, c) for unit-norm centroids, rounded like the exact path;
@@ -342,6 +365,7 @@ def pq_ann_topk(
     fit_sample: int = 20000,
     max_iter: int = 10,
     refine: int = 0,
+    books: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization ANN: corpus vectors → m one-byte codes
     (nearest codebook entry per subspace); query scoring is Asymmetric
@@ -358,11 +382,31 @@ def pq_ann_topk(
     ``refine`` PQ candidates per query with exact cosine (needs one join
     back to raw vectors) — the standard recall-restoring tail.
 
+    ``books`` injects MAINTAINED codebooks — pass
+    ``PqCodebookStore.codebooks()`` to encode and score against the books
+    the streaming sink keeps re-centered (``pq_codebook_sink``). This is
+    the serving path the store exists for: without it every query batch
+    re-samples the corpus and re-fits codebooks driver-side, and searches
+    against DIFFERENT books than the ones being maintained. With
+    ``books`` given there is no fit and no corpus sample; ``m`` and
+    ``n_codes`` are taken from the array's (m, n_codes, dim/m) shape.
+
     Seeded sampled-fit internals → rows-only correctness; recall vs brute
-    force and determinism are pytest-verified (tests/test_approx_ops.py)."""
-    books = _fit_pq_codebooks(
-        embeddings, vec_col, m, n_codes, fit_sample, max_iter, seed
-    )
+    force and determinism are pytest-verified (tests/test_approx_ops.py);
+    the store-backed path additionally pins fit-free serving and
+    store-version determinism (tests/test_ann_store.py)."""
+    if books is None:
+        books = _fit_pq_codebooks(
+            embeddings, vec_col, m, n_codes, fit_sample, max_iter, seed
+        )
+    else:
+        books = np.asarray(books, dtype=np.float64)
+        if books.ndim != 3:
+            raise ValueError(
+                f"books must be a (m, n_codes, dim/m) array, got shape "
+                f"{books.shape}"
+            )
+        m = books.shape[0]
     sub = books.shape[2]
 
     def encode(batches):

@@ -746,19 +746,61 @@ def screened_ingest_sink(
 def _ledger_namespace(checkpoint_dir: str) -> str:
     """Per-checkpoint ledger-key namespace shared by the index-maintenance
     sinks: micro-batch ids restart at 0 with every fresh checkpoint, so
-    ledger keys are ``<md5(checkpoint_dir)[:12]>:b<batch_id>`` — replay
+    ledger keys are ``<md5(canonical_dir)[:12]>:b<batch_id>`` — replay
     detection scoped to the one checkpoint whose batch ids are actually
-    comparable. This format is a cross-release compatibility contract:
-    replays of a committed batch are recognized only under the SAME
-    format, so a store whose ledger predates the namespacing cannot
-    disambiguate an in-flight batch across an upgrade (let the stream
-    drain before upgrading, or accept one re-fold of the in-flight
-    batch)."""
-    import hashlib
+    comparable.
 
-    return hashlib.md5(
-        checkpoint_dir.rstrip("/").encode("utf-8")
-    ).hexdigest()[:12]
+    The hashed path is CANONICALIZED first (ADVICE r9): a namespace
+    derived from the raw spelling would change between restarts of the
+    SAME stream that pass the checkpoint as relative vs absolute vs
+    ``file:``-URI — and a changed namespace re-folds already-committed
+    batches (double-counting their vectors). Local paths go through
+    ``os.path.abspath``; ``file:`` URIs are reduced to their
+    canonicalized local path; other URI schemes (s3a://, hdfs://) have no
+    local canonical form and hash as spelled minus trailing slashes —
+    spell them consistently across restarts.
+
+    Cross-release note: the namespacing (and this canonicalization) are
+    on-disk format contracts — a replayed batch is recognized only under
+    the SAME key format. Ledgers written by the pre-namespace release
+    (bare ``b<N>`` keys) are covered for one release by the legacy check
+    in ``_legacy_applied``; a namespaced ledger written from a different
+    path SPELLING of the same dir before this canonicalization will
+    re-fold its one in-flight batch (drain the stream before upgrading)."""
+    import hashlib
+    import os
+
+    p = checkpoint_dir.rstrip("/")
+    if p.startswith("file:"):
+        # file:/x, file:///x → /x (URI → canonical local path)
+        local = p[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+        p = os.path.abspath(local)
+    elif "://" not in p:
+        p = os.path.abspath(p)
+    return hashlib.md5(p.encode("utf-8")).hexdigest()[:12]
+
+
+def _legacy_applied(store, batch_id: int) -> bool:
+    """One-release migration path (ADVICE r9): a ledger written by the
+    pre-namespace release recorded bare ``b<N>`` keys. When the current
+    micro-batch's bare key exists there, the batch is an in-flight replay
+    from before the upgrade — skip it instead of re-folding (the
+    namespaced check can't see it). Consulted ONLY when the ledger
+    actually contains legacy-format rows, so a store that has never seen
+    the old format pays one cheap guard and keeps the namespaced
+    semantics exactly (a FRESH checkpoint against a legacy store will
+    treat colliding bare ids as replays — the pre-namespace behavior, no
+    worse than the release that wrote those keys; start from a fresh
+    store path to avoid)."""
+    if not store.exists():
+        return False
+    led = store._ledger.read()
+    legacy = led.where(~F.col("batch_id").contains(":"))
+    if legacy.limit(1).count() == 0:
+        return False
+    return legacy.where(F.col("batch_id") == f"b{batch_id}").count() > 0
 
 
 def ivf_index_sink(
@@ -771,6 +813,8 @@ def ivf_index_sink(
     vec_col: str = "embedding",
     fit_sample: int = 20000,
     seed: int = 42,
+    sample_hex: str = "4",
+    refit_drift_threshold: float | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming maintenance of the persistent IVF index — the similarity
@@ -780,6 +824,11 @@ def ivf_index_sink(
     every later batch is assigned to the CURRENT centroids (Arrow matmul
     fast path, shuffle-free) and folded in as one new state version, so
     the index re-centers as the corpus grows without ever re-scanning it.
+    ``refit_drift_threshold`` arms the RE-TRAIN side of the drift policy
+    (mirroring :func:`pq_codebook_sink`): after each fold, if the
+    centroids have re-centered further than the threshold from the last
+    fit, the coarse quantizer is re-trained from the md5-sampled
+    reservoir as a ledger-flagged refit version.
 
     Exactly-once per micro-batch WITHOUT relying on the checkpoint alone:
     the store's batch ledger (K3 insert-if-absent keyed by batch id) makes
@@ -813,16 +862,27 @@ def ivf_index_sink(
         store = IvfIndexStore(
             batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
         )
+        if _legacy_applied(store, batch_id):
+            return  # committed pre-upgrade under the bare-key format
+        bid = f"{ledger_ns}:b{batch_id}"
         if not store.exists():
             store.init_from(
                 batch,
                 n_cells,
-                batch_id=f"{ledger_ns}:b{batch_id}",
+                batch_id=bid,
+                fit_sample=fit_sample,
+                seed=seed,
+                sample_hex=sample_hex,
+            )
+            return
+        store.add_batch(batch, bid, sample_hex=sample_hex)
+        if refit_drift_threshold is not None:
+            store.maybe_refit(
+                f"{bid}:refit",
+                drift_threshold=refit_drift_threshold,
                 fit_sample=fit_sample,
                 seed=seed,
             )
-        else:
-            store.add_batch(batch, f"{ledger_ns}:b{batch_id}")
 
     writer = vec_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -877,6 +937,8 @@ def pq_codebook_sink(
         store = PqCodebookStore(
             batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
         )
+        if _legacy_applied(store, batch_id):
+            return  # committed pre-upgrade under the bare-key format
         bid = f"{ledger_ns}:b{batch_id}"
         if not store.exists():
             store.init_from(

@@ -557,3 +557,271 @@ def test_pq_maybe_refit_empty_reservoir_is_diagnosed_noop(spark, emb, tmp_path):
     assert not out["applied"] and out.get("reason") == "empty_reservoir"
     assert out["drift"] > 0.0
     assert store.last_fit_version() == 0  # nothing trained
+
+
+def test_ledger_namespace_canonicalizes_path_spelling():
+    """ADVICE r9 (low): the namespace must not depend on how the SAME
+    checkpoint dir is spelled — relative vs absolute vs file: URI vs
+    trailing slash — or a restart re-folds committed batches."""
+    import os
+
+    from airflow_dags_spark.streaming.pipeline import _ledger_namespace
+
+    ns = _ledger_namespace("/a/b/ck")
+    assert _ledger_namespace("/a/b/ck/") == ns
+    assert _ledger_namespace("file:///a/b/ck") == ns
+    assert _ledger_namespace("file:/a/b/ck") == ns
+    rel = os.path.relpath("/a/b/ck")
+    assert _ledger_namespace(rel) == ns
+    # remote schemes have no local canonical form: spelled-as-given
+    # (minus trailing slash), and distinct from the local form
+    assert _ledger_namespace("s3a://bkt/ck/") == _ledger_namespace("s3a://bkt/ck")
+    assert _ledger_namespace("s3a://bkt/ck") != ns
+
+
+def test_legacy_bare_ledger_keys_recognized_as_replays(spark, emb, tmp_path):
+    """ADVICE r9 (low) migration path: a ledger written by the
+    pre-namespace release holds bare b<N> keys; the in-flight micro-batch
+    committed under b0 must be SKIPPED by the upgraded sink (not
+    re-folded), while the next batch id still applies."""
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    store_path = str(tmp_path / "ivf")
+    store = IvfIndexStore(spark, store_path)
+    # legacy-format commit of micro-batch 0 (pre-upgrade release)
+    store.init_from(
+        emb.where(F.col("vec_id") < 60), n_cells=4, fit_sample=60,
+        batch_id="b0",
+    )
+    assert sum(r["n_members"] for r in store.state().collect()) == 60
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(landing / "b1"))
+
+    def run():
+        q = ivf_index_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing / "*")),
+            store_path,
+            str(tmp_path / "ck"),
+            n_cells=4,
+            fit_sample=60,
+        )
+        q.awaitTermination(120)
+
+    # micro-batch 0 of the upgraded stream: bare b0 exists -> replay, skip
+    run()
+    assert sum(r["n_members"] for r in store.state().collect()) == 60
+    # micro-batch 1: bare b1 absent -> applies under the namespaced key
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 100)).write.parquet(
+        str(landing / "b2")
+    )
+    run()
+    assert sum(r["n_members"] for r in store.state().collect()) == 100
+
+
+# --- store-backed ANN serving (VERDICT r9 #1): the maintained artifacts -------
+# feed the query path; no per-call re-fit, no corpus re-sample
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append(r["cid"])
+    return out
+
+
+def test_ivf_store_backed_serving_fit_free_and_exact_at_full_probe(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ivf_ann_topk(centers=store.centroids_matrix()) serves the
+    MAINTAINED quantizer: no fit call, no corpus sample, and probing all
+    cells degenerates to brute force exactly (the store's centroids
+    partition the corpus; full probe erases the partition)."""
+    from airflow_dags_spark.operators import similarity
+    from airflow_dags_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb, n_cells=4, fit_sample=100)
+    centers = store.centroids_matrix()
+
+    def boom(*a, **k):
+        raise AssertionError("store-backed search must not re-fit")
+
+    monkeypatch.setattr(similarity, "_fit_coarse_quantizer", boom)
+    qf = F.col("vec_id") < 3
+    exact = _topk_map(brute_force_topk(emb, 5, query_filter=qf))
+    # n_cells comes from the matrix; an over-large nprobe clamps to it
+    got = _topk_map(
+        ivf_ann_topk(emb, 5, query_filter=qf, nprobe=99, centers=centers)
+    )
+    assert got == exact
+
+
+def test_pq_store_backed_serving_fit_free_recall_and_determinism(
+    spark, emb, tmp_path, monkeypatch
+):
+    """pq_ann_topk(books=store.codebooks()) encodes and ADC-scores against
+    the MAINTAINED codebooks: no fit call, recall within the fresh-fit
+    bound (tests/test_approx_ops.py), and byte-identical results across
+    calls against the same store version."""
+    from airflow_dags_spark.operators import similarity
+    from airflow_dags_spark.operators.ann_store import PqCodebookStore
+    from airflow_dags_spark.operators.similarity import (
+        brute_force_topk,
+        pq_ann_topk,
+    )
+
+    store = PqCodebookStore(spark, str(tmp_path / "pq"))
+    store.init_from(emb, m=8, n_codes=32, fit_sample=200)
+    books = store.codebooks()
+
+    def boom(*a, **k):
+        raise AssertionError("store-backed search must not re-fit")
+
+    monkeypatch.setattr(similarity, "_fit_pq_codebooks", boom)
+    qf = F.col("vec_id") < 5
+    exact = _topk_map(brute_force_topk(emb, 10, query_filter=qf))
+    run1 = pq_ann_topk(emb, 10, query_filter=qf, refine=50, books=books).collect()
+    approx = {}
+    for r in run1:
+        approx.setdefault(r["qid"], []).append(r["cid"])
+    recalls = [
+        len(set(exact[q]) & set(approx.get(q, []))) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.6
+    run2 = pq_ann_topk(emb, 10, query_filter=qf, refine=50, books=books).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_pq_store_backed_rejects_malformed_books(spark, emb, tmp_path):
+    from airflow_dags_spark.operators.similarity import ivf_ann_topk, pq_ann_topk
+
+    with pytest.raises(ValueError, match="m, n_codes"):
+        pq_ann_topk(emb, 5, books=np.zeros((4, 8)))
+    with pytest.raises(ValueError, match="n_cells, dim"):
+        ivf_ann_topk(emb, 5, centers=np.zeros((4, 8, 2)))
+
+
+# --- IVF drift policy (VERDICT r9 #2: backported from PqCodebookStore) --------
+
+
+def test_ivf_drift_policy_refit_only_past_threshold(spark, emb, tmp_path):
+    """Below threshold maybe_refit is a no-op; past it the coarse
+    quantizer is re-trained from the reservoir as a new REFIT version
+    (ledger-flagged), drift_since_fit resets, and a replayed refit batch
+    id no-ops."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    # sample_hex 'g': every md5 first hex char < 'g' -> reservoir = all keys
+    store.init_from(
+        emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40,
+        sample_hex="g",
+    )
+    assert store.drift_since_fit() == 0.0  # v0 IS the fit
+    out = store.add_batch(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 120)),
+        "b1",
+        sample_hex="g",
+    )
+    drift = store.drift_since_fit()
+    assert drift > 0.0 and abs(drift - out["mean_centroid_shift"]) < 1e-9
+
+    high = store.maybe_refit("refit-1", drift_threshold=drift + 1.0)
+    assert not high["applied"] and not high.get("refit", False)
+
+    low = store.maybe_refit("refit-2", drift_threshold=drift / 2)
+    assert low["applied"] and low["refit"]
+    assert store.last_fit_version() == low["version"]
+    assert store.drift_since_fit() == 0.0  # freshly re-trained
+    # reservoir-seeded stats: members = reservoir rows (all 120 keys here)
+    assert sum(r["n_members"] for r in store.state().collect()) == 120
+    # replayed refit never trains twice
+    again = store.maybe_refit("refit-2", drift_threshold=0.0)
+    assert not again["applied"]
+
+
+def test_ivf_maybe_refit_empty_reservoir_is_diagnosed_noop(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(
+        emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40,
+        sample_hex="0",
+    )
+    store.add_batch(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 100)),
+        "b1",
+        sample_hex="0",
+    )
+    out = store.maybe_refit("refit-1", drift_threshold=0.0)
+    assert not out["applied"] and out.get("reason") == "empty_reservoir"
+    assert out["drift"] > 0.0
+    assert store.last_fit_version() == 0  # nothing trained
+
+
+def test_ivf_legacy_ledger_schema_migrates_on_commit(spark, emb, tmp_path):
+    """A pre-drift-policy ledger (no refit column) reads
+    last_fit_version()==0 and is migrated in place by the first commit:
+    version 0 becomes the flagged fit, new rows carry the flag."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.init_from(emb.where(F.col("vec_id") < 40), n_cells=4, fit_sample=40)
+    # simulate the r9 on-disk format: strip the refit column
+    legacy = store._ledger.read().select("batch_id", "version").collect()
+    store._ledger._atomic_overwrite(
+        spark.createDataFrame(legacy, "batch_id string, version int")
+    )
+    assert "refit" not in store._ledger.read().columns
+    assert store.last_fit_version() == 0  # the init was its one fit
+    store.add_batch(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)), "b1"
+    )
+    led = {r["batch_id"]: r for r in store._ledger.read().collect()}
+    assert led["__init__"]["refit"] is True
+    assert led["b1"]["refit"] is False
+    assert store.last_fit_version() == 0
+    out = store.maybe_refit("refit-1", drift_threshold=0.0)
+    assert out["applied"] and store.last_fit_version() == out["version"]
+
+
+def test_ivf_index_sink_drift_triggered_refit(spark, emb, tmp_path):
+    """With refit_drift_threshold=0.0 any positive drift after a fold
+    triggers the reservoir re-train in the SAME batch (mirrors
+    pq_codebook_sink)."""
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    emb.where(F.col("vec_id") < 60).write.parquet(str(landing / "b1"))
+
+    def run():
+        q = ivf_index_sink(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str(landing / "*")),
+            str(tmp_path / "ivf"),
+            str(tmp_path / "ck"),
+            n_cells=4,
+            fit_sample=60,
+            sample_hex="g",  # reservoir = every key (deterministic)
+            refit_drift_threshold=0.0,
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    assert store.last_fit_version() == 0  # init IS a fit; no drift yet
+
+    emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 120)).write.parquet(
+        str(landing / "b2")
+    )
+    run()
+    # fold (one version) + refit (next version), refit is the fit pointer
+    assert store.current_version() == 2
+    assert store.last_fit_version() == 2
+    assert store.drift_since_fit() == 0.0
+    run()  # no new files: nothing moves
+    assert store.current_version() == 2
