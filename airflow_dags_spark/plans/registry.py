@@ -71,4 +71,5 @@ def load_all() -> None:
         round10,
         round11,
         round12,
+        round13,
     )

@@ -48,6 +48,7 @@ from pyspark.sql.types import BooleanType, MapType, StringType, StructField, Str
 from airflow_dags_spark.functions.text import chunk_text
 from airflow_dags_spark.functions.vectors import as_double, cosine
 from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.plans.shared import scan_spread
 from airflow_dags_spark.sources.tables import read_table
 
 # Sidecar location for the meta queries: env override first (driver
@@ -537,7 +538,7 @@ def rag_chunk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-split parquet at test SF + compute-bound shingle hashing:
     # spread rows before banding (same note as dedup_minhash_incr_screen)
-    chunks = chunks.repartition(16, "chunk_id")
+    chunks = scan_spread(chunks, "chunk_id")
     store_bands = minhash_bands(
         chunks.where(F.col("is_store")), "chunk", "chunk_id"
     )

@@ -47,9 +47,11 @@ from airflow_dags_spark.operators.dedup import (
     remove_duplicated_spans,
 )
 from airflow_dags_spark.plans.registry import register
+from airflow_dags_spark.plans.shared import scan_spread
 from airflow_dags_spark.sources.tables import read_table
 
-_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+_WS = "REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')"
+_NORM = f"LOWER({_WS})"
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +95,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-document window. The md5-per-position map stage dominates at
     test SF, so the scan is spread first (same note as
     dedup_minhash_incr_screen)."""
-    d = read_table(spark, sf_dir, "documents").repartition(16, "doc_id")
+    d = scan_spread(read_table(spark, sf_dir, "documents"), "doc_id")
     return duplicated_spans(d, "text", "doc_id", n_shingle=8, min_run=2)
 
 
@@ -205,7 +207,7 @@ def dedup_advisory_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(16, "doc_id")
+        .transform(scan_spread, "doc_id")
     )
     is_store = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d"
     redeliv = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1) < "4"
@@ -243,7 +245,11 @@ def dedup_advisory_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_REMOVAL_ORACLE = f"""
 WITH toks AS MATERIALIZED (
-  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+  -- t: lowercased tokens (span DETECTION); tc: case-preserving tokens
+  -- (the REBUILD) — positionally aligned, LOWER never changes whitespace
+  SELECT doc_id, string_split({_NORM}, ' ') AS t,
+         string_split({_WS}, ' ') AS tc
+  FROM documents
 ),
 sh AS MATERIALIZED (
   SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS sh
@@ -274,8 +280,8 @@ ranked AS (
 ),
 losers AS (SELECT doc_id, s, e FROM ranked WHERE n_occ >= 2 AND rn > 1),
 pt AS (
-  SELECT doc_id, unnest(t) AS tok,
-         unnest(generate_series(0, len(t) - 1)) AS pos
+  SELECT doc_id, unnest(tc) AS tok,
+         unnest(generate_series(0, len(tc) - 1)) AS pos
   FROM toks
 ),
 kept AS (
@@ -307,14 +313,17 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups keep ONE copy corpus-wide (min-key/min-start owner), spans
     with no exact twin are kept everywhere (removal never destroys
     content that exists nowhere else). Emits per doc the token counts and
-    an md5 fingerprint of the cleaned text (full text stays
+    an md5 fingerprint of the cleaned text — which is CASE-PRESERVING
+    (detection runs on lowercased tokens, the rebuild re-assembles the
+    original-case ones), so the fingerprint check also proves the rewrite
+    does not lowercase surviving documents (full text stays
     executor-side; only the fingerprint crosses to the result).
 
     Scale shape: duplicated_spans' bounded shuffles, plus a spans-count
     groupBy on content hash, an interval anti-join whose build side is
     spans only, and one per-document reassembly aggregation (partitions
     bounded by document length)."""
-    d = read_table(spark, sf_dir, "documents").repartition(16, "doc_id")
+    d = scan_spread(read_table(spark, sf_dir, "documents"), "doc_id")
     out = remove_duplicated_spans(d, "text", "doc_id", n_shingle=8, min_run=2)
     return out.select(
         "doc_id",

@@ -57,7 +57,7 @@ from airflow_dags_spark.operators.dedup import (
 )
 from airflow_dags_spark.operators.scoring import linear_score_arrow
 from airflow_dags_spark.plans.registry import register
-from airflow_dags_spark.plans.shared import monthly_revenue_cents
+from airflow_dags_spark.plans.shared import monthly_revenue_cents, scan_spread
 from airflow_dags_spark.sources.tables import read_table
 
 _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -842,7 +842,7 @@ def dedup_minhash_incr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle is compute-bound: spread the rows before banding (in
     # production the store side is a parquet signature table — no hashing,
     # no repartition needed there)
-    d = d.repartition(16, "doc_id")
+    d = scan_spread(d, "doc_id")
     is_store = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d"
     store_bands = minhash_bands(d.where(is_store), "text", "doc_id")
     return minhash_incremental_screen(

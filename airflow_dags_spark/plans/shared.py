@@ -39,3 +39,20 @@ def monthly_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents).alias("y"))
     )
+
+
+def scan_spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a small scan across the session's parallelism before a
+    map-heavy stage (per-position md5 hashing, signature computation):
+    at test scale factors the documents table is a couple of parquet
+    files, so without this the expensive map stage runs on 1-2 tasks.
+
+    The partition count derives from ``defaultParallelism`` instead of a
+    literal — a hard-coded 16 (the pre-round-10 convention) silently
+    under-parallelizes on a 1000-executor cluster, and a number wider
+    than the cluster buys nothing. Hash-partitioning on the key keeps
+    downstream per-key windows/joins co-located. At production scale the
+    scan already arrives in many splits and AQE coalesces as needed; the
+    explicit spread is the small-input floor, not a scheduling policy."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)

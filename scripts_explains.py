@@ -87,6 +87,10 @@ NAMES = [
     "dedup_span_removal",
     "dedup_advisory_reconcile",
     "sim_pq_recenter_step",
+    # round-13 representatives
+    "curate_funnel_counts",
+    "sim_pq_store_topk",
+    "sim_ivf_store_topk",
     "meta_bench_trend",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",

@@ -343,3 +343,37 @@ def test_span_removal_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 1_290_000
     assert s["shuffle_records_written"] < 3 * 26_400
     assert s["spill_bytes"] == 0
+
+
+def test_curate_funnel_counts_shuffle_budget(spark):
+    """The funnel query shuffles band-signature rows, candidate-pair
+    text lookups and the map-side-combined boundary-count partials only:
+    ~61 KiB / ~1.1k records at sf0.01 (500 docs). Losing the semi-join
+    survivor projection (full text into the hash shuffle) or verifying
+    beyond candidates multiplies this; budget 3× headroom."""
+    df = registry.QUERIES["curate_funnel_counts"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 63_000
+    assert s["shuffle_records_written"] < 3 * 1_100
+    assert s["spill_bytes"] == 0
+
+
+def test_store_backed_ann_serving_shuffle_budget(spark):
+    """Store-backed serving's only exchange is the per-query top-k
+    window: ~7.6 KiB / 480 records (PQ: batches × n_cand per query) and
+    ~1.6 KiB / 80 records (IVF) at sf0.01. The encode/probe passes are
+    shuffle-free Arrow maps; a corpus-wide exchange here means the
+    broadcast/streamed orientation flipped. Budget 3× headroom."""
+    for name, b, r in [
+        ("sim_pq_store_topk", 7_800, 480),
+        ("sim_ivf_store_topk", 1_600, 80),
+    ]:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+        df.collect()
+        s = scan_summary(df)
+        assert s["shuffle_bytes_written"] < 3 * b, name
+        assert s["shuffle_records_written"] < 3 * r, name
+        assert s["spill_bytes"] == 0, name

@@ -445,6 +445,9 @@ ALLOWED_NESTED_LOOP = {
     # streamed corpus for cosine assignment (k is a constant; the
     # (vec × k) rows collapse map-side before any exchange):
     "sim_ivf_recenter_step",
+    # round 13: three 1-row boundary-count frames crossJoin-stacked into
+    # funnel rows (the dedicated gate pins the count at exactly 3):
+    "curate_funnel_counts",
 }
 
 
@@ -1425,3 +1428,30 @@ def test_span_removal_no_cartesian_skew_safe_owner(spark):
     # the only windows are the per-doc island row_numbers inside
     # duplicated_spans (one per spans-subtree instantiation)
     assert "partial_min" in plan or "partial" in plan
+
+
+def test_curate_funnel_counts_banded_join_bounded_count_stack(spark):
+    """The funnel query's data joins are all hash equi-joins (the banded
+    candidate join + the survivor semi-join + the verify text joins); the
+    ONLY nested-loop joins are the three documented crossJoins stacking
+    SINGLE-ROW boundary counts — anything beyond three means a real join
+    degenerated. Counts combine map-side before their one-row exchange."""
+    plan = plan_of(spark, "curate_funnel_counts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "LeftSemi" in plan          # exact-dedup survivor semi-join
+    assert "band_val" in plan          # banded candidate equi-join key
+    assert "partial_count" in plan     # map-side combined boundary counts
+
+
+def test_store_backed_ann_serving_plans_stay_bucketed(spark):
+    """Store-backed serving keeps the ANN plan shape: no cartesian and no
+    nested-loop joins (the corpus side streams; probes/candidates join by
+    cell or key), and the only windows are the per-query top-k ranks.
+    Fit-free-ness is pinned separately with a poisoned fit function in
+    tests/test_ann_store.py — the fit is driver-side, not a plan stage."""
+    for name, max_windows in [("sim_ivf_store_topk", 1), ("sim_pq_store_topk", 2)]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("Window [") <= max_windows, name
