@@ -65,6 +65,7 @@ def curate_full(
     max_punct_ratio: float = 0.3,
     languages: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.8,
+    verify_bucket_cap: int | None = 8,
     remove_spans: bool = False,
     span_n_shingle: int = 8,
     span_min_run: int = 2,
@@ -76,11 +77,9 @@ def curate_full(
     (plus ``"shards"`` when ``out_path`` is given). ``embeddings`` enables
     the semantic stage (joined on ``key_col == emb_key``)."""
     from airflow_dags_spark.functions.metrics import with_observation
+    from airflow_dags_spark.functions.text import jaccard, word_shingles
     from airflow_dags_spark.operators.clustering import semantic_dedup
-    from airflow_dags_spark.operators.dedup import (
-        minhash_candidate_pairs,
-        ngram_jaccard,
-    )
+    from airflow_dags_spark.operators.dedup import minhash_candidate_pairs
 
     funnel: list[dict] = []
 
@@ -126,9 +125,10 @@ def curate_full(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__h")
     )
-    # Stage 3 consumes `exact` FOUR times (banding, two text joins, the
-    # anti-join base). Persisting it (a) makes those reuses read a local
-    # copy instead of re-running stages 1-2 four times and (b) freezes the
+    # Stage 3 consumes `exact` THREE times (banding, the shingle
+    # projection, the anti-join base). Persisting it (a) makes those
+    # reuses read a local copy instead of re-running stages 1-2 per
+    # consumer and (b) freezes the
     # observation values above. DISK_ONLY: the deduped corpus must not
     # compete with executor heap at 100 TB — it spills to local shuffle
     # disks exactly like an exchange would.
@@ -141,18 +141,32 @@ def curate_full(
     record("quality_gate", n_docs, n_gated)
     record("exact_dedup", n_gated, n_exact)
 
-    # 3 — near dedup: banding candidates → exact verify, min-key survives
-    cands = minhash_candidate_pairs(exact, text_col, key_col)
+    # 3 — near dedup: banding candidates → exact verify, min-key survives.
+    # verify_bucket_cap bounds the per-bucket pair quadratic (a corpus
+    # whose near-dup clusters grow with volume would otherwise make this
+    # verify stage O(cluster²) — see minhash_candidate_pairs): each doc
+    # is verified against its buckets' cap smallest keys only, exactly
+    # the members that would survive it.
+    cands = minhash_candidate_pairs(
+        exact, text_col, key_col, bucket_cap=verify_bucket_cap
+    )
+    # verify on PRE-COMPUTED shingle sets: one interpreted shingle build
+    # per doc, native array intersect/union per pair — re-shingling the
+    # joined text per pair row costs pairs×2 lambda evaluations instead
+    # of docs, minutes-vs-seconds at scale (round-13 stress finding)
+    shing = exact.select(
+        F.col(key_col), word_shingles(text_col, 3).alias("__sh")
+    )
     joined = (
         cands.join(
-            exact.select(F.col(key_col).alias("key_a"),
-                         F.col(text_col).alias("__ta")), "key_a")
+            shing.select(F.col(key_col).alias("key_a"),
+                         F.col("__sh").alias("__sa")), "key_a")
         .join(
-            exact.select(F.col(key_col).alias("key_b"),
-                         F.col(text_col).alias("__tb")), "key_b")
+            shing.select(F.col(key_col).alias("key_b"),
+                         F.col("__sh").alias("__sb")), "key_b")
     )
-    dup_pairs = ngram_jaccard(joined, "__ta", "__tb").where(
-        F.col("jaccard") >= jaccard_threshold
+    dup_pairs = joined.where(
+        F.round(jaccard(F.col("__sa"), F.col("__sb")), 6) >= jaccard_threshold
     )
     # drop the HIGHER key of every verified pair (min-key-wins, chain-safe:
     # the minimum of a duplicate chain is never anyone's higher key)

@@ -82,12 +82,41 @@ def minhash_candidate_pairs(
     key_col: str,
     n_shingle: int = 3,
     salts: list[str] | None = None,
+    *,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Band-bucket self-join → distinct candidate pairs (a < b)."""
+    """Band-bucket self-join → distinct candidate pairs (a < b).
+
+    ``bucket_cap`` bounds the quadratic-per-bucket pair count: the LEFT
+    side of each bucket's self-join is restricted to the bucket's
+    ``bucket_cap`` smallest keys (its REPRESENTATIVES), so a bucket of
+    width n emits ≤ cap·n pairs instead of C(n, 2) — linear in bucket
+    width. Without it, a boilerplate-heavy corpus whose near-dup
+    clusters grow with corpus size makes the candidate join (and any
+    downstream exact verify) quadratic: a 30× wider bucket is 900× the
+    pairs — measured as exactly that blow-up in the round-13 stress run
+    before the cap existed. Semantics of the capped form: pair (a, b)
+    survives iff a is among the cap smallest members of a shared bucket
+    — for survivor-election (drop b iff SOME smaller near-dup exists)
+    the smallest bucket members are precisely the candidate survivors,
+    so witness recall loss only occurs when a doc's every true near-dup
+    inside a shared bucket ranks below cap false-positive collisions.
+    ``None`` (the default) keeps the exact all-pairs-per-bucket form for
+    callers that need every edge (e.g. connected components)."""
     bands = minhash_bands(df, text_col, key_col, n_shingle, salts)
     n_bands = len(salts or DEFAULT_SALTS)
     stacked = _stack_bands(bands, key_col, n_bands)
-    a = stacked.alias("a")
+    left = stacked
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+        w = Window.partitionBy("band_idx", "band_val").orderBy(key_col)
+        left = (
+            stacked.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    a = left.alias("a")
     b = stacked.alias("b")
     return (
         a.join(

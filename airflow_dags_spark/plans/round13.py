@@ -87,15 +87,26 @@ bands AS MATERIALIZED (
     CASE WHEN len(s) > 0 THEN list_min(list_transform(s, x -> md5('b3:' || x))) END AS band_3
   FROM sh
 ),
-stacked AS (
+stacked AS MATERIALIZED (
   SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands
   UNION ALL SELECT doc_id, 1, band_1 FROM bands
   UNION ALL SELECT doc_id, 2, band_2 FROM bands
   UNION ALL SELECT doc_id, 3, band_3 FROM bands
 ),
+reps AS (
+  -- bucket representatives: the 8 smallest keys per (band_idx, band_val)
+  -- — the left side of the candidate join (bucket_cap=8; bounds the
+  -- per-bucket pair count to cap×width instead of width²)
+  SELECT doc_id, band_idx, band_val FROM (
+    SELECT doc_id, band_idx, band_val,
+           ROW_NUMBER() OVER (PARTITION BY band_idx, band_val
+                              ORDER BY doc_id) AS rn
+    FROM stacked
+  ) WHERE rn <= 8
+),
 pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-  FROM stacked a JOIN stacked b
+  FROM reps a JOIN stacked b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
 ),
@@ -129,31 +140,34 @@ FROM (
 @register("curate_funnel_counts", CURATE_FUNNEL_ORACLE)
 def curate_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation-pipeline funnel (jobs/curate_full defaults: en-only,
-    stopword ≤ 0.9, punct ≤ 0.3, ≥10 tokens, Jaccard ≥ 0.8) as per-stage
-    boundary counts — quality gate → exact dedup (min-key survivor count
-    = distinct content hashes) → near dedup (banded candidates,
-    exact-Jaccard verify, greatest-key losers) — so the flagship
-    pipeline's shape itself sits under the driver's hash check.
+    stopword ≤ 0.9, punct ≤ 0.3, ≥10 tokens, Jaccard ≥ 0.8,
+    verify_bucket_cap 8) as per-stage boundary counts — quality gate →
+    exact dedup (min-key survivor count = distinct content hashes) →
+    near dedup (banded candidates capped at 8 bucket representatives per
+    band bucket, exact-Jaccard verify, greatest-key losers) — so the
+    flagship pipeline's shape itself sits under the driver's hash check.
 
     Scale shape: the gates are codegen scan filters; exact-dedup's count
     is ONE map-side-combined hash aggregation; the near tier is the
     banded candidate equi-join + verify on candidates only (signatures
-    shuffle, text joins only for candidate pairs). The four boundary
+    shuffle, text joins only for candidate pairs), with the bucket cap
+    bounding the per-bucket pair count to cap×width — the uncapped form
+    measured ~900× the pairs in the round-13 30× stress run, where
+    salted replicas widen every near-dup cluster 30×. The four boundary
     counts are single-row aggregates crossJoin-stacked into stage rows —
     driver-side never sees more than the 3-row funnel. The PRODUCTION
     form is jobs/curate_full.curate_full: single-pass Observation
     accounting over persisted stage caches; this mirror re-derives each
     count declaratively so DuckDB can recompute the identical funnel."""
     from airflow_dags_spark.functions.text import (
+        jaccard,
         lang_id_heuristic,
         normalized,
         quality_columns,
         token_count,
+        word_shingles,
     )
-    from airflow_dags_spark.operators.dedup import (
-        minhash_candidate_pairs,
-        ngram_jaccard,
-    )
+    from airflow_dags_spark.operators.dedup import minhash_candidate_pairs
 
     d = read_table(spark, sf_dir, "documents")
     q = quality_columns("text")
@@ -169,17 +183,26 @@ def curate_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = hashed.join(surv_ids.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", "text"
     )
-    cands = minhash_candidate_pairs(exact, "text", "doc_id")
+    cands = minhash_candidate_pairs(exact, "text", "doc_id", bucket_cap=8)
+    # verify by joining PRE-COMPUTED shingle sets (one array build per
+    # doc) — joining text and re-shingling per pair row would evaluate
+    # the interpreted shingle lambdas pairs×2 times instead of docs
+    # times, the difference between seconds and minutes at sf0.1 (the
+    # intersect/union on the joined arrays is native, not a HOF)
+    shing = exact.select(
+        "doc_id", word_shingles("text", 3).alias("__sh")
+    )
     joined = cands.join(
-        exact.select(F.col("doc_id").alias("key_a"), F.col("text").alias("__ta")),
+        shing.select(F.col("doc_id").alias("key_a"), F.col("__sh").alias("__sa")),
         "key_a",
     ).join(
-        exact.select(F.col("doc_id").alias("key_b"), F.col("text").alias("__tb")),
+        shing.select(F.col("doc_id").alias("key_b"), F.col("__sh").alias("__sb")),
         "key_b",
     )
     losers = (
-        ngram_jaccard(joined, "__ta", "__tb")
-        .where(F.col("jaccard") >= 0.8)
+        joined.where(
+            F.round(jaccard(F.col("__sa"), F.col("__sb")), 6) >= 0.8
+        )
         .select(F.greatest("key_a", "key_b").alias("doc_id"))
         .distinct()
     )

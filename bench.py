@@ -112,6 +112,13 @@ HEADLINE = [
     # plan-shape signal beyond dedup_substring_spans.
     "dedup_substring_spans",
     "sim_pq_recenter_step",
+    # round-13 entrants stay sweep-only (stdout-byte budget: the 44-name
+    # line already renders ~1340 B of the 1400 B worst case, and none adds
+    # plan-shape signal the line lacks): curate_funnel_counts composes
+    # stages the HEADLINE already times individually (gates, exact dedup,
+    # banding) and the store-backed topk pair re-times the IVF/PQ
+    # probe/ADC shapes of sim_ann_ivf_topk / sim_pq_recenter_step on top
+    # of tempdir store-build I/O that is setup, not query.
 ]
 
 

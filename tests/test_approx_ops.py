@@ -368,3 +368,36 @@ def test_cosine_topk_salted_no_per_query_full_sort(emb):
     assert "__salt" in plan
     # two window nodes: (qid, salt) local top-k, then the survivor re-rank
     assert plan.count("Window [") == 2
+
+
+def test_candidate_pairs_bucket_cap_bounds_pairs_keeps_witnesses(spark):
+    """bucket_cap restricts each bucket's self-join LEFT side to the cap
+    smallest keys: a near-dup cluster of width n emits ≤ cap·n pairs
+    (linear) instead of C(n, 2), every non-representative doc still gets
+    its witness pair (some smaller key), and capped output is a SUBSET of
+    the exact pair set with identical semantics for cap >= cluster width."""
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet english countryside all day")
+    # one 20-wide near-identical cluster + two unrelated docs
+    rows = [(i, f"{base} variant {i}") for i in range(20)]
+    rows += [(100, "completely different text about query engine internals here"),
+             (101, "another unrelated document on streaming state stores today")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = {(r["key_a"], r["key_b"])
+             for r in minhash_candidate_pairs(d, "text", "doc_id").collect()}
+    capped = {(r["key_a"], r["key_b"])
+              for r in minhash_candidate_pairs(
+                  d, "text", "doc_id", bucket_cap=2).collect()}
+    assert capped <= exact
+    # linear bound: left side is ≤2 reps per bucket (4 bands)
+    assert len(capped) <= 2 * 4 * 22
+    assert len(capped) < len(exact)
+    # every cluster member except the global min still has a witness
+    losers_with_witness = {b for _a, b in capped}
+    assert set(range(1, 20)) <= losers_with_witness
+    # cap wider than every bucket degenerates to the exact pair set
+    wide = {(r["key_a"], r["key_b"])
+            for r in minhash_candidate_pairs(
+                d, "text", "doc_id", bucket_cap=50).collect()}
+    assert wide == exact
