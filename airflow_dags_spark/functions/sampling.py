@@ -54,3 +54,68 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: Column | str,
+    key_col: Column | str,
+    target_per_group: int | None = None,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic rate-based downsampling to a target per-group size —
+    the corpus MIXTURE re-balancer (north-star §2.9): cap every
+    source/language/domain at ``target_per_group`` docs (default: the
+    smallest group's size, i.e. fully balanced) by keeping each row with
+    probability ``min(1, target / group_count)``.
+
+    Selection is a pure hash predicate — keep iff the first 8 hex chars
+    of ``md5(salt || key)`` fall below the rate's 32-bit threshold — so
+    membership is a property of the ROW, not the run: re-executions,
+    retried tasks, and other engines (the DuckDB oracle) select the
+    identical set, and growing a group only removes members, never
+    reshuffles survivors. Counts are binomial around the target, not
+    exact — the price of a collect-free, shuffle-free filter; use
+    ``stratified_sample`` when the budget must be met exactly.
+
+    Scale: ONE map-side-combined count per group (|groups| rows, tiny) →
+    broadcast rates → codegen hash filter over the scan. No window, no
+    text or payload through any exchange, no driver collect.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    counts = df.groupBy(g.alias("__g")).agg(F.count(F.lit(1)).alias("__n_in"))
+    if target_per_group is None:
+        counts = counts.crossJoin(
+            F.broadcast(counts.agg(F.min("__n_in").alias("__tgt")))
+        )
+    else:
+        if target_per_group < 0:
+            raise ValueError(
+                f"target_per_group must be >= 0, got {target_per_group}"
+            )
+        counts = counts.withColumn("__tgt", F.lit(target_per_group))
+    rates = counts.select(
+        "__g",
+        F.least(F.lit(1.0), F.col("__tgt") / F.col("__n_in")).alias("__rate"),
+    )
+    u = F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8)
+    # floor(rate * 2^32) fits 8 hex chars ONLY when rate < 1 (2^32 is 9
+    # chars and lpad would silently TRUNCATE it to '10000000'); the
+    # rate >= 1 branch keeps the whole group without touching the hash.
+    thr = F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(F.col("__rate") * F.lit(4294967296.0)).cast("string"),
+                10,
+                16,
+            )
+        ),
+        8,
+        "0",
+    )
+    return (
+        df.join(F.broadcast(rates), g == F.col("__g"))
+        .where((F.col("__rate") >= 1.0) | (u < thr))
+        .drop("__g", "__rate")
+    )

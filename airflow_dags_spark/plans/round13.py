@@ -316,8 +316,151 @@ def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# pack_token_windows — sequence packing onto fixed token-budget windows
+# --------------------------------------------------------------------------
+
+PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+nz AS (SELECT * FROM t WHERE n > 0),
+s AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS st,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS en
+  FROM nz
+),
+e AS (
+  SELECT doc_id, u.w AS window_id,
+         LEAST(en, (u.w + 1) * 512) - GREATEST(st, u.w * 512) AS ntw
+  FROM s, UNNEST(generate_series(CAST(FLOOR(st / 512.0) AS BIGINT),
+                                 CAST(FLOOR((en - 1) / 512.0) AS BIGINT)))
+         AS u(w)
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntw) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM e GROUP BY window_id ORDER BY window_id
+"""
+
+
+@register("pack_token_windows", PACK_ORACLE)
+def pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): concatenate every doc's
+    tokens in doc_id order and slice the stream into 512-token training
+    windows; per window — how many docs touch it, its token fill
+    (exactly 512 for every interior window — the packing invariant), and
+    the doc-id range it covers.
+
+    Scale shape: the global prefix sum a dataloader layout needs is THE
+    sequential scan, and the oracle's ``SUM() OVER (ORDER BY doc_id)`` is
+    exactly the single-partition plan that cannot scale — the operator
+    runs the two-phase form instead (per-bucket sums → tiny offset
+    cumsum → parallel partitionBy(bucket) windows; bucket width 128 here
+    so sf0.01 already exercises multi-bucket merging). Text never leaves
+    the scan projection (token counts only), exploded rows = docs +
+    boundary straddles, and the final per-window agg combines map-side.
+    """
+    from airflow_dags_spark.operators.packing import token_window_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    spans = token_window_spans(
+        d, "text", "doc_id", 512, key_bucket_width=128
+    )
+    return (
+        spans.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens_in_window").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("window_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mixture_sample — deterministic per-source mixture re-balancing
+# --------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+WITH c AS (SELECT source AS src, COUNT(*) AS n_in FROM documents GROUP BY source),
+r AS (
+  SELECT src, n_in,
+         LEAST(1.0, CAST((SELECT MIN(n_in) FROM c) AS DOUBLE)
+                    / CAST(n_in AS DOUBLE)) AS rate
+  FROM c
+),
+s AS (
+  SELECT d.source AS src, d.doc_id
+  FROM documents d JOIN r ON d.source = r.src
+  WHERE r.rate >= 1.0
+     OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        < lpad(lower(to_hex(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))),
+               8, '0')
+)
+SELECT r.src AS source,
+       CAST(r.n_in AS BIGINT) AS n_in,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(
+         ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       ), 0) AS BIGINT) AS sample_checksum
+FROM r LEFT JOIN s ON s.src = r.src
+GROUP BY r.src, r.n_in
+ORDER BY source
+"""
+
+
+@register("corpus_mixture_sample", MIXTURE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-balancing (functions/sampling.py:mixture_sample):
+    downsample every source to the smallest source's size via the
+    deterministic md5-threshold keep rule, then report per source its
+    input count, sampled count, and an order-insensitive md5-word
+    checksum of the sampled doc_ids — the checksum pins the EXACT sample
+    membership under the driver's hash check, not just its size.
+
+    Scale shape: one tiny per-source count agg → broadcast rates →
+    codegen hash-filter over the scan (no window, no payload through an
+    exchange, no driver collect); the checksum agg combines map-side.
+    Membership is a pure row property (hash vs rate threshold), so
+    retries, re-runs and other engines select the identical set."""
+    from airflow_dags_spark.functions.sampling import mixture_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    samp = mixture_sample(d, "source", "doc_id")
+    word = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    agg = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_s"),
+        F.sum(word).cast("bigint").alias("__ck"),
+    )
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    return (
+        counts.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce(F.col("__n_s"), F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.coalesce(F.col("__ck"), F.lit(0)).cast("bigint").alias("sample_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 __all__ = [
+    "corpus_mixture_sample",
     "curate_funnel_counts",
-    "sim_pq_store_topk",
+    "pack_token_windows",
     "sim_ivf_store_topk",
+    "sim_pq_store_topk",
 ]

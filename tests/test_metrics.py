@@ -377,3 +377,23 @@ def test_store_backed_ann_serving_shuffle_budget(spark):
         assert s["shuffle_bytes_written"] < 3 * b, name
         assert s["shuffle_records_written"] < 3 * r, name
         assert s["spill_bytes"] == 0, name
+
+
+def test_pack_and_mixture_shuffle_budgets(spark):
+    """Packing shuffles (key, count, bucket) triples plus the tiny
+    bucket-sum/offset rows — ~9 KiB / ~620 records at sf0.01 (500 docs);
+    text through an exchange or an un-bucketed global cumsum blows this
+    up by the corpus byte size. Mixture sampling shuffles only the
+    per-source count partials and the final per-source agg — ~3 KiB /
+    ~80 records; a window-based sampler would shuffle every doc row.
+    Budget 3× headroom."""
+    for name, b, r in [
+        ("pack_token_windows", 9_100, 620),
+        ("corpus_mixture_sample", 3_000, 85),
+    ]:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+        df.collect()
+        s = scan_summary(df)
+        assert s["shuffle_bytes_written"] < 3 * b, name
+        assert s["shuffle_records_written"] < 3 * r, name
+        assert s["spill_bytes"] == 0, name

@@ -1455,3 +1455,35 @@ def test_store_backed_ann_serving_plans_stay_bucketed(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert plan.count("Window [") <= max_windows, name
+
+
+def test_pack_token_windows_two_phase_scan_shape(spark):
+    """The packing prefix sum must be the distributed two-phase form: the
+    doc-scale cumsum window is hash-partitioned by bucket, and exactly ONE
+    single-partition exchange exists — the per-bucket offset cumsum, whose
+    input is the tiny bucket-sum aggregate (key_range / bucket_width
+    rows), never documents. The text column never crosses an exchange
+    (token counts project at the scan); bucket offsets broadcast back."""
+    plan = plan_of(spark, "pack_token_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two cumsum windows: tiny offsets (single partition) + per-bucket
+    assert plan.count("Window [") == 2
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(__bkt" in plan      # doc-scale window is parallel
+    assert "BroadcastHashJoin" in plan           # offsets broadcast, not shuffled
+    # map-side partial agg for the bucket sums and the final per-window agg
+    assert "partial_sum" in plan
+
+
+def test_corpus_mixture_sample_is_a_broadcast_hash_filter(spark):
+    """Mixture sampling must stay a scan-side filter: per-source rates
+    broadcast onto the corpus (hash join), NO window anywhere, and the
+    only nested-loop is the one-row min-count broadcast onto the tiny
+    per-source counts frame — never onto documents."""
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row min onto counts
+    assert "BroadcastHashJoin" in plan                 # rates onto the corpus
+    assert "partial_count" in plan                     # counts combine map-side

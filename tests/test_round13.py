@@ -1,0 +1,184 @@
+"""Round-13 operators: sequence packing (operators/packing.py) against a
+brute-force reference, and deterministic mixture sampling
+(functions/sampling.py:mixture_sample) invariants."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airflow_dags_spark.functions.sampling import mixture_sample
+from airflow_dags_spark.functions.text import token_count
+from airflow_dags_spark.operators.packing import (
+    spans_from_counts,
+    token_window_spans,
+)
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def _ref_pack(counts, window):
+    """Brute-force sequential reference: concatenate in key order, slice."""
+    out = []
+    pos = 0
+    for k, n in sorted(counts):
+        if n <= 0:
+            continue
+        start, end = pos, pos + n
+        pos = end
+        for w in range(start // window, (end - 1) // window + 1):
+            out.append(
+                (
+                    k,
+                    w,
+                    start,
+                    end,
+                    min(end, (w + 1) * window) - max(start, w * window),
+                )
+            )
+    return sorted(out)
+
+
+def _spark_pack(spark, counts, window, bucket_width):
+    df = spark.createDataFrame(counts, "key bigint, n bigint")
+    got = spans_from_counts(df, "key", "n", window, bucket_width).collect()
+    return sorted(
+        (r.key, r.window_id, r.start, r.end, r.n_tokens_in_window)
+        for r in got
+    )
+
+
+def test_spans_match_reference_multi_bucket(spark):
+    counts = [(i, (i * 7) % 23 + 1) for i in range(0, 200, 3)]
+    assert _spark_pack(spark, counts, 64, 16) == _ref_pack(counts, 64)
+
+
+def test_spans_bucket_width_invariance(spark):
+    """The two-phase distributed scan is a pure implementation choice:
+    per-key buckets, mid-size buckets, and one global bucket all produce
+    the identical stream layout."""
+    counts = [(i, (i * 13) % 40) for i in range(120)]  # includes zeros
+    ref = _ref_pack(counts, 32)
+    for width in (1, 16, 10**9):
+        assert _spark_pack(spark, counts, 32, width) == ref
+
+
+def test_interior_windows_exactly_full_and_conserving(spark):
+    """Packing invariants on real documents: every window except the last
+    holds exactly `window` tokens, and token mass is conserved."""
+    docs = [(i, " ".join(f"w{j}" for j in range((i * 11) % 90 + 1))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    spans = token_window_spans(df, "text", "doc_id", 128, key_bucket_width=8)
+    per_win = (
+        spans.groupBy("window_id")
+        .agg(F.sum("n_tokens_in_window").alias("n"))
+        .collect()
+    )
+    total = df.select(F.sum(token_count("text"))).first()[0]
+    assert sum(r.n for r in per_win) == total
+    last = max(r.window_id for r in per_win)
+    for r in per_win:
+        if r.window_id != last:
+            assert r.n == 128
+        else:
+            assert 1 <= r.n <= 128
+
+
+def test_zero_count_rows_occupy_no_stream_positions(spark):
+    counts = [(1, 5), (2, 0), (3, 5)]
+    got = _spark_pack(spark, counts, 4, 10)
+    assert got == _ref_pack(counts, 4)
+    assert all(k != 2 for k, *_ in got)
+
+
+def test_packing_arg_guards(spark):
+    df = spark.createDataFrame([(1, 5)], "key bigint, n bigint")
+    with pytest.raises(ValueError, match="window_tokens"):
+        spans_from_counts(df, "key", "n", 0)
+    with pytest.raises(ValueError, match="key_bucket_width"):
+        spans_from_counts(df, "key", "n", 8, 0)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3000),
+            st.integers(min_value=0, max_value=37),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    window=st.sampled_from([1, 7, 64]),
+    width=st.sampled_from([1, 13, 10**6]),
+)
+def test_spans_property_vs_reference(spark, data, window, width):
+    assert _spark_pack(spark, data, window, width) == _ref_pack(data, window)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_mixture_deterministic_and_subset(spark):
+    d = _corpus(spark, {"web": 400, "books": 60, "code": 150})
+    a = sorted(r.doc_id for r in mixture_sample(d, "source", "doc_id").collect())
+    b = sorted(r.doc_id for r in mixture_sample(d, "source", "doc_id").collect())
+    assert a == b
+    assert set(a) <= set(r.doc_id for r in d.collect())
+
+
+def test_mixture_min_group_kept_whole_others_near_target(spark):
+    d = _corpus(spark, {"web": 600, "books": 80, "code": 200})
+    got = mixture_sample(d, "source", "doc_id")
+    per = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per["books"] == 80  # rate exactly 1.0 — whole group survives
+    # binomial around 80: allow ±4 sigma (sigma <= sqrt(80) ~ 9)
+    for src in ("web", "code"):
+        assert abs(per.get(src, 0) - 80) <= 36
+
+
+def test_mixture_explicit_target_monotone(spark):
+    """Raising the target only ADDS members (the hash threshold grows):
+    the sample at a smaller target is a subset of the larger one, so a
+    re-balance never reshuffles survivors."""
+    d = _corpus(spark, {"web": 500})
+    small = {
+        r.doc_id
+        for r in mixture_sample(d, "source", "doc_id", target_per_group=50).collect()
+    }
+    big = {
+        r.doc_id
+        for r in mixture_sample(d, "source", "doc_id", target_per_group=200).collect()
+    }
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_mixture_target_zero_and_guard(spark):
+    d = _corpus(spark, {"web": 50})
+    assert mixture_sample(d, "source", "doc_id", target_per_group=0).count() == 0
+    with pytest.raises(ValueError, match="target_per_group"):
+        mixture_sample(d, "source", "doc_id", target_per_group=-1)
