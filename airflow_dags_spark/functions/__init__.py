@@ -16,7 +16,11 @@ from airflow_dags_spark.functions.json_extract import (
 )
 from airflow_dags_spark.functions.privacy import k_anonymize
 from airflow_dags_spark.functions.quality import Expectations
-from airflow_dags_spark.functions.sampling import deterministic_sample
+from airflow_dags_spark.functions.sampling import (
+    deterministic_sample,
+    mixture_sample,
+    stratified_sample,
+)
 from airflow_dags_spark.functions.skew import salted_agg, salted_join
 
 __all__ = [
@@ -35,4 +39,6 @@ __all__ = [
     "extract_balanced_json",
     "balanced_json_udf",
     "deterministic_sample",
+    "mixture_sample",
+    "stratified_sample",
 ]

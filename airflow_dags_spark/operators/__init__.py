@@ -23,6 +23,10 @@ from airflow_dags_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
+from airflow_dags_spark.operators.packing import (
+    spans_from_counts,
+    token_window_spans,
+)
 from airflow_dags_spark.operators.scoring import linear_score_arrow
 from airflow_dags_spark.operators.maintenance import (
     agg_delta,
@@ -90,6 +94,8 @@ __all__ = [
     "linear_score_arrow",
     "ngram_jaccard",
     "simhash",
+    "spans_from_counts",
+    "token_window_spans",
     "agg_delta",
     "agg_state",
     "compact",
