@@ -125,6 +125,26 @@ def main(argv: list[str] | None = None) -> None:
         help="insert the substring-grain span-removal stage (rewrites "
         "surviving docs whitespace-normalized, case preserved)",
     )
+    p.add_argument(
+        "--balance-by",
+        default=None,
+        help="group column for the mixture-balance stage (deterministic "
+        "md5-threshold downsample of every group to --balance-target)",
+    )
+    p.add_argument(
+        "--balance-target",
+        type=int,
+        default=None,
+        help="per-group target size for --balance-by (default: the "
+        "smallest group's size)",
+    )
+    p.add_argument(
+        "--pack-window",
+        type=int,
+        default=None,
+        help="annotate survivors with token-stream offsets and "
+        "first/last training window of this many tokens",
+    )
 
     p = sub.add_parser("dq-audit")
     p.add_argument("table_path")
@@ -209,9 +229,18 @@ def main(argv: list[str] | None = None) -> None:
             n_shards=args.n_shards,
             jaccard_threshold=args.jaccard_threshold,
             remove_spans=args.remove_spans,
+            balance_by=args.balance_by,
+            balance_target=args.balance_target,
+            pack_window=args.pack_window,
         )
         for s_ in out["funnel"]:
             print(s_["stage"], s_["rows_in"], "->", s_["rows_out"])
+        if "packing" in out:
+            pk = out["packing"]
+            print(
+                "packing", pk["n_tokens"], "tokens ->", pk["n_windows"],
+                f"windows of {pk['window_tokens']}",
+            )
     elif args.cmd == "dq-audit":
         from airflow_dags_spark.functions.quality import Expectations
 

@@ -18,7 +18,18 @@ Stages (each optional, each observable):
                        the fully-removed ones
 5. semantic dedup    — SemDeDup over the embeddings table (cluster-bounded
                        cosine), joined back by doc id
-6. shard export      — deterministic hash shards via
+6. mixture balance   — (optional, ``balance_by=<group col>``) deterministic
+                       md5-threshold downsampling of every group to
+                       ``balance_target`` docs (default: the smallest
+                       group) — functions/sampling.mixture_sample
+7. sequence packing  — (optional, ``pack_window=<n tokens>``) annotate each
+                       surviving doc with its [start, end) offset in the
+                       concatenated token stream and the first/last
+                       training window it lands in
+                       (operators/packing.token_stream_offsets; two-phase
+                       distributed prefix sum, never a global window);
+                       ``out["packing"]`` reports stream totals
+8. shard export      — deterministic hash shards via
                        operators/export.write_training_shards
 
 Funnel accounting is single-pass: boundary counts come from Observations
@@ -71,6 +82,10 @@ def curate_full(
     span_min_run: int = 2,
     semantic_threshold: float = 0.95,
     emb_key: str = "vec_id",
+    balance_by: str | None = None,
+    balance_target: int | None = None,
+    pack_window: int | None = None,
+    pack_bucket_width: int = 65536,
     n_shards: int = 16,
 ) -> dict:
     """Run the curation funnel; returns ``{"funnel": [...], "result": df}``
@@ -229,10 +244,62 @@ def curate_full(
             marked.select(F.col(emb_key).alias(key_col)), key_col, "left_semi"
         )
 
+    # 6 — mixture balance (optional): deterministic per-group downsample.
+    # The keep rule is a pure hash predicate (scan-side filter, no window,
+    # rates broadcast), so it composes into the final action for free; the
+    # stage input count is one more Observation on the chain.
+    obs_prebal = None
+    if balance_by is not None:
+        from airflow_dags_spark.functions.sampling import mixture_sample
+
+        result, obs_prebal = with_observation(
+            result, "curate_prebal", n=F.count(F.lit(1))
+        )
+        result = mixture_sample(result, balance_by, key_col, balance_target)
+
+    # 7 — sequence packing (optional): annotate survivors with their
+    # token-stream offsets and window span. The offsets subtree consumes
+    # the survivor frame a second time (bucket sums + the cumsum join),
+    # so persist-and-materialize first — the same DISK_ONLY discipline as
+    # the other multi-consumer stages.
+    obs_pack = None
+    packed_cache = None
+    if pack_window is not None:
+        if pack_window < 1:
+            raise ValueError(f"pack_window must be >= 1, got {pack_window}")
+        from airflow_dags_spark.operators.packing import token_stream_offsets
+
+        packed_cache = result.persist(StorageLevel.DISK_ONLY)
+        packed_cache.count()  # one action: stages 3-6 run once, fill cache
+        counts = packed_cache.select(
+            F.col(key_col), token_count(text_col).alias("__n")
+        )
+        offsets = token_stream_offsets(
+            counts, key_col, "__n", pack_bucket_width
+        )
+        offsets, obs_pack = with_observation(
+            offsets, "curate_pack", n_tokens=F.max("end")
+        )
+        wt = F.lit(pack_window).cast("bigint")
+        result = packed_cache.join(
+            offsets.select(
+                key_col,
+                F.col("start").alias("token_start"),
+                F.col("end").alias("token_end"),
+                F.floor(F.col("start") / wt).cast("bigint").alias("first_window"),
+                F.floor((F.col("end") - 1) / wt).cast("bigint").alias("last_window"),
+            ),
+            key_col,
+            # left: packing annotates, never filters — a zero-count doc
+            # (possible only with an injected real tokenizer; the portable
+            # whitespace count is always >= 1) keeps NULL placement
+            "left",
+        )
+
     out: dict = {"funnel": funnel, "result": result}
 
     # The FINAL action both finishes the funnel and (optionally) ships the
-    # shards: stages 3-5 execute exactly once, off the stage caches.
+    # shards: stages 3-7 execute exactly once, off the stage caches.
     if out_path is not None:
         from airflow_dags_spark.operators.export import write_training_shards
 
@@ -243,7 +310,11 @@ def curate_full(
         n_final = result.count()
 
     # resolve the observation chain back-to-front into funnel rows; each
-    # stage's rows_in IS the previous stage's rows_out
+    # stage's rows_in IS the previous stage's rows_out. The balance stage
+    # (when enabled) observes its own input, so it — not n_final — is the
+    # rows_out of whatever stage precedes it.
+    n_prebal = int(obs_prebal.get["n"]) if obs_prebal is not None else None
+    n_last = n_prebal if n_prebal is not None else n_final
     if remove_spans:
         n_span = int(obs_span.get["n"])
         tokens_removed = int(obs_tok.get["tok"] or 0)
@@ -259,14 +330,25 @@ def curate_full(
         )
         if obs_near is not None:
             # obs_near re-measures the span output on the semantic branch;
-            # the semantic row is the only one left to emit
-            record("semantic_dedup", n_span, n_final)
+            # the semantic row is the only count-changing stage left
+            record("semantic_dedup", n_span, n_last)
     elif obs_near is not None:
         n_near = int(obs_near.get["n"])
         record("near_dedup", n_exact, n_near)
-        record("semantic_dedup", n_near, n_final)
+        record("semantic_dedup", n_near, n_last)
     else:
-        record("near_dedup", n_exact, n_final)
+        record("near_dedup", n_exact, n_last)
+    if n_prebal is not None:
+        record("mixture_balance", n_prebal, n_final)
+    if obs_pack is not None:
+        total_tokens = int(obs_pack.get["n_tokens"] or 0)
+        out["packing"] = {
+            "window_tokens": pack_window,
+            "n_tokens": total_tokens,
+            "n_windows": -(-total_tokens // pack_window),
+        }
+    if packed_cache is not None:
+        packed_cache.unpersist(blocking=False)
     if near_cached is not None:
         near_cached.unpersist(blocking=False)
     exact.unpersist(blocking=False)

@@ -45,24 +45,19 @@ from pyspark.sql import functions as F
 
 from airflow_dags_spark.functions.text import token_count
 
-__all__ = ["spans_from_counts", "token_window_spans"]
+__all__ = ["spans_from_counts", "token_stream_offsets", "token_window_spans"]
 
 
-def spans_from_counts(
+def token_stream_offsets(
     counts: DataFrame,
     key_col: str,
     count_col: str,
-    window_tokens: int,
     key_bucket_width: int = 65536,
 ) -> DataFrame:
-    """Exploded (key, window_id) assignment from a (key, n_tokens) frame.
-
-    Returns one row per (document, overlapped window):
-    ``key, window_id, start, end, n_tokens_in_window`` where [start, end)
-    is the document's offset span in the concatenated token stream
-    (stream order = ascending ``key_col``) and windows are the
-    ``window_tokens``-sized slices of that stream. Interior windows
-    receive exactly ``window_tokens`` tokens by construction.
+    """Per-document [start, end) offsets in the concatenated token stream
+    (stream order = ascending ``key_col``) — the two-phase distributed
+    prefix sum, un-exploded: one row per nonzero-count document,
+    ``key, start, end``.
 
     Zero-token docs are excluded (they occupy no stream positions; note
     the portable tokenizer never yields 0 — ``split('', ' ') = ['']`` in
@@ -72,8 +67,6 @@ def spans_from_counts(
     a dense surrogate key gives uniform buckets; re-key upstream if the
     id space is pathologically sparse.
     """
-    if window_tokens < 1:
-        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
     if key_bucket_width < 1:
         raise ValueError(
             f"key_bucket_width must be >= 1, got {key_bucket_width}"
@@ -102,7 +95,7 @@ def spans_from_counts(
         .orderBy(key_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    spans = (
+    return (
         base.join(F.broadcast(offsets), "__bkt")
         .withColumn("__cum", F.sum("__n").over(w_in))
         .select(
@@ -112,7 +105,27 @@ def spans_from_counts(
         )
     )
 
-    # phase 3: explode into overlapped windows; rows = docs + straddles
+
+def spans_from_counts(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    window_tokens: int,
+    key_bucket_width: int = 65536,
+) -> DataFrame:
+    """Exploded (key, window_id) assignment from a (key, n_tokens) frame.
+
+    Returns one row per (document, overlapped window):
+    ``key, window_id, start, end, n_tokens_in_window`` where [start, end)
+    comes from :func:`token_stream_offsets` and windows are the
+    ``window_tokens``-sized slices of the stream. Interior windows
+    receive exactly ``window_tokens`` tokens by construction.
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    spans = token_stream_offsets(counts, key_col, count_col, key_bucket_width)
+
+    # explode into overlapped windows; rows = docs + boundary straddles
     wt = F.lit(window_tokens).cast("bigint")
     first = F.floor(F.col("start") / wt).cast("bigint")
     last = F.floor((F.col("end") - 1) / wt).cast("bigint")

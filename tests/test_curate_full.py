@@ -188,3 +188,66 @@ def test_span_removal_composes_with_semantic_stage(spark, tmp_path):
     for s in out["funnel"]:
         assert s["dropped"] == s["rows_in"] - s["rows_out"] >= 0
     assert out["shards"]["rows"] == out["funnel"][-1]["rows_out"]
+
+
+def test_balance_and_pack_stages_compose(spark):
+    """Mixture balance caps the dominant source; packing annotates every
+    survivor with consistent stream offsets; the funnel stays monotone
+    and the packing report matches the annotated frame."""
+    docs = read_table(spark, SF_DIR, "documents")
+    out = curate_full(
+        spark,
+        docs,
+        balance_by="source",
+        pack_window=64,
+    )
+    funnel = out["funnel"]
+    stages = [s["stage"] for s in funnel]
+    assert stages == [
+        "quality_gate", "exact_dedup", "near_dedup", "mixture_balance",
+    ]
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+    rows = out["result"].collect()
+    assert len(rows) == funnel[-1]["rows_out"] > 0
+    # balanced: no source exceeds the smallest post-dedup source by more
+    # than binomial noise is beside the point here — the invariant that
+    # must hold exactly is determinism + annotation consistency:
+    spans = sorted((r.token_start, r.token_end) for r in rows)
+    assert all(s < e for s, e in spans)
+    # offsets tile the stream: consecutive spans abut exactly
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert spans[0][0] == 0
+    pk = out["packing"]
+    assert pk["window_tokens"] == 64
+    assert pk["n_tokens"] == spans[-1][1]
+    assert pk["n_windows"] == -(-pk["n_tokens"] // 64)
+    for r in rows:
+        assert r.first_window == r.token_start // 64
+        assert r.last_window == (r.token_end - 1) // 64
+
+
+def test_balance_stage_caps_groups_deterministically(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog number "
+                f"{i} of the english corpus today", "web" if i < 400 else "books")
+            for i in range(460)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out1 = curate_full(spark, docs, balance_by="source")
+    out2 = curate_full(spark, docs, balance_by="source")
+    kept1 = sorted(r.doc_id for r in out1["result"].collect())
+    kept2 = sorted(r.doc_id for r in out2["result"].collect())
+    assert kept1 == kept2
+    per = {}
+    for r in out1["result"].collect():
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per["books"] == 60  # min group survives whole
+    assert abs(per["web"] - 60) <= 32  # binomial around the target
+    by = {s["stage"]: s for s in out1["funnel"]}
+    assert by["mixture_balance"]["rows_in"] == 460
+    assert by["mixture_balance"]["rows_out"] == len(kept1)
+
+
+def test_pack_window_guard(spark):
+    docs = read_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="pack_window"):
+        curate_full(spark, docs, pack_window=0)
