@@ -24,6 +24,7 @@ from airflow_dags_spark.operators.dedup import (
     simhash,
 )
 from airflow_dags_spark.operators.packing import (
+    TokenStreamStore,
     spans_from_counts,
     token_window_spans,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "linear_score_arrow",
     "ngram_jaccard",
     "simhash",
+    "TokenStreamStore",
     "spans_from_counts",
     "token_window_spans",
     "agg_delta",

@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from airflow_dags_spark.functions.text import token_count
 
-__all__ = ["spans_from_counts", "token_stream_offsets", "token_window_spans"]
+__all__ = [
+    "TokenStreamStore",
+    "spans_from_counts",
+    "token_stream_offsets",
+    "token_window_spans",
+]
 
 
 def token_stream_offsets(
@@ -160,3 +165,124 @@ def token_window_spans(
     return spans_from_counts(
         counts, key_col, "__n_tokens", window_tokens, key_bucket_width
     )
+
+
+class TokenStreamStore:
+    """Persistent cursor for INCREMENTAL sequence packing — the packing
+    analog of :class:`operators.ann_store.IvfIndexStore`: a corpus that
+    arrives in batches extends the concatenated token stream instead of
+    re-packing it, so dataloader layouts stay stable for already-shipped
+    data and packing cost is a function of ARRIVING data only.
+
+    State is the stream CURSOR (``next_offset``, one row), versioned per
+    applied batch under ``state/v{n}``; each batch's doc→[start, end)
+    assignments land in their own ``assignments/<md5(batch_id)[:16]>``
+    directory; a keyed ledger (K3 insert-if-absent on ``batch_id``)
+    commits the version. The write order (assignments → state → ledger)
+    makes replays safe under at-least-once delivery: a committed batch
+    is a ledger no-op; a crash before the ledger lands leaves an orphan
+    state/assignment set that the replay deterministically overwrites
+    (same cursor base → bit-identical offsets). Batch order defines
+    stream order ACROSS batches; within a batch, ascending key — both
+    deterministic, which is what makes the whole store oracle-checkable.
+
+    100 TB shape: per batch, one two-phase prefix scan of the BATCH
+    (:func:`token_stream_offsets` — never the corpus), a one-row cursor
+    read/write, and a bounded agg over the batch's written assignments;
+    the historical stream is never re-read.
+    """
+
+    def __init__(self, spark, path: str, *, key_col: str = "doc_id") -> None:
+        from airflow_dags_spark.operators.upsert import ParquetTable
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key_col = key_col
+        self._ledger = ParquetTable(spark, f"{self.path}/ledger", "batch_id")
+
+    # -- state access -------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self._ledger.exists()
+
+    def current_version(self) -> int:
+        if not self.exists():
+            return -1
+        row = self._ledger.read().agg(F.max("version").alias("v")).collect()[0]
+        return int(row["v"])
+
+    def next_offset(self) -> int:
+        """Stream position the next batch starts at (0 for a fresh store)."""
+        v = self.current_version()
+        if v < 0:
+            return 0
+        row = self.spark.read.parquet(f"{self.path}/state/v{v}").collect()[0]
+        return int(row["next_offset"])
+
+    def assignments(self) -> DataFrame:
+        """All committed doc→span assignments:
+        ``(key, start, end, batch_id)``. Reads ledger-committed batch
+        directories only — an orphan from a crashed append is invisible
+        until its replay commits."""
+        led = [r["batch_id"] for r in self._ledger.read().select("batch_id").collect()]
+        paths = [self._assign_dir(b) for b in led]
+        if not paths:
+            raise ValueError(f"token stream store at {self.path} is empty")
+        return self.spark.read.parquet(*paths)
+
+    def _assign_dir(self, batch_id: str) -> str:
+        import hashlib
+
+        return (
+            f"{self.path}/assignments/"
+            f"{hashlib.md5(batch_id.encode()).hexdigest()[:16]}"
+        )
+
+    def _applied(self, batch_id: str) -> bool:
+        return (
+            self.exists()
+            and self._ledger.read().where(F.col("batch_id") == batch_id).count() > 0
+        )
+
+    # -- writes -------------------------------------------------------------
+
+    def append_batch(
+        self,
+        counts: DataFrame,
+        count_col: str,
+        batch_id: str,
+        *,
+        key_bucket_width: int = 65536,
+    ) -> dict:
+        """Pack one batch onto the end of the stream. ``counts`` is a
+        ``(key, n_tokens)`` frame (pair with
+        ``token_count(text_col)`` upstream). Idempotent on ``batch_id``."""
+        if self._applied(batch_id):
+            return {"applied": False, "version": self.current_version()}
+        base = self.next_offset()
+        offs = token_stream_offsets(
+            counts, self.key_col, count_col, key_bucket_width
+        ).select(
+            self.key_col,
+            (F.col("start") + F.lit(base)).alias("start"),
+            (F.col("end") + F.lit(base)).alias("end"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        adir = self._assign_dir(batch_id)
+        offs.write.mode("overwrite").parquet(adir)
+        written = self.spark.read.parquet(adir)
+        row = written.agg(F.max("end").alias("m")).collect()[0]
+        nxt = int(row["m"]) if row["m"] is not None else base
+        version = self.current_version() + 1
+        self.spark.createDataFrame(
+            [(nxt,)], "next_offset bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/state/v{version}"
+        )
+        self._ledger.insert_if_absent(
+            self.spark.createDataFrame(
+                [(batch_id, version)], "batch_id string, version int"
+            ),
+            order_by=["version"],
+        )
+        return {"applied": True, "version": version, "next_offset": nxt}

@@ -457,9 +457,95 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# pack_stream_resume — incremental packing through the TokenStreamStore
+# --------------------------------------------------------------------------
+
+PACK_RESUME_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+nz AS (SELECT * FROM t WHERE n > 0),
+o AS (
+  SELECT doc_id, n, doc_id % 2 AS b,
+         SUM(n) OVER (ORDER BY doc_id % 2, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM nz
+)
+SELECT CAST(b AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(cum - n) AS BIGINT) AS first_start,
+       CAST(MAX(cum) AS BIGINT) AS last_end,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(cum - n AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+         AS offsets_checksum
+FROM o GROUP BY b ORDER BY batch
+"""
+
+
+@register("pack_stream_resume", PACK_RESUME_ORACLE)
+def pack_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental packing end-to-end through the persistent
+    ``TokenStreamStore`` (operators/packing.py): batch 0 (even doc_ids)
+    packs from offset 0, batch 1 (odd doc_ids) RESUMES from the
+    committed cursor, and batch 0 is then REPLAYED — the K3 ledger
+    no-op; the replay changing nothing is part of what the hash check
+    pins. Output per batch: doc count, stream boundaries, token mass,
+    and an order-insensitive md5-word checksum over (doc_id, start)
+    pairs — every document's exact committed offset is under the
+    driver's hash, not just the batch totals.
+
+    The oracle replays the same contract declaratively: one cumsum
+    ordered by (batch, key) — batch order defines stream order across
+    batches, ascending key within. Scale shape: per batch, the two-phase
+    prefix scan of the BATCH plus a one-row cursor update; the
+    historical stream is never re-read (SCALE.md round-13)."""
+    import tempfile
+
+    from airflow_dags_spark.functions.text import token_count
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.select("doc_id", token_count("text").alias("__n"))
+    even = counts.where(F.col("doc_id") % 2 == 0)
+    odd = counts.where(F.col("doc_id") % 2 == 1)
+    store = TokenStreamStore(
+        spark, tempfile.mkdtemp(prefix="tokstream_") + "/s"
+    )
+    store.append_batch(even, "__n", "b0", key_bucket_width=128)
+    store.append_batch(odd, "__n", "b1", key_bucket_width=128)
+    store.append_batch(even, "__n", "b0", key_bucket_width=128)  # replay no-op
+    a = store.assignments()
+    word = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("start"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        a.groupBy(
+            F.when(F.col("batch_id") == "b0", 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("batch")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("start").cast("bigint").alias("first_start"),
+            F.max("end").cast("bigint").alias("last_end"),
+            F.sum(F.col("end") - F.col("start")).cast("bigint").alias("n_tokens"),
+            F.sum(word).cast("bigint").alias("offsets_checksum"),
+        )
+        .orderBy("batch")
+    )
+
+
 __all__ = [
     "corpus_mixture_sample",
     "curate_funnel_counts",
+    "pack_stream_resume",
     "pack_token_windows",
     "sim_ivf_store_topk",
     "sim_pq_store_topk",

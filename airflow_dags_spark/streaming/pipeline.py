@@ -966,3 +966,57 @@ def pq_codebook_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pack_stream_sink(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    key_bucket_width: int = 65536,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintenance of the persistent token-stream cursor — the
+    packing sibling of :func:`ivf_index_sink` over
+    ``operators/packing.py:TokenStreamStore``: each micro-batch of
+    documents is packed onto the END of the concatenated token stream
+    (two-phase prefix scan of the BATCH plus a one-row cursor update),
+    so the dataloader layout of already-committed data never moves and
+    packing cost follows ARRIVING data, not corpus size.
+
+    Stream order = micro-batch arrival order, then ascending key within
+    a batch — deterministic for a deterministic source split, which is
+    what keeps the store oracle-checkable end-to-end. Same exactly-once
+    discipline as the other store sinks: ledger keys are namespaced per
+    checkpoint (micro-batch ids restart at 0 with a fresh checkpoint),
+    replayed batches no-op on the K3 ledger, and a crash between the
+    assignment/state writes and the ledger append is healed by the
+    replay's deterministic overwrite (same cursor base → identical
+    offsets)."""
+    from airflow_dags_spark.functions.text import token_count
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+
+    ledger_ns = _ledger_namespace(checkpoint_dir)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = batch.select(
+            F.col(key_col), token_count(text_col).alias("__n")
+        )
+        store = TokenStreamStore(
+            batch.sparkSession, store_path, key_col=key_col
+        )
+        store.append_batch(
+            counts, "__n", f"{ledger_ns}:b{batch_id}",
+            key_bucket_width=key_bucket_width,
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

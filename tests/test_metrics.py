@@ -397,3 +397,18 @@ def test_pack_and_mixture_shuffle_budgets(spark):
         assert s["shuffle_bytes_written"] < 3 * b, name
         assert s["shuffle_records_written"] < 3 * r, name
         assert s["spill_bytes"] == 0, name
+
+
+def test_pack_stream_resume_read_shuffle_budget(spark):
+    """The store-backed packing query's READ side (committed assignments
+    → per-batch agg) shuffles only the map-side-combined per-batch
+    partials — ~0.3 KiB / 4 records at sf0.01. The append-side cost is
+    the batch-scoped two-phase scan, budget-covered by
+    test_pack_and_mixture_shuffle_budgets' packing entry (same plan
+    shape per batch)."""
+    df = registry.QUERIES["pack_stream_resume"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 320
+    assert s["shuffle_records_written"] < 3 * 6
+    assert s["spill_bytes"] == 0

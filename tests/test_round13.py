@@ -182,3 +182,129 @@ def test_mixture_target_zero_and_guard(spark):
     assert mixture_sample(d, "source", "doc_id", target_per_group=0).count() == 0
     with pytest.raises(ValueError, match="target_per_group"):
         mixture_sample(d, "source", "doc_id", target_per_group=-1)
+
+
+# ---------------------------------------------------------------------------
+# TokenStreamStore — incremental packing
+# ---------------------------------------------------------------------------
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, n bigint")
+
+
+def test_token_stream_store_resumes_and_replays(spark, tmp_path):
+    from airflow_dags_spark.operators.packing import (
+        TokenStreamStore,
+        token_stream_offsets,
+    )
+
+    c0 = _counts(spark, [(1, 10), (2, 5), (3, 7)])
+    c1 = _counts(spark, [(10, 4), (11, 6)])
+    store = TokenStreamStore(spark, str(tmp_path / "ts"))
+    assert store.next_offset() == 0
+    out0 = store.append_batch(c0, "n", "b0")
+    assert out0 == {"applied": True, "version": 0, "next_offset": 22}
+    out1 = store.append_batch(c1, "n", "b1")
+    assert out1["next_offset"] == 32
+    # replay is a ledger no-op: nothing moves
+    assert store.append_batch(c0, "n", "b0")["applied"] is False
+    assert store.next_offset() == 32
+
+    # incremental result == one-shot packing of the union in batch order
+    got = sorted(
+        (r.doc_id, r.start, r.end) for r in store.assignments().collect()
+    )
+    union = c0.withColumn("b", F.lit(0)).union(c1.withColumn("b", F.lit(1)))
+    # one-shot reference: re-key by (batch, key) order via a composite key
+    ref = sorted(
+        (r.doc_id % 100, r.start, r.end)
+        for r in token_stream_offsets(
+            union.select((F.col("b") * 100 + F.col("doc_id")).alias("doc_id"), "n"),
+            "doc_id",
+            "n",
+        ).collect()
+    )
+    ref = sorted((k if k < 100 else k, s, e) for k, s, e in ref)
+    assert [(s, e) for _, s, e in got] == [(s, e) for _, s, e in ref]
+
+
+def test_token_stream_store_orphan_heals(spark, tmp_path):
+    """A crash between the state/assignment writes and the ledger append
+    leaves an orphan the committed view never sees; the replay overwrites
+    it deterministically and commits."""
+    import pytest as _pytest
+
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+
+    store = TokenStreamStore(spark, str(tmp_path / "ts"))
+    store.append_batch(_counts(spark, [(1, 10)]), "n", "b0")
+
+    orig = store._ledger.insert_if_absent
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before ledger")
+
+    store._ledger.insert_if_absent = boom
+    with _pytest.raises(RuntimeError, match="crash"):
+        store.append_batch(_counts(spark, [(2, 5)]), "n", "b1")
+    store._ledger.insert_if_absent = orig
+
+    # committed view: only b0 — the orphan assignment dir is invisible
+    assert store.current_version() == 0
+    assert store.next_offset() == 10
+    assert {r.batch_id for r in store.assignments().collect()} == {"b0"}
+
+    healed = store.append_batch(_counts(spark, [(2, 5)]), "n", "b1")
+    assert healed == {"applied": True, "version": 1, "next_offset": 15}
+    got = sorted((r.doc_id, r.start, r.end) for r in store.assignments().collect())
+    assert got == [(1, 0, 10), (2, 10, 15)]
+
+
+def test_token_stream_store_empty_batch_commits_without_moving(spark, tmp_path):
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+
+    store = TokenStreamStore(spark, str(tmp_path / "ts"))
+    store.append_batch(_counts(spark, [(1, 8)]), "n", "b0")
+    out = store.append_batch(_counts(spark, []), "n", "b1")
+    assert out["applied"] is True and out["next_offset"] == 8
+    assert store.next_offset() == 8
+
+
+def test_pack_stream_sink_streaming_resume(spark, tmp_path):
+    """Streaming end-to-end: two file-landing micro-batch runs extend the
+    stream; a no-new-files re-run advances nothing."""
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+    from airflow_dags_spark.streaming.pipeline import pack_stream_sink
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    docs1 = [(i, " ".join(["tok"] * 10)) for i in range(5)]
+    docs2 = [(i, " ".join(["tok"] * 4)) for i in range(10, 14)]
+    spark.createDataFrame(docs1, "doc_id bigint, text string").write.parquet(
+        str(landing / "b1")
+    )
+    store_path = str(tmp_path / "ts")
+
+    def run():
+        q = pack_stream_sink(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(str(landing / "*")),
+            store_path,
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = TokenStreamStore(spark, store_path)
+    assert store.next_offset() == 50
+    spark.createDataFrame(docs2, "doc_id bigint, text string").write.parquet(
+        str(landing / "b2")
+    )
+    run()
+    assert store.next_offset() == 66
+    run()  # no new files: nothing applied
+    assert store.next_offset() == 66
+    spans = sorted((r.doc_id, r.start, r.end) for r in store.assignments().collect())
+    assert spans[0] == (0, 0, 10) and spans[-1] == (13, 62, 66)
