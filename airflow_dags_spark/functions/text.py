@@ -269,3 +269,37 @@ def chunk_text(
         F.array_join(window, " ").alias("chunk"),
         F.size(window).cast("bigint").alias("n_tokens"),
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic the
+    FIRST BPE merge step maximizes (Sennrich et al. 2016): for every
+    distinct word, every adjacent 2-char window, weighted by the word's
+    corpus frequency. Returns ``(pair, n)`` unordered; take
+    ``ORDER BY n DESC LIMIT k`` for merge candidates.
+
+    Scale shape: two map-side-combined hash aggregations — tokens
+    collapse to the word-type VOCABULARY first (types ≪ tokens, the
+    heavy-tail collapse happens in the combiner), then pairs explode off
+    the vocab only (≤ |vocab| × max word length rows). Zero text through
+    any exchange beyond the word types themselves; single-char words
+    contribute nothing (empty pair array, the sequence(1,0)-descends
+    guard of ``shingles_from_tokens`` applies here too)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        words.select(
+            "__f",
+            F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias(
+                "pair"
+            ),
+        )
+        .groupBy("pair")
+        .agg(F.sum("__f").cast("bigint").alias("n"))
+    )

@@ -542,6 +542,50 @@ def pack_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# vocab_bpe_pairs — first-merge-step BPE statistics over the corpus
+# --------------------------------------------------------------------------
+
+BPE_PAIRS_ORACLE = f"""
+WITH w AS (
+  SELECT t AS w, COUNT(*) AS f
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+),
+p AS (
+  SELECT substr(w, CAST(u.i AS INTEGER), 2) AS pair, f
+  FROM w, UNNEST(generate_series(1, length(w) - 1)) AS u(i)
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+"""
+
+
+@register("vocab_bpe_pairs", BPE_PAIRS_ORACLE)
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs by corpus frequency
+    (functions/text.py:bpe_pair_counts) — the exact statistic the first
+    BPE merge step maximizes, i.e. the vocabulary-induction side of the
+    token-counting family. Deterministic total order (count desc, pair)
+    so the LIMIT is hash-stable.
+
+    Scale shape: tokens collapse to word TYPES in the combiner before
+    anything shuffles (the heavy-tail collapse — 'the' arrives at the
+    reducer once per partition, not once per occurrence), pairs explode
+    off the bounded vocabulary only, and the top-50 runs as per-partition
+    TakeOrdered, never a global sort."""
+    from airflow_dags_spark.functions.text import bpe_pair_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(d, "text")
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
 __all__ = [
     "corpus_mixture_sample",
     "curate_funnel_counts",
@@ -549,4 +593,5 @@ __all__ = [
     "pack_token_windows",
     "sim_ivf_store_topk",
     "sim_pq_store_topk",
+    "vocab_bpe_pairs",
 ]

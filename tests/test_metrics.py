@@ -412,3 +412,16 @@ def test_pack_stream_resume_read_shuffle_budget(spark):
     assert s["shuffle_bytes_written"] < 3 * 320
     assert s["shuffle_records_written"] < 3 * 6
     assert s["spill_bytes"] == 0
+
+
+def test_vocab_bpe_pairs_shuffle_budget(spark):
+    """Only word TYPES and pair partials shuffle (~2.5 KiB / ~115 records
+    at sf0.01): the combiner collapses token occurrences to types before
+    the first exchange. A per-occurrence shuffle would scale with corpus
+    tokens, not vocabulary. Budget 3× headroom."""
+    df = registry.QUERIES["vocab_bpe_pairs"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    s = scan_summary(df)
+    assert s["shuffle_bytes_written"] < 3 * 2_600
+    assert s["shuffle_records_written"] < 3 * 120
+    assert s["spill_bytes"] == 0

@@ -1487,3 +1487,14 @@ def test_corpus_mixture_sample_is_a_broadcast_hash_filter(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row min onto counts
     assert "BroadcastHashJoin" in plan                 # rates onto the corpus
     assert "partial_count" in plan                     # counts combine map-side
+
+
+def test_vocab_bpe_pairs_combines_before_shuffling(spark):
+    """Both aggregations must combine map-side (tokens collapse to word
+    types in the combiner; pair counts partial before their exchange) and
+    the top-50 must run as TakeOrdered, never a global sort."""
+    plan = plan_of(spark, "vocab_bpe_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -308,3 +308,29 @@ def test_pack_stream_sink_streaming_resume(spark, tmp_path):
     assert store.next_offset() == 66
     spans = sorted((r.doc_id, r.start, r.end) for r in store.assignments().collect())
     assert spans[0] == (0, 0, 10) and spans[-1] == (13, 62, 66)
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_vs_reference(spark):
+    from collections import Counter
+
+    from airflow_dags_spark.functions.text import bpe_pair_counts
+
+    rows = [(1, "low lower lowest a I"), (2, "low low news newer")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.pair, r.n) for r in bpe_pair_counts(d, "text").collect()}
+
+    ref = Counter()
+    words = Counter(
+        w for _, t in rows for w in t.lower().strip().split()
+    )
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += f
+    assert got == set(ref.items())
+    # single-char words ('a', 'i') contribute no pairs
+    assert all(len(p) == 2 for p, _ in got)
