@@ -145,6 +145,13 @@ def main(argv: list[str] | None = None) -> None:
         help="annotate survivors with token-stream offsets and "
         "first/last training window of this many tokens",
     )
+    p.add_argument(
+        "--windows-per-shard",
+        type=int,
+        default=None,
+        help="with --pack-window: export self-contained token-range "
+        "shards of this many windows instead of hash shards",
+    )
 
     p = sub.add_parser("dq-audit")
     p.add_argument("table_path")
@@ -232,6 +239,7 @@ def main(argv: list[str] | None = None) -> None:
             balance_by=args.balance_by,
             balance_target=args.balance_target,
             pack_window=args.pack_window,
+            windows_per_shard=args.windows_per_shard,
         )
         for s_ in out["funnel"]:
             print(s_["stage"], s_["rows_in"], "->", s_["rows_out"])

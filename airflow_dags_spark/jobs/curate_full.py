@@ -30,7 +30,10 @@ Stages (each optional, each observable):
                        distributed prefix sum, never a global window);
                        ``out["packing"]`` reports stream totals
 8. shard export      — deterministic hash shards via
-                       operators/export.write_training_shards
+                       operators/export.write_training_shards, or (with
+                       ``pack_window`` + ``windows_per_shard``)
+                       self-contained token-range dataloader shards via
+                       write_packed_shards
 
 Funnel accounting is single-pass: boundary counts come from Observations
 embedded in the lineage plus carried-forward counts (stage N's rows_in IS
@@ -86,6 +89,7 @@ def curate_full(
     balance_target: int | None = None,
     pack_window: int | None = None,
     pack_bucket_width: int = 65536,
+    windows_per_shard: int | None = None,
     n_shards: int = 16,
 ) -> dict:
     """Run the curation funnel; returns ``{"funnel": [...], "result": df}``
@@ -301,11 +305,29 @@ def curate_full(
     # The FINAL action both finishes the funnel and (optionally) ships the
     # shards: stages 3-7 execute exactly once, off the stage caches.
     if out_path is not None:
-        from airflow_dags_spark.operators.export import write_training_shards
+        if windows_per_shard is not None:
+            # packed export: shards are ranges of the token stream
+            # (self-contained — boundary straddlers duplicated), so the
+            # dataloader reads window K's shard alone; requires the
+            # packing stage's offset annotation
+            if pack_window is None:
+                raise ValueError("windows_per_shard requires pack_window")
+            from airflow_dags_spark.operators.export import write_packed_shards
 
-        stats = write_training_shards(result, out_path, [key_col], n_shards)
-        out["shards"] = stats
-        n_final = stats["rows"]
+            stats = write_packed_shards(
+                result, out_path, pack_window, windows_per_shard,
+                key_col=key_col,
+            )
+            out["shards"] = stats
+            n_final = stats["n_docs"]  # straddler copies are not new docs
+        else:
+            from airflow_dags_spark.operators.export import (
+                write_training_shards,
+            )
+
+            stats = write_training_shards(result, out_path, [key_col], n_shards)
+            out["shards"] = stats
+            n_final = stats["rows"]
     else:
         n_final = result.count()
 

@@ -6,6 +6,7 @@ from airflow_dags_spark.operators.export import (
     read_shard_subset,
     shard_assignment,
     shard_histogram,
+    write_packed_shards,
     write_training_shards,
 )
 from airflow_dags_spark.operators.bucketing import (
@@ -141,5 +142,6 @@ __all__ = [
     "read_shard_subset",
     "shard_assignment",
     "shard_histogram",
+    "write_packed_shards",
     "write_training_shards",
 ]

@@ -263,3 +263,66 @@ def write_wds_shards(
         )
 
     return assigned.groupBy("shard").applyInPandas(write_shard, out_schema)
+
+
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    window_tokens: int,
+    windows_per_shard: int,
+    *,
+    key_col: str = "doc_id",
+    start_col: str = "token_start",
+    end_col: str = "token_end",
+    fmt: str = "parquet",
+) -> dict:
+    """Ship a PACKED corpus (rows annotated with [start, end) token-stream
+    offsets — ``jobs/curate_full`` with ``pack_window``, or
+    ``operators/packing.token_stream_offsets``) as dataloader shards of
+    ``windows_per_shard`` consecutive ``window_tokens``-sized training
+    windows.
+
+    Shards are SELF-CONTAINED: a doc straddling a shard boundary is
+    written into every shard whose token range it overlaps (at most one
+    extra copy per boundary crossed), so a dataloader materializes shard
+    K's windows from shard K's files alone — no peeking at neighbors.
+    Within a shard, rows sort by stream offset: reading the files in
+    order IS reading the token stream. Membership and order are pure
+    functions of the offsets, so re-runs rebuild identical shards.
+
+    Scale shape: one codegen projection computes the shard span, the
+    explode emits rows + boundary straddlers (never tokens), and the
+    write is one task per shard exactly like ``write_training_shards``.
+    Returns self-verifying stats read back from the files, including the
+    straddler count (``rows - n_docs``).
+    """
+    if window_tokens < 1 or windows_per_shard < 1:
+        raise ValueError(
+            "window_tokens and windows_per_shard must be >= 1, got "
+            f"{window_tokens}, {windows_per_shard}"
+        )
+    span = window_tokens * windows_per_shard
+    first = F.floor(F.col(start_col) / F.lit(span)).cast("bigint")
+    last = F.floor((F.col(end_col) - 1) / F.lit(span)).cast("bigint")
+    sharded = df.withColumn("shard", F.explode(F.sequence(first, last)))
+    (
+        sharded.repartition(F.col("shard"))
+        .sortWithinPartitions(start_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path)
+    counts = back.groupBy("shard").count().collect()
+    rows = sum(r["count"] for r in counts)
+    n_docs = back.select(key_col).distinct().count()
+    return {
+        "n_shards": len(counts),
+        "rows": rows,
+        "n_docs": n_docs,
+        "n_straddlers": rows - n_docs,
+        "window_tokens": window_tokens,
+        "windows_per_shard": windows_per_shard,
+    }

@@ -251,3 +251,30 @@ def test_pack_window_guard(spark):
     docs = read_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="pack_window"):
         curate_full(spark, docs, pack_window=0)
+
+
+def test_packed_shard_export_composes(spark, tmp_path):
+    """pack_window + windows_per_shard ships self-contained token-range
+    shards; the funnel's final count stays the doc count (straddler
+    copies are not new docs)."""
+    docs = read_table(spark, SF_DIR, "documents")
+    out = curate_full(
+        spark,
+        docs,
+        out_path=str(tmp_path / "packed"),
+        pack_window=128,
+        windows_per_shard=4,
+    )
+    stats = out["shards"]
+    assert stats["n_docs"] == out["funnel"][-1]["rows_out"]
+    assert stats["rows"] >= stats["n_docs"]
+    back = spark.read.parquet(str(tmp_path / "packed"))
+    span = 128 * 4
+    bad = back.where(
+        (F.col("token_start") >= (F.col("shard") + 1) * span)
+        | (F.col("token_end") <= F.col("shard") * span)
+    ).count()
+    assert bad == 0  # every row overlaps its shard's token range
+    with pytest.raises(ValueError, match="requires pack_window"):
+        curate_full(spark, docs, out_path=str(tmp_path / "x"),
+                    windows_per_shard=4)

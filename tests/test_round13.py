@@ -334,3 +334,52 @@ def test_bpe_pair_counts_vs_reference(spark):
     assert got == set(ref.items())
     # single-char words ('a', 'i') contribute no pairs
     assert all(len(p) == 2 for p, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# packed shard export
+# ---------------------------------------------------------------------------
+
+
+def test_write_packed_shards_self_contained(spark, tmp_path):
+    """Every shard contains EVERY doc overlapping its token range
+    (straddlers duplicated), rows sort by stream offset within a shard,
+    and the stats are read back from the files."""
+    from airflow_dags_spark.operators.export import write_packed_shards
+    from airflow_dags_spark.operators.packing import token_stream_offsets
+
+    counts = spark.createDataFrame(
+        [(i, 7) for i in range(40)], "doc_id bigint, n bigint"
+    )
+    offs = token_stream_offsets(counts, "doc_id", "n").select(
+        "doc_id",
+        F.col("start").alias("token_start"),
+        F.col("end").alias("token_end"),
+    )
+    out = str(tmp_path / "packed")
+    # window 16 tokens, 4 windows/shard -> 64-token shards over 280 tokens
+    stats = write_packed_shards(offs, out, 16, 4)
+    assert stats["n_shards"] == 5 and stats["n_docs"] == 40
+    assert stats["rows"] == 40 + stats["n_straddlers"]
+    back = spark.read.parquet(out).collect()
+    by_shard: dict[int, list] = {}
+    for r in back:
+        by_shard.setdefault(r.shard, []).append(r)
+    ref = {r.doc_id: (r.token_start, r.token_end) for r in offs.collect()}
+    for shard, rows in by_shard.items():
+        lo, hi = shard * 64, (shard + 1) * 64
+        got_docs = {r.doc_id for r in rows}
+        want = {k for k, (s, e) in ref.items() if s < hi and e > lo}
+        assert got_docs == want, f"shard {shard}"
+    # 280/64 boundaries at 64,128,192,256 — each crossed by one 7-token doc
+    assert stats["n_straddlers"] == 4
+
+
+def test_write_packed_shards_arg_guard(spark, tmp_path):
+    from airflow_dags_spark.operators.export import write_packed_shards
+
+    df = spark.createDataFrame(
+        [(1, 0, 5)], "doc_id bigint, token_start bigint, token_end bigint"
+    )
+    with pytest.raises(ValueError, match="windows_per_shard"):
+        write_packed_shards(df, str(tmp_path / "x"), 16, 0)
