@@ -114,8 +114,12 @@ def mixture_sample(
         8,
         "0",
     )
+    # eqNullSafe: a NULL group is a group like any other (groupBy already
+    # produced its rate row) — a plain equality join would evaluate
+    # NULL == NULL to NULL and silently DROP every null-group row from
+    # the corpus instead of sampling it
     return (
-        df.join(F.broadcast(rates), g == F.col("__g"))
+        df.join(F.broadcast(rates), g.eqNullSafe(F.col("__g")))
         .where((F.col("__rate") >= 1.0) | (u < thr))
         .drop("__g", "__rate")
     )

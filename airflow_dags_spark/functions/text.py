@@ -17,9 +17,18 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def ws_collapsed(col: Column | str) -> Column:
+    """Trimmed, whitespace-collapsed text — the ONE definition of the
+    engine's whitespace handling. ``normalized`` (hash canon) and
+    ``tokens_cased`` (case-preserving rebuild) both derive from it, so
+    the positional-alignment invariant between ``tokens`` and
+    ``tokens_cased`` cannot drift when whitespace semantics change."""
+    return F.regexp_replace(F.trim(_c(col)), r"\s+", " ")
+
+
 def normalized(col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased text — canonical form for hashing."""
-    return F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return F.lower(ws_collapsed(col))
 
 
 def tokens(col: Column | str) -> Column:
@@ -36,7 +45,7 @@ def tokens_cased(col: Column | str) -> Column:
     REBUILD text case-preserving (dedup.remove_duplicated_spans: a
     curation rewrite that lowercased every surviving document corpus-wide
     would destroy case information in the training data)."""
-    return F.split(F.regexp_replace(F.trim(_c(col)), r"\s+", " "), " ")
+    return F.split(ws_collapsed(col), " ")
 
 
 def token_count(col: Column | str) -> Column:

@@ -7,7 +7,16 @@ Stages (each optional, each observable):
                        (functions/text), DQ expectations audit recorded
 2. exact dedup       — md5 content hash, first-key-wins
 3. near dedup        — MinHash banding candidates → exact n-gram Jaccard
-                       verify ≥ threshold, min-key survivor
+                       verify ≥ threshold, min-key survivor.
+                       ``verify_bucket_cap`` (DEFAULT 8 — a behavior
+                       change vs the uncapped pre-round-13 form) bounds
+                       each band bucket's candidate pairs to cap×width;
+                       recall loss only when a doc's every true near-dup
+                       in a shared bucket ranks below cap false
+                       collisions (see minhash_candidate_pairs). Pass
+                       ``verify_bucket_cap=None`` for the exact
+                       all-pairs-per-bucket verify — at the price of a
+                       width² pair count on boilerplate-heavy corpora
 4. span removal      — (optional, ``remove_spans=True``) substring-grain
                        rewrite: non-owned exactly-duplicated spans removed
                        (operators/dedup.remove_duplicated_spans — the

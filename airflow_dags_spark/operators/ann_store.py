@@ -314,7 +314,14 @@ class IvfIndexStore:
         sums into the state, persist as the next version. Replay of an
         applied ``batch_id`` is a no-op (ledger check); a crash between
         the state write and the ledger append is healed by the replay
-        deterministically overwriting the orphan version."""
+        deterministically overwriting the orphan version.
+
+        Manual batch ids should AVOID the bare ``b<digits>`` shape: the
+        streaming sinks' one-release legacy-migration check treats such
+        ledger keys as pre-namespace sink commits, so a store seeded
+        manually with ``b1`` and later attached to a sink would skip
+        stream micro-batch 1 (pass ``legacy_ledger_check=False`` to the
+        sink if a store already carries such keys)."""
         if self._applied(batch_id):
             return {"applied": False, "version": self.current_version()}
         vecs = vecs.where(F.col(self.vec_col).isNotNull())

@@ -304,7 +304,16 @@ def write_packed_shards(
     span = window_tokens * windows_per_shard
     first = F.floor(F.col(start_col) / F.lit(span)).cast("bigint")
     last = F.floor((F.col(end_col) - 1) / F.lit(span)).cast("bigint")
-    sharded = df.withColumn("shard", F.explode(F.sequence(first, last)))
+    # only rows occupying stream positions ship: a zero-length span at a
+    # shard boundary would make sequence(first, last) DESCEND (the
+    # sequence(1,0) gotcha) and write the phantom doc into TWO shards,
+    # and a NULL-offset row (curate_full's left-join annotation of a
+    # zero-count doc) would silently explode to nothing — excluding both
+    # up front mirrors token_stream_offsets' n > 0 contract
+    placed = df.where(
+        F.col(start_col).isNotNull() & (F.col(end_col) > F.col(start_col))
+    )
+    sharded = placed.withColumn("shard", F.explode(F.sequence(first, last)))
     (
         sharded.repartition(F.col("shard"))
         .sortWithinPartitions(start_col)

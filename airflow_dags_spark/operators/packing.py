@@ -71,6 +71,12 @@ def token_stream_offsets(
     floor division, so bucket boundaries follow the key distribution —
     a dense surrogate key gives uniform buckets; re-key upstream if the
     id space is pathologically sparse.
+
+    PRECONDITION: keys must be unique — with duplicate keys the
+    within-bucket running sum's tie order decides each duplicate's span,
+    making offsets run-dependent. ``TokenStreamStore.append_batch``
+    (whose replay contract needs bit-identical recomputes) collapses
+    duplicates before calling here; batch callers own the same guarantee.
     """
     if key_bucket_width < 1:
         raise ValueError(
@@ -260,8 +266,17 @@ class TokenStreamStore:
         if self._applied(batch_id):
             return {"applied": False, "version": self.current_version()}
         base = self.next_offset()
+        # at-least-once sources can deliver a doc twice WITHIN one batch;
+        # duplicate keys would make the within-bucket cumsum tie-order
+        # dependent — nondeterministic offsets, breaking the replay
+        # contract (crash heal relies on the recompute being
+        # bit-identical). Collapse to max(count) per key: deterministic,
+        # and exact for the real duplicate-delivery case (equal counts).
+        uniq = counts.groupBy(self.key_col).agg(
+            F.max(F.col(count_col).cast("bigint")).alias("__n_uniq")
+        )
         offs = token_stream_offsets(
-            counts, self.key_col, count_col, key_bucket_width
+            uniq, self.key_col, "__n_uniq", key_bucket_width
         ).select(
             self.key_col,
             (F.col("start") + F.lit(base)).alias("start"),

@@ -50,6 +50,21 @@ list_distinct(
 """
 
 
+def _scratch_store(name: str) -> str:
+    """Per-query scratch path for the store-backed drives, WIPED and
+    rebuilt on every invocation — a fresh mkdtemp per call would leak one
+    parquet store per bench/oracle/explain run onto the driver host. The
+    wipe also guarantees each drive exercises the full init-then-fold
+    path instead of silently no-opping on a previous run's ledger."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_store_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    return os.path.join(d, "s")
+
+
 # --------------------------------------------------------------------------
 # curate_funnel_counts — the curation funnel under the driver's hash check
 # --------------------------------------------------------------------------
@@ -257,8 +272,6 @@ def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_store.py. Scale shape: state is m×n_codes×(dim/m)
     sufficient-stat rows; the serving scan touches code bytes only; the
     one shuffle is the per-query top-k window."""
-    import tempfile
-
     from airflow_dags_spark.operators.ann_store import PqCodebookStore
     from airflow_dags_spark.operators.similarity import pq_ann_topk
 
@@ -267,10 +280,10 @@ def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init, incr = _store_halves(emb)
     store = PqCodebookStore(
-        spark, tempfile.mkdtemp(prefix="pq_store_") + "/pq"
+        spark, _scratch_store("pq")
     )
     store.init_from(init, m=8, n_codes=32, fit_sample=2000)
-    store.add_batch(incr, "b1")
+    store.add_batch(incr, "incr-1")
     return pq_ann_topk(
         emb,
         10,
@@ -293,8 +306,6 @@ def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the centroid matrix is k×dim driver-side, assignment is
     one Arrow matmul pass, probed-cell search touches nprobe/n_cells of
     the corpus; the one shuffle is the per-query top-k window."""
-    import tempfile
-
     from airflow_dags_spark.operators.ann_store import IvfIndexStore
     from airflow_dags_spark.operators.similarity import ivf_ann_topk
 
@@ -303,10 +314,10 @@ def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init, incr = _store_halves(emb)
     store = IvfIndexStore(
-        spark, tempfile.mkdtemp(prefix="ivf_store_") + "/ivf"
+        spark, _scratch_store("ivf")
     )
     store.init_from(init, n_cells=16, fit_sample=2000)
-    store.add_batch(incr, "b1")
+    store.add_batch(incr, "incr-1")
     return ivf_ann_topk(
         emb,
         10,
@@ -501,8 +512,6 @@ def pack_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, ascending key within. Scale shape: per batch, the two-phase
     prefix scan of the BATCH plus a one-row cursor update; the
     historical stream is never re-read (SCALE.md round-13)."""
-    import tempfile
-
     from airflow_dags_spark.functions.text import token_count
     from airflow_dags_spark.operators.packing import TokenStreamStore
 
@@ -511,7 +520,7 @@ def pack_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = counts.where(F.col("doc_id") % 2 == 0)
     odd = counts.where(F.col("doc_id") % 2 == 1)
     store = TokenStreamStore(
-        spark, tempfile.mkdtemp(prefix="tokstream_") + "/s"
+        spark, _scratch_store("tokstream")
     )
     store.append_batch(even, "__n", "b0", key_bucket_width=128)
     store.append_batch(odd, "__n", "b1", key_bucket_width=128)

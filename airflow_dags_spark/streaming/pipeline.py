@@ -782,23 +782,33 @@ def _ledger_namespace(checkpoint_dir: str) -> str:
     return hashlib.md5(p.encode("utf-8")).hexdigest()[:12]
 
 
-def _legacy_applied(store, batch_id: int) -> bool:
+def _legacy_applied(store, batch_id: int, memo: dict | None = None) -> bool:
     """One-release migration path (ADVICE r9): a ledger written by the
     pre-namespace release recorded bare ``b<N>`` keys. When the current
     micro-batch's bare key exists there, the batch is an in-flight replay
     from before the upgrade — skip it instead of re-folding (the
-    namespaced check can't see it). Consulted ONLY when the ledger
-    actually contains legacy-format rows, so a store that has never seen
-    the old format pays one cheap guard and keeps the namespaced
-    semantics exactly (a FRESH checkpoint against a legacy store will
-    treat colliding bare ids as replays — the pre-namespace behavior, no
-    worse than the release that wrote those keys; start from a fresh
-    store path to avoid)."""
+    namespaced check can't see it).
+
+    Scoped TIGHTLY to the sink-written format ``b<digits>`` (a regex, not
+    merely colon-free): manual-API ledger keys like ``__init__`` or other
+    seeding conventions must never make the sink skip a live micro-batch.
+    The residual collision — a store seeded MANUALLY with keys that
+    exactly match ``b<digits>`` and then attached to a sink — is the
+    documented reason the sinks expose ``legacy_ledger_check=False``.
+
+    ``memo`` (per-sink dict) caches the has-legacy-rows determination:
+    new keys are always namespaced, so once a ledger shows no legacy rows
+    it never will — the streaming path then pays zero extra jobs per
+    batch instead of a ledger read forever."""
+    if memo is not None and memo.get("no_legacy"):
+        return False
     if not store.exists():
         return False
     led = store._ledger.read()
-    legacy = led.where(~F.col("batch_id").contains(":"))
+    legacy = led.where(F.col("batch_id").rlike("^b[0-9]+$"))
     if legacy.limit(1).count() == 0:
+        if memo is not None:
+            memo["no_legacy"] = True
         return False
     return legacy.where(F.col("batch_id") == f"b{batch_id}").count() > 0
 
@@ -815,6 +825,7 @@ def ivf_index_sink(
     seed: int = 42,
     sample_hex: str = "4",
     refit_drift_threshold: float | None = None,
+    legacy_ledger_check: bool = True,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming maintenance of the persistent IVF index — the similarity
@@ -851,6 +862,7 @@ def ivf_index_sink(
     from airflow_dags_spark.operators.ann_store import IvfIndexStore
 
     ledger_ns = _ledger_namespace(checkpoint_dir)
+    legacy_memo: dict = {} if legacy_ledger_check else {"no_legacy": True}
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         # null vectors carry no assignment signal, and an all-null FIRST
@@ -862,7 +874,7 @@ def ivf_index_sink(
         store = IvfIndexStore(
             batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
         )
-        if _legacy_applied(store, batch_id):
+        if _legacy_applied(store, batch_id, legacy_memo):
             return  # committed pre-upgrade under the bare-key format
         bid = f"{ledger_ns}:b{batch_id}"
         if not store.exists():
@@ -905,6 +917,7 @@ def pq_codebook_sink(
     seed: int = 42,
     sample_hex: str = "4",
     refit_drift_threshold: float | None = None,
+    legacy_ledger_check: bool = True,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming maintenance of the persistent PQ codebooks — the
@@ -929,6 +942,7 @@ def pq_codebook_sink(
     from airflow_dags_spark.operators.ann_store import PqCodebookStore
 
     ledger_ns = _ledger_namespace(checkpoint_dir)
+    legacy_memo: dict = {} if legacy_ledger_check else {"no_legacy": True}
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.where(F.col(vec_col).isNotNull())
@@ -937,7 +951,7 @@ def pq_codebook_sink(
         store = PqCodebookStore(
             batch.sparkSession, store_path, key_col=key_col, vec_col=vec_col
         )
-        if _legacy_applied(store, batch_id):
+        if _legacy_applied(store, batch_id, legacy_memo):
             return  # committed pre-upgrade under the bare-key format
         bid = f"{ledger_ns}:b{batch_id}"
         if not store.exists():

@@ -383,3 +383,95 @@ def test_write_packed_shards_arg_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="windows_per_shard"):
         write_packed_shards(df, str(tmp_path / "x"), 16, 0)
+
+
+# ---------------------------------------------------------------------------
+# round-13 review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_null_group_is_sampled_not_dropped(spark):
+    """A NULL group is a group like any other: the join must be
+    null-safe, otherwise every null-group row silently vanishes."""
+    rows = [(i, "web") for i in range(200)] + [(1000 + i, None) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = mixture_sample(d, "source", "doc_id")
+    per = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL is the smallest group -> rate 1.0, kept whole
+    assert per[None] == 40
+    assert abs(per.get("web", 0) - 40) <= 28
+
+
+def test_packed_shards_exclude_null_and_zero_spans(spark, tmp_path):
+    """Zero-length spans must not descend into two shards and NULL
+    offsets must not vanish silently — both are excluded up front."""
+    from airflow_dags_spark.operators.export import write_packed_shards
+
+    df = spark.createDataFrame(
+        [(1, 0, 64), (2, 64, 64), (3, None, None), (4, 64, 128)],
+        "doc_id bigint, token_start bigint, token_end bigint",
+    )
+    stats = write_packed_shards(df, str(tmp_path / "p"), 16, 4)
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert sorted(r.doc_id for r in back.collect()) == [1, 4]
+    assert stats["n_docs"] == 2 and stats["n_straddlers"] == 0
+
+
+def test_token_stream_store_duplicate_keys_deterministic(spark, tmp_path):
+    """Duplicate keys in one batch (at-least-once double delivery)
+    collapse to one deterministic span per key."""
+    from airflow_dags_spark.operators.packing import TokenStreamStore
+
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 3)], "doc_id bigint, n bigint"
+    )
+    store = TokenStreamStore(spark, str(tmp_path / "ts"))
+    out = store.append_batch(dup, "n", "b0")
+    assert out["next_offset"] == 8
+    got = sorted((r.doc_id, r.start, r.end) for r in store.assignments().collect())
+    assert got == [(1, 0, 5), (2, 5, 8)]
+
+
+def test_sink_legacy_check_ignores_non_bN_manual_keys(spark, tmp_path):
+    """A store seeded through the MANUAL API with non-b<N> ledger keys
+    ('__init__', 'incr-1') must not make the sink skip live micro-batches
+    — the legacy check is scoped to the sink-written b<digits> shape."""
+    import numpy as np
+
+    from airflow_dags_spark.operators.ann_store import IvfIndexStore
+    from airflow_dags_spark.streaming.pipeline import ivf_index_sink
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, rng.normal(size=4).tolist(), 0) for i in range(80)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    store_path = str(tmp_path / "ivf")
+    store = IvfIndexStore(spark, store_path)
+    store.init_from(vecs.where(F.col("vec_id") < 30), n_cells=2, fit_sample=30)
+    store.add_batch(vecs.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 40)),
+                    "incr-1")
+    assert sum(r["n_members"] for r in store.state().collect()) == 40
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # two files -> two micro-batches (ids 0 and 1); batch 1 is the one a
+    # colon-free-scoped check would have skipped when any manual key exists
+    vecs.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)).write.parquet(
+        str(landing / "f1")
+    )
+    vecs.where(F.col("vec_id") >= 60).write.parquet(str(landing / "f2"))
+    q = ivf_index_sink(
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*")),
+        store_path,
+        str(tmp_path / "ck"),
+        n_cells=2,
+        fit_sample=30,
+    )
+    q.awaitTermination(120)
+    assert sum(r["n_members"] for r in store.state().collect()) == 80
