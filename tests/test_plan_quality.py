@@ -448,6 +448,11 @@ ALLOWED_NESTED_LOOP = {
     # round 13: three 1-row boundary-count frames crossJoin-stacked into
     # funnel rows (the dedicated gate pins the count at exactly 3):
     "curate_funnel_counts",
+    # round 13: the 1-row min-group-count frame crossed onto the tiny
+    # per-source counts table — never onto documents (the dedicated gate
+    # test_corpus_mixture_sample_is_a_broadcast_hash_filter pins the
+    # count at <= 1 and requires the doc-side join to be broadcast-hash):
+    "corpus_mixture_sample",
 }
 
 
