@@ -35,7 +35,11 @@ touching the packing math (any bigint ``n_tokens`` works via
 
 Reference: the reference repo has no packing operator (its pipelines stop
 at cleaned relational rows); this is part of the LLM-pipeline surface the
-engine adds beyond reference parity.
+engine adds beyond reference parity. Sibling surface: the greedy
+first-fit SHARD packer (``operators/export.pack_sequences``, per-shard
+bin packing for inference/eval batching) — this module is the
+concatenate-and-slice PRETRAINING layout, with exact global offsets and
+boundary-straddling docs.
 """
 
 from __future__ import annotations

@@ -91,6 +91,10 @@ NAMES = [
     "curate_funnel_counts",
     "sim_pq_store_topk",
     "sim_ivf_store_topk",
+    "pack_token_windows",
+    "pack_stream_resume",
+    "corpus_mixture_sample",
+    "vocab_bpe_pairs",
     "meta_bench_trend",
     "layout_zorder_bucket_stats",
     "scd2_point_in_time_lookup",
