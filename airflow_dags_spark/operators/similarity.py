@@ -32,7 +32,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from airflow_dags_spark.functions.vectors import as_double, cosine
+from airflow_dags_spark.functions.vectors import as_double, cosine_pre, l2_norm
+
+
+def _stage_vec(df: DataFrame, vec_col, v_alias: str, n_alias: str) -> DataFrame:
+    """Stage one join side for pair-wise cosine: materialize the
+    double-cast vector and its L2 norm ONCE PER ROW, so the per-pair
+    expression is a single dot product (``cosine_pre``). Inlining
+    ``cosine(as_double(a), as_double(b))`` in a join/top-k select instead
+    evaluates both casts and both norm folds per PAIR — at |corpus| ×
+    |queries| pairs that is ~5× the interpreted array work for identical
+    output (floats unchanged: see cosine_pre). Guide §2.3/§1.2."""
+    v = as_double(vec_col)
+    return df.withColumn(v_alias, v).withColumn(n_alias, l2_norm(F.col(v_alias)))
 
 
 def cosine_topk(
@@ -51,7 +63,15 @@ def cosine_topk(
     The QUERY side is broadcast (small by contract); the corpus is the
     streaming side and never shuffles — at 100 TB the plan is a single
     narrow pass over the corpus plus the per-query top-k window."""
-    sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6) + F.lit(0.0)
+    queries = _stage_vec(queries, query_vec, "__qvd", "__qn")
+    corpus = _stage_vec(corpus, corpus_vec, "__cvd", "__cn")
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     w = Window.partitionBy(query_key).orderBy(F.desc("sim"), F.asc(corpus_key))
     return (
         corpus.crossJoin(F.broadcast(queries))
@@ -87,7 +107,15 @@ def cosine_topk_salted(
     The query side must still fit in a broadcast (vectors are small: 100k
     queries × 64 dims ≈ 50 MB); beyond that, block the query set and union.
     """
-    sim = F.round(cosine(as_double(query_vec), as_double(corpus_vec)), 6) + F.lit(0.0)
+    queries = _stage_vec(queries, query_vec, "__qvd", "__qn")
+    corpus = _stage_vec(corpus, corpus_vec, "__cvd", "__cn")
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     sims = (
         corpus.crossJoin(F.broadcast(queries))
         .select(query_key, corpus_key, sim.alias("sim"))
@@ -114,14 +142,24 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k neighbors for a filtered query subset against the full corpus.
     The QUERY side is broadcast (small by construction); the corpus streams."""
-    corpus = embeddings.select(
-        F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")
+    corpus = _stage_vec(
+        embeddings.select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")),
+        "cv", "__cvd", "__cn",
     )
     q = embeddings
     if query_filter is not None:
         q = q.where(query_filter)
-    queries = q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv"))
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    queries = _stage_vec(
+        q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", "__qvd", "__qn",
+    )
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         corpus.join(F.broadcast(queries))
@@ -160,9 +198,21 @@ def embedding_near_dup(
             "allow_full_scan=True if the input is known-small"
         )
     scoped = embeddings if scope_filter is None else embeddings.where(scope_filter)
-    a = scoped.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
-    b = scoped.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine(as_double("va"), as_double("vb")), 6) + F.lit(0.0)
+    a = _stage_vec(
+        scoped.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va")),
+        "va", "__avd", "__an",
+    )
+    b = _stage_vec(
+        scoped.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb")),
+        "vb", "__bvd", "__bn",
+    )
+    sim = (
+        F.round(
+            cosine_pre(F.col("__avd"), F.col("__bvd"), F.col("__an"), F.col("__bn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     return (
         a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", sim.alias("sim"))
@@ -280,24 +330,34 @@ def ivf_ann_topk(
         order = np.argsort(-_unit_sims(v), axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
-    corpus = embeddings.where(F.col(vec_col).isNotNull()).select(
-        F.col(key_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        _cell_of(F.col(vec_col)).alias("cell"),
+    corpus = _stage_vec(
+        embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(key_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            _cell_of(F.col(vec_col)).alias("cell"),
+        ),
+        "cv", "__cvd", "__cn",
     )
 
     q = embeddings if query_filter is None else embeddings.where(query_filter)
-    probes = (
+    probes = _stage_vec(
         q.where(F.col(vec_col).isNotNull())
         .select(
             F.col(key_col).alias("qid"),
             F.col(vec_col).alias("qv"),
             F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
-        )
+        ),
+        "qv", "__qvd", "__qn",
     )
 
     # exact search inside probed cells only
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         corpus.join(F.broadcast(probes), "cell")
@@ -503,11 +563,23 @@ def pq_ann_topk(
     )
     if refine > 0:
         # exact re-rank of the PQ candidates: join back to raw vectors
-        cvecs = embeddings.select(
-            F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")
+        cvecs = _stage_vec(
+            embeddings.select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv")),
+            "cv", "__cvd", "__cn",
         )
-        qvecs = q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv"))
-        exact = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+        qvecs = _stage_vec(
+            q.select(F.col(key_col).alias("qid"), F.col(vec_col).alias("qv")),
+            "qv", "__qvd", "__qn",
+        )
+        exact = (
+            F.round(
+                cosine_pre(
+                    F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
         w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
         topk = (
             topk.drop("sim")

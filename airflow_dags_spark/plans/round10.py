@@ -55,7 +55,7 @@ from airflow_dags_spark.functions.scalable_windows import (
     bucketed_running_sum,
     salted_topn_per_key,
 )
-from airflow_dags_spark.functions.vectors import as_double, cosine
+from airflow_dags_spark.functions.vectors import as_double
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.plans.shared import monthly_revenue_cents
 from airflow_dags_spark.sources.tables import read_table
@@ -829,17 +829,37 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid — the sim_cosine_topk contract, bounded-query-set by API). For a
     large query set swap the windows for two ``salted_topn_per_key``
     passes and intersect on (qid, cid)."""
+    from airflow_dags_spark.functions.vectors import cosine_pre, l2_norm
+
     emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+
+    def staged(df, key, key_alias, vec_alias):
+        # stage per ROW: double cast, 16-dim prefix slice, and both L2
+        # norms — inlining cosine() in the pair select instead evaluates
+        # the casts/slices/norm folds once per PAIR (|corpus|×|queries|
+        # times); float-identical, see functions.vectors.cosine_pre
+        v = as_double("__raw")
+        return (
+            df.select(F.col(key).alias(key_alias), F.col("embedding").alias("__raw"))
+            .withColumn(vec_alias, v)
+            .withColumn(f"{vec_alias}_p", F.slice(F.col(vec_alias), 1, 16))
+            .withColumn(f"{vec_alias}_n", l2_norm(F.col(vec_alias)))
+            .withColumn(f"{vec_alias}_pn", l2_norm(F.col(f"{vec_alias}_p")))
+            .drop("__raw")
+        )
+
+    corpus = staged(emb, "vec_id", "cid", "__cv")
+    queries = staged(emb.where(F.col("vec_id") < 5), "vec_id", "qid", "__qv")
+    full = cosine_pre(
+        F.col("__qv"), F.col("__cv"), F.col("__qv_n"), F.col("__cv_n")
     )
-    qv, cv = as_double("qv"), as_double("cv")
-    qp, cp = F.slice(qv, 1, 16), F.slice(cv, 1, 16)
+    pre = cosine_pre(
+        F.col("__qv_p"), F.col("__cv_p"), F.col("__qv_pn"), F.col("__cv_pn")
+    )
     sims = corpus.join(F.broadcast(queries)).select(
         "qid", "cid",
-        (F.round(cosine(qv, cv), 6) + F.lit(0.0)).alias("sim_full"),
-        (F.round(cosine(qp, cp), 6) + F.lit(0.0)).alias("sim_pre"),
+        (F.round(full, 6) + F.lit(0.0)).alias("sim_full"),
+        (F.round(pre, 6) + F.lit(0.0)).alias("sim_pre"),
     )
     w_full = Window.partitionBy("qid").orderBy(F.desc("sim_full"), F.asc("cid"))
     w_pre = Window.partitionBy("qid").orderBy(F.desc("sim_pre"), F.asc("cid"))

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, MapType, StringType, StructField, StructType
 
 from airflow_dags_spark.functions.text import chunk_text
-from airflow_dags_spark.functions.vectors import as_double, cosine
+from airflow_dags_spark.functions.vectors import as_double, cosine_pre, l2_norm
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.plans.shared import scan_spread
 from airflow_dags_spark.sources.tables import read_table
@@ -354,17 +354,29 @@ def sim_ivf_recenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    # norms staged once per row/centroid — cosine() inline in the pair
+    # select would re-fold both 64-dim norms per (vec × cell) pair
+    # (float-identical either way, see functions.vectors.cosine_pre)
+    v = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nv", l2_norm(F.col("v"))
+    )
     cent = (
         v.where(F.col("vec_id") < _K_CELLS)
         .select(
-            F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c")
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("v").alias("c"),
+            F.col("nv").alias("nc"),
         )
     )
     sims = v.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",
-        (F.round(cosine(F.col("v"), F.col("c")), 6) + F.lit(0.0)).alias("sim"),
+        (
+            F.round(
+                cosine_pre(F.col("v"), F.col("c"), F.col("nv"), F.col("nc")), 6
+            )
+            + F.lit(0.0)
+        ).alias("sim"),
     )
     best = (
         sims.groupBy("vec_id")

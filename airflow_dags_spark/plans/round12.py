@@ -439,14 +439,21 @@ def sim_pq_recenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("subspace", "x"),
     )
+    # squared norms staged once per sub-vector row — the inline form
+    # recomputed dot(x,x) per CODE (32×) and dot(c,c) per probe row;
+    # identical doubles, same (xx - 2·xc) + cc association (guide §2.3)
+    subs = subs.withColumn("xx", dot(F.col("x"), F.col("x")))
     codes = subs.where(F.col("vec_id") < _PQ_CODES).select(
-        "subspace", F.col("vec_id").cast("int").alias("code"), F.col("x").alias("c")
+        "subspace",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("x").alias("c"),
+        F.col("xx").alias("cc"),
     )
     d = (
         F.round(
-            dot(F.col("x"), F.col("x"))
+            F.col("xx")
             - F.lit(2.0) * dot(F.col("x"), F.col("c"))
-            + dot(F.col("c"), F.col("c")),
+            + F.col("cc"),
             6,
         )
         + F.lit(0.0)

@@ -1479,20 +1479,33 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams, rounded-sim ranking with id tie-break); the label-mismatch
     predicate filters BEFORE the ranking window so the per-query state is
     only true negatives."""
-    from airflow_dags_spark.operators.similarity import as_double, cosine
+    from airflow_dags_spark.operators.similarity import _stage_vec
+    from airflow_dags_spark.functions.vectors import cosine_pre
 
     emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clabel"),
-        F.col("embedding").alias("cv"),
+    corpus = _stage_vec(
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("cv"),
+        ),
+        "cv", "__cvd", "__cn",
     )
-    queries = emb.where(F.col("vec_id") % 997 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
+    queries = _stage_vec(
+        emb.where(F.col("vec_id") % 997 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        ),
+        "qv", "__qvd", "__qn",
     )
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         corpus.join(F.broadcast(queries))
@@ -1795,20 +1808,33 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-queries/streamed-corpus contract as cosine top-k; the
     majority vote is a count aggregate over the 5-row neighbor sets with
     a (votes DESC, label ASC) deterministic tie-break in both engines."""
-    from airflow_dags_spark.operators.similarity import as_double, cosine
+    from airflow_dags_spark.operators.similarity import _stage_vec
+    from airflow_dags_spark.functions.vectors import cosine_pre
 
     emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clabel"),
-        F.col("embedding").alias("cv"),
+    corpus = _stage_vec(
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("cv"),
+        ),
+        "cv", "__cvd", "__cn",
     )
-    queries = emb.where(F.col("vec_id") % 499 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
+    queries = _stage_vec(
+        emb.where(F.col("vec_id") % 499 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        ),
+        "qv", "__qvd", "__qn",
     )
-    sim = F.round(cosine(as_double("qv"), as_double("cv")), 6) + F.lit(0.0)
+    sim = (
+        F.round(
+            cosine_pre(F.col("__qvd"), F.col("__cvd"), F.col("__qn"), F.col("__cn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     top5 = (
         corpus.join(F.broadcast(queries))
