@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 
 def bucketed_running_sum(
     df: DataFrame,
@@ -180,7 +182,8 @@ def weighted_median_bucketed(
                 break
             cum += w
     gtype = df.schema[group_col].dataType.simpleString()
-    tgt = spark.createDataFrame(
+    tgt = tiny_df(
+        spark,
         targets,
         f"__g {gtype}, __tb int, __prev double, __tw double",
     )
@@ -366,7 +369,8 @@ def weighted_quantiles_bucketed(
                     break
                 cum += w
     gtype = df.schema[group_col].dataType.simpleString()
-    tgt = spark.createDataFrame(
+    tgt = tiny_df(
+        spark,
         targets,
         f"__g {gtype}, __q string, __tb int, __prev double, __tw double,"
         " __frac double",

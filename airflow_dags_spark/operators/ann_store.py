@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_dags_spark.functions.localframe import tiny_df
 from airflow_dags_spark.functions.vectors import as_double
 from airflow_dags_spark.operators.upsert import ParquetTable
 
@@ -194,8 +195,10 @@ class IvfIndexStore:
     # -- writes -------------------------------------------------------------
 
     def _write_state(self, stats: list[tuple], version: int) -> None:
-        df = self.spark.createDataFrame(
-            stats, "cell int, vec_sum array<double>, n_members bigint"
+        # tiny_df: Arrow local relation — a pickled-list createDataFrame
+        # costs ~5 s of Python-worker round-trips per state version
+        df = tiny_df(
+            self.spark, stats, "cell int, vec_sum array<double>, n_members bigint"
         )
         # deterministic single tiny file: k×dim rows ≈ KBs
         df.coalesce(1).write.mode("overwrite").parquet(
@@ -212,7 +215,8 @@ class IvfIndexStore:
             self._ledger._atomic_overwrite(
                 self._ledger.read().withColumn("refit", F.col("version") == 0)
             )
-        row = self.spark.createDataFrame(
+        row = tiny_df(
+            self.spark,
             [(batch_id, version, refit)],
             "batch_id string, version int, refit boolean",
         )
@@ -553,7 +557,8 @@ class PqCodebookStore:
     # -- writes -------------------------------------------------------------
 
     def _write_state(self, stats: list[tuple], version: int) -> None:
-        df = self.spark.createDataFrame(
+        df = tiny_df(
+            self.spark,
             stats,
             "subspace int, code int, vec_sum array<double>, n_members bigint",
         )
@@ -562,7 +567,8 @@ class PqCodebookStore:
         )
 
     def _commit(self, batch_id: str, version: int, refit: bool) -> None:
-        row = self.spark.createDataFrame(
+        row = tiny_df(
+            self.spark,
             [(batch_id, version, refit)],
             "batch_id string, version int, refit boolean",
         )

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 from airflow_dags_spark.operators.dedup import _delete_path
 
 
@@ -230,7 +232,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     sizes = e.agg(F.count(F.lit(1)).alias("n_edges")).first()
     n_nodes = deg.count()
     spark = edges.sparkSession
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(n_nodes, int(sizes["n_edges"]), int(counts["n_triangles"]))],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
     )

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 from airflow_dags_spark.functions.probabilistic import (
     BLOOM_K,
     BLOOM_M_BITS,
@@ -66,7 +68,7 @@ def _load_or_build_bloom(
     # backfill: one pass over the existing corpus (only ever paid once)
     if table.exists():
         return bloom_build(_bloom_keys(table, table.read(), key), key, m_bits, k)
-    return table.spark.createDataFrame([], "word_idx bigint, word bigint")
+    return tiny_df(table.spark, [], "word_idx bigint, word bigint")
 
 
 def bloom_screened_insert_if_absent(
@@ -219,7 +221,7 @@ class MinhashSignatureStore:
             else "long"
         )
         bands = ", ".join(f"{c} string" for c in self._band_cols)
-        return self.spark.createDataFrame([], f"{self.key_col} {ktype}, {bands}")
+        return tiny_df(self.spark, [], f"{self.key_col} {ktype}, {bands}")
 
     def screen(self, new_docs: DataFrame, text_col: str):
         """Sign + screen a batch against the store — NO store write.
@@ -405,7 +407,8 @@ def reconcile_advisories(
             if acc.exists()
             else "long"
         )
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [],
             f"{key_col} {ktype}, advisory_matched_store_doc {ktype}, "
             "batch_id bigint, n_matching_bands bigint, jaccard double, "

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 from airflow_dags_spark.functions.text import token_count
 
 __all__ = [
@@ -293,14 +295,14 @@ class TokenStreamStore:
         row = written.agg(F.max("end").alias("m")).collect()[0]
         nxt = int(row["m"]) if row["m"] is not None else base
         version = self.current_version() + 1
-        self.spark.createDataFrame(
-            [(nxt,)], "next_offset bigint"
+        tiny_df(
+            self.spark, [(nxt,)], "next_offset bigint"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/state/v{version}"
         )
         self._ledger.insert_if_absent(
-            self.spark.createDataFrame(
-                [(batch_id, version)], "batch_id string, version int"
+            tiny_df(
+                self.spark, [(batch_id, version)], "batch_id string, version int"
             ),
             order_by=["version"],
         )

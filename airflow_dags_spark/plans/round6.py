@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 from airflow_dags_spark.plans.registry import register
 from airflow_dags_spark.sources.tables import read_table
 
@@ -2899,7 +2901,7 @@ def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("y"))
     )
     ser = daily.select(F.row_number().over(Window.orderBy("dt")).alias("rn"), "y")
-    sizes = spark.createDataFrame([(16,), (32,), (64,), (128,)], "sz int")
+    sizes = tiny_df(spark, [(16,), (32,), (64,), (128,)], "sz int")
     blk = ser.crossJoin(F.broadcast(sizes)).select(
         "sz", F.floor((F.col("rn") - 1) / F.col("sz")).cast("bigint").alias("b"),
         "rn", "y",

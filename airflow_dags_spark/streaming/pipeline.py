@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from airflow_dags_spark.functions.localframe import tiny_df
+
 from airflow_dags_spark.operators.upsert import ParquetTable
 
 # The driver events table shape (FIXTURES.md §A) as a streaming fixture
@@ -601,7 +603,7 @@ def quality_monitor_sink(
         )
         rows = report.collect()  # bounded: one row per constraint
         spark = batch.sparkSession
-        out = spark.createDataFrame(rows, report.schema)
+        out = tiny_df(spark, [tuple(r) for r in rows], report.schema)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
