@@ -105,7 +105,11 @@ def curate_full(
     (plus ``"shards"`` when ``out_path`` is given). ``embeddings`` enables
     the semantic stage (joined on ``key_col == emb_key``)."""
     from airflow_dags_spark.functions.metrics import with_observation
-    from airflow_dags_spark.functions.text import jaccard, word_shingles
+    from airflow_dags_spark.functions.text import (
+        jaccard,
+        shingles_from_tokens,
+        tokens,
+    )
     from airflow_dags_spark.operators.clustering import semantic_dedup
     from airflow_dags_spark.operators.dedup import minhash_candidate_pairs
 
@@ -181,9 +185,14 @@ def curate_full(
     # verify on PRE-COMPUTED shingle sets: one interpreted shingle build
     # per doc, native array intersect/union per pair — re-shingling the
     # joined text per pair row costs pairs×2 lambda evaluations instead
-    # of docs, minutes-vs-seconds at scale (round-13 stress finding)
+    # of docs, minutes-vs-seconds at scale (round-13 stress finding).
+    # Tokens staged into their own projection (shingles_from_tokens
+    # contract): the inlined word_shingles form re-splits the text per
+    # element_at — measured 10.2 s vs 0.95 s at sf0.1 (r10).
     shing = exact.select(
-        F.col(key_col), word_shingles(text_col, 3).alias("__sh")
+        F.col(key_col), tokens(text_col).alias("__tk")
+    ).select(
+        F.col(key_col), shingles_from_tokens(F.col("__tk"), 3).alias("__sh")
     )
     joined = (
         cands.join(

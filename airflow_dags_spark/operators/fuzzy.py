@@ -65,8 +65,14 @@ def fuzzy_self_join(
         cand.where(
             F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
         )
-        .withColumn("dist", F.levenshtein("text_a", "text_b"))
-        .where(F.col("dist") <= max_dist)
+        # threshold form (Spark 3.5+): banded DP that early-exits past
+        # max_dist — O(len·d) instead of O(len²) per candidate, returning
+        # -1 for pairs beyond the band. For qualifying pairs the returned
+        # distance is exact, so results are identical to the unbounded
+        # form (r10: measured 2.2× on 7.9M candidates at sf0.1,
+        # oracle-hash-identical against the brute-force DuckDB form).
+        .withColumn("dist", F.levenshtein("text_a", "text_b", max_dist))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("key_a", "key_b", "dist")
         .dropDuplicates(["key_a", "key_b"])
     )

@@ -179,8 +179,9 @@ def curate_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_heuristic,
         normalized,
         quality_columns,
+        shingles_from_tokens,
         token_count,
-        word_shingles,
+        tokens,
     )
     from airflow_dags_spark.operators.dedup import minhash_candidate_pairs
 
@@ -203,9 +204,13 @@ def curate_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc) — joining text and re-shingling per pair row would evaluate
     # the interpreted shingle lambdas pairs×2 times instead of docs
     # times, the difference between seconds and minutes at sf0.1 (the
-    # intersect/union on the joined arrays is native, not a HOF)
-    shing = exact.select(
-        "doc_id", word_shingles("text", 3).alias("__sh")
+    # intersect/union on the joined arrays is native, not a HOF).
+    # Tokens MUST be staged into their own projection first
+    # (shingles_from_tokens contract): the inlined word_shingles form
+    # re-splits the text per element_at — measured 10.2 s vs 0.95 s for
+    # this projection alone at sf0.1 (r10 optimization round).
+    shing = exact.select("doc_id", tokens("text").alias("__tk")).select(
+        "doc_id", shingles_from_tokens(F.col("__tk"), 3).alias("__sh")
     )
     joined = cands.join(
         shing.select(F.col("doc_id").alias("key_a"), F.col("__sh").alias("__sa")),

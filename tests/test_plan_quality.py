@@ -534,17 +534,24 @@ def test_null_split_join_bypasses_exchange_for_null_keys(spark):
     assert joins == 1, plan
 
 
-def test_regr_sweep_single_aggregate_pruned_scan(spark):
-    """All regr_* are moment combinations: ONE partial+final hash agg pair,
-    one exchange; the scan reads only the 3 referenced columns."""
+def test_regr_sweep_split_median_codegen_moments(spark):
+    """The seven regr_*/corr moments run in whole-stage-codegen
+    HashAggregate; the exact median runs as its OWN 2-column sort-based
+    aggregation joined back on the 3-row group frame (r10: mixing the
+    percentile into the moments groupBy forced ALL aggregates through
+    interpreted ObjectHashAggregate — measured 2.5× slower). Two hash-agg
+    exchanges (moments + median), scans pruned, no cartesian."""
     plan = plan_of(spark, "regr_linear_functions")
     assert "partial_regr" in plan or "partial_" in plan
-    # one hash-agg exchange + the final orderBy range exchange, nothing else
-    assert plan.count("Exchange hashpartitioning") == 1
-    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    for col in ("l_orderkey", "l_partkey", "l_shipdate"):
-        assert col not in read_schema
-    # median needs the sort-based percentile agg but still no extra shuffle
+    # the moments aggregation must NOT be object-hash: exactly one
+    # ObjectHashAggregate pair (the median's), the rest codegen
+    assert plan.count("ObjectHashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    for read_schema in [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+    ]:
+        for col in ("l_orderkey", "l_partkey", "l_shipdate"):
+            assert col not in read_schema
     assert "CartesianProduct" not in plan
 
 
