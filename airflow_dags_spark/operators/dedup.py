@@ -627,8 +627,19 @@ def minhash_lsh_pairs(
     model = MinHashLSH(
         inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(featurized)
+    # Materialize the hashed frame ONCE (lazy DISK_ONLY local checkpoint)
+    # and hand it to BOTH join sides pre-transformed: approxSimilarityJoin
+    # consumes each side through explode + hash-equality join + distance
+    # stages, and without a barrier every branch re-evaluates the whole
+    # tokenize→shingle→TF→minhash pipeline — measured 27.5 s vs 2.4 s for
+    # the identical 5.5k-pair result at sf0.1 (r10). Per-invocation
+    # state: each call re-featurizes from its input; DISK_ONLY keeps the
+    # (key, sparse-features, 8-hash) rows off the executor heap.
+    hashed = model.transform(featurized).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     joined = model.approxSimilarityJoin(
-        featurized, featurized, 1.0 - jaccard_threshold, distCol="__dist"
+        hashed, hashed, 1.0 - jaccard_threshold, distCol="__dist"
     )
     return (
         joined.where(F.col(f"datasetA.{key_col}") < F.col(f"datasetB.{key_col}"))

@@ -199,7 +199,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
-    e = edges.select("src", "dst")
+    # The edge set is consumed by the degree aggregate, the orientation
+    # joins, the n_edges count AND (via `out`) three wedge-join branches;
+    # without a barrier Catalyst re-evaluates the caller's whole edge
+    # subtree (for the co-purchase query: the group self-join + support
+    # aggregate) once per consumer. Lazy DISK_ONLY checkpoints of the two
+    # bounded frames (edges, oriented edges) compute each once — measured
+    # 6.3 → 3.1 s at sf0.1, counts identical (r10). Per-invocation state:
+    # each call recomputes from its input.
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     deg = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
@@ -217,7 +229,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     x = out.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
     y = out.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
     wedges = x.join(y, "u").where(
