@@ -115,20 +115,28 @@ def _bench_trend_oracle(repo_dir: str, pin: int) -> str:
     tolerance path is directly testable against scratch sidecars
     (tests/test_round11_meta.py) with the exact SQL the driver runs."""
     return f"""
-WITH b AS (
-  SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
+WITH raw AS MATERIALIZED (
+  -- MATERIALIZED + TRY_CAST (r11): the driver's own BENCH_r10_c8.json
+  -- low-core sidecar matches the glob but not the round pattern, so the
+  -- extract yields '' — Spark's permissive cast NULLs it and the filter
+  -- drops the row; DuckDB's strict CAST errored instead, and DuckDB
+  -- 1.0.0 additionally hits an internal assertion when a TRY_CAST over
+  -- the filename virtual column is pushed into the json reader, which
+  -- the materialization barrier prevents.
+  SELECT TRY_CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
            AS round,
          parsed.queries AS qmap
   -- ignore_errors mirrors Spark's PERMISSIVE read: a corrupt sidecar
   -- (disk damage, partial write) yields a NULL parsed row on BOTH
   -- engines and the IS NOT NULL filter drops it — instead of erroring
-  -- the oracle while Spark silently skips (a divergence by robustness)
+  -- the oracle while Spark silently skips (a divergence by robustness).
   FROM read_json('{repo_dir}/BENCH_r*.json', filename=true,
         ignore_errors=true,
         columns={{'parsed': 'STRUCT(queries MAP(VARCHAR, DOUBLE))'}})
-  WHERE CAST(regexp_extract(filename, 'BENCH_r(\\d+)\\.json', 1) AS BIGINT)
-          <= {pin}
-    AND parsed.queries IS NOT NULL
+),
+b AS (
+  SELECT round, qmap FROM raw
+  WHERE round <= {pin} AND qmap IS NOT NULL
 ),
 q AS (
   SELECT round, unnest(map_keys(qmap)) AS query,
@@ -197,13 +205,15 @@ def meta_bench_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _correctness_rounds_oracle(repo_dir: str, pin: int) -> str:
     return f"""
 WITH f AS (
-  SELECT CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
+  SELECT TRY_CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
               AS BIGINT) AS round,
          -- TRY_CAST mirrors Spark's null-on-corrupt from_json: a damaged
-         -- sidecar contributes zero rows on BOTH engines
+         -- sidecar contributes zero rows on BOTH engines (and, on the
+         -- filename, a glob-matching file outside the round pattern —
+         -- see the BENCH_r10_c8.json note above)
          TRY_CAST(content AS JSON) AS j
   FROM read_text('{repo_dir}/CORRECTNESS_r*.json')
-  WHERE CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
+  WHERE TRY_CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)\\.json', 1)
              AS BIGINT) <= {pin}
 ),
 k AS (SELECT round, unnest(json_keys(j)) AS query, j FROM f),
