@@ -77,6 +77,54 @@ def _assign_cells(vec_col: str, centers: np.ndarray):
     return _cell_of(F.col(vec_col))
 
 
+def ivf_batch_stats(
+    vecs: DataFrame,
+    centers: np.ndarray,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Distributed per-cell (Σ unit-vector, count) of a batch; only the
+    k×dim partial sums are collected. Module-level so the store-backed
+    query oracles can recompute the identical fold WITHOUT the persistence
+    layer (store-vs-direct equivalence, r10 verdict #1)."""
+    assigned = vecs.where(F.col(vec_col).isNotNull()).select(
+        _assign_cells(vec_col, centers).alias("cell"),
+        as_double(vec_col).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm > 0, F.transform("v", lambda x: x / norm)).otherwise(
+        F.col("v")
+    )
+    per_dim = assigned.select(
+        "cell", F.posexplode(unit).alias("dim", "val")
+    ).groupBy("cell", "dim").agg(
+        F.sum("val").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    rows = per_dim.collect()  # bounded: ≤ n_cells × dim rows
+    dim = 1 + max((r["dim"] for r in rows), default=-1)
+    out = []
+    by_cell: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["s"])
+        # heterogeneous vector lengths would make the per-(cell, dim)
+        # count vary across dims — silently keeping whichever row was
+        # collected last would corrupt n_members vs vec_sum. Refuse.
+        if counts.setdefault(r["cell"], int(r["n"])) != int(r["n"]):
+            raise ValueError(
+                "heterogeneous vector lengths in batch: per-dim counts "
+                f"disagree for cell {r['cell']} "
+                f"({counts[r['cell']]} vs {int(r['n'])})"
+            )
+    for cell in range(n_cells):
+        out.append(
+            (cell, by_cell.get(cell, [0.0] * dim), counts.get(cell, 0))
+        )
+    return out
+
+
 class IvfIndexStore:
     """Parquet-backed IVF cell state with batch-grained incremental
     re-centering. See the module docstring for the design contract.
@@ -112,17 +160,36 @@ class IvfIndexStore:
         self.vec_col = vec_col
         self._ledger = ParquetTable(spark, f"{self.path}/ledger", "batch_id")
         self._sample = ParquetTable(spark, f"{self.path}/sample", key_col)
+        # Version-keyed cache of the k×dim state rows this instance last
+        # wrote or collected. State versions are WRITE-ONCE (a replay
+        # overwriting an orphan version rewrites identical bytes), so the
+        # cache can never serve stale content for a version it holds.
+        # Per-instance/per-process only — every new invocation re-reads
+        # parquet, so this is NOT cross-run caching. The ledger, by
+        # contrast, is mutable and is re-collected ONCE per public method
+        # (rows threaded through the private checks) instead of cached —
+        # that one collect replaces the 3-4 separate Spark jobs the old
+        # exists/applied/version/migration checks each paid.
+        self._state_cache: tuple[int, list] | None = None
 
     # -- state access -------------------------------------------------------
 
     def exists(self) -> bool:
         return self._ledger.exists()
 
-    def current_version(self) -> int:
-        if not self.exists():
+    def _ledger_rows(self) -> list | None:
+        """The full (tiny) ledger as collected rows — ONE job per public
+        method serves exists/applied/version/migration checks (callers
+        thread the rows through instead of re-reading per check)."""
+        if not self._ledger.exists():
+            return None
+        return self._ledger.read().collect()
+
+    def current_version(self, _rows: list | None = None) -> int:
+        rows = self._ledger_rows() if _rows is None else _rows
+        if not rows:
             return -1
-        row = self._ledger.read().agg(F.max("version").alias("v")).collect()[0]
-        return int(row["v"])
+        return max(int(r["version"]) for r in rows)
 
     def state(self) -> DataFrame:
         """Current sufficient statistics: (cell, vec_sum, n_members)."""
@@ -130,6 +197,15 @@ class IvfIndexStore:
         if v < 0:
             raise ValueError(f"IVF index at {self.path} not initialized")
         return self.spark.read.parquet(f"{self.path}/state/v{v}")
+
+    def _state_rows(self, version: int) -> list:
+        """Collected state rows for ``version`` — served from the
+        in-process cache when this instance just wrote or read them."""
+        if self._state_cache is not None and self._state_cache[0] == version:
+            return self._state_cache[1]
+        rows = self._state_at(version).collect()
+        self._state_cache = (version, rows)
+        return rows
 
     @staticmethod
     def _centers_from(state_rows) -> np.ndarray:
@@ -144,22 +220,22 @@ class IvfIndexStore:
     def centroids_matrix(self) -> np.ndarray:
         """Current centroids as a dense (k, dim) array — bounded k×dim
         driver-side, ordered by cell id."""
-        return self._centers_from(self.state().collect())
+        v = self.current_version()
+        if v < 0:
+            raise ValueError(f"IVF index at {self.path} not initialized")
+        return self._centers_from(self._state_rows(v))
 
     def _state_at(self, version: int) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/state/v{version}")
 
-    def last_fit_version(self) -> int:
+    def last_fit_version(self, _rows: list | None = None) -> int:
         """Version of the last (re)train; a pre-drift-policy ledger (no
         ``refit`` column yet) has exactly one fit — its version-0 init."""
-        led = self._ledger.read()
-        if "refit" not in led.columns:
+        rows = (self._ledger_rows() if _rows is None else _rows) or []
+        if not rows or "refit" not in rows[0].__fields__:
             return 0
-        rows = led.where(F.col("refit")).agg(F.max("version").alias("v")).collect()
-        v = rows[0]["v"]
-        if v is None:
-            return 0
-        return int(v)
+        fits = [int(r["version"]) for r in rows if r["refit"]]
+        return max(fits) if fits else 0
 
     def drift_since_fit(self) -> float:
         """Mean L2 shift of unit centroids between the last (re)fit
@@ -204,14 +280,33 @@ class IvfIndexStore:
         df.coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/state/v{version}"
         )
+        self._state_cache = (
+            version,
+            [
+                {"cell": c, "vec_sum": s, "n_members": n}
+                for c, s, n in stats
+            ],
+        )
 
-    def _commit(self, batch_id: str, version: int, refit: bool) -> None:
-        if self._ledger.exists() and "refit" not in self._ledger.read().columns:
+    def _commit(
+        self,
+        batch_id: str,
+        version: int,
+        refit: bool,
+        _rows: list | None = None,
+    ) -> None:
+        """Append the ledger row. The caller threads the collected ledger
+        (``_rows``) through and has ALREADY verified that ``batch_id`` is
+        absent, so this is a plain one-row append — the anti-join re-read
+        ``insert_if_absent`` would do re-checks the same fact a second
+        time per commit, which is pure maintenance-path latency (the
+        streaming sinks commit once per micro-batch)."""
+        rows = self._ledger_rows() if _rows is None else _rows
+        if rows and "refit" not in rows[0].__fields__:
             # one-time in-place schema migration of a pre-drift-policy
             # ledger (tiny table, atomic swap): its version-0 init was
-            # its one fit. insert_if_absent projects the source onto the
-            # TARGET's columns, so appending to the old schema would
-            # silently drop the flag instead.
+            # its one fit. Appending to the old schema would silently
+            # drop the flag instead.
             self._ledger._atomic_overwrite(
                 self._ledger.read().withColumn("refit", F.col("version") == 0)
             )
@@ -220,16 +315,14 @@ class IvfIndexStore:
             [(batch_id, version, refit)],
             "batch_id string, version int, refit boolean",
         )
-        self._ledger.insert_if_absent(row, order_by=["version"])
+        if rows is None:
+            self._ledger._atomic_overwrite(row)
+        else:
+            self._ledger.append(row)
 
-    def _applied(self, batch_id: str) -> bool:
-        return (
-            self.exists()
-            and self._ledger.read()
-            .where(F.col("batch_id") == batch_id)
-            .count()
-            > 0
-        )
+    def _applied(self, batch_id: str, _rows: list | None = None) -> bool:
+        rows = self._ledger_rows() if _rows is None else _rows
+        return bool(rows) and any(r["batch_id"] == batch_id for r in rows)
 
     def _reserve(self, vecs: DataFrame, sample_hex: str) -> None:
         """Fold the batch's deterministic md5 sample into the reservoir
@@ -257,8 +350,9 @@ class IvfIndexStore:
         from airflow_dags_spark.operators.similarity import _fit_coarse_quantizer
 
         if self.exists():
-            if self._applied(batch_id):
-                return {"applied": False, "version": self.current_version()}
+            rows = self._ledger_rows()
+            if self._applied(batch_id, rows):
+                return {"applied": False, "version": self.current_version(rows)}
             raise ValueError("init_from on an already-initialized store")
         clean = vecs.where(F.col(self.vec_col).isNotNull())
         centers = _fit_coarse_quantizer(
@@ -267,49 +361,13 @@ class IvfIndexStore:
         self._reserve(clean, sample_hex)
         stats = self._batch_stats(clean, centers, n_cells)
         self._write_state(stats, 0)
-        self._commit(batch_id, 0, refit=True)
+        self._commit(batch_id, 0, refit=True, _rows=None)
         return {"applied": True, "version": 0, "n_cells": n_cells}
 
     def _batch_stats(
         self, vecs: DataFrame, centers: np.ndarray, n_cells: int
     ) -> list[tuple]:
-        """Distributed per-cell (Σ unit-vector, count) of a batch; only the
-        k×dim partial sums are collected."""
-        assigned = vecs.where(F.col(self.vec_col).isNotNull()).select(
-            _assign_cells(self.vec_col, centers).alias("cell"),
-            as_double(self.vec_col).alias("v"),
-        )
-        norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-        unit = F.when(norm > 0, F.transform("v", lambda x: x / norm)).otherwise(
-            F.col("v")
-        )
-        per_dim = assigned.select(
-            "cell", F.posexplode(unit).alias("dim", "val")
-        ).groupBy("cell", "dim").agg(
-            F.sum("val").alias("s"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-        rows = per_dim.collect()  # bounded: ≤ n_cells × dim rows
-        dim = 1 + max((r["dim"] for r in rows), default=-1)
-        out = []
-        by_cell: dict[int, list] = {}
-        counts: dict[int, int] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["s"])
-            # heterogeneous vector lengths would make the per-(cell, dim)
-            # count vary across dims — silently keeping whichever row was
-            # collected last would corrupt n_members vs vec_sum. Refuse.
-            if counts.setdefault(r["cell"], int(r["n"])) != int(r["n"]):
-                raise ValueError(
-                    "heterogeneous vector lengths in batch: per-dim counts "
-                    f"disagree for cell {r['cell']} "
-                    f"({counts[r['cell']]} vs {int(r['n'])})"
-                )
-        for cell in range(n_cells):
-            out.append(
-                (cell, by_cell.get(cell, [0.0] * dim), counts.get(cell, 0))
-            )
-        return out
+        return ivf_batch_stats(vecs, centers, n_cells, vec_col=self.vec_col)
 
     def add_batch(
         self, vecs: DataFrame, batch_id: str, *, sample_hex: str = "4"
@@ -326,14 +384,22 @@ class IvfIndexStore:
         manually with ``b1`` and later attached to a sink would skip
         stream micro-batch 1 (pass ``legacy_ledger_check=False`` to the
         sink if a store already carries such keys)."""
-        if self._applied(batch_id):
-            return {"applied": False, "version": self.current_version()}
+        ledger = self._ledger_rows()  # ONE ledger job: applied + version
+        if self._applied(batch_id, ledger):
+            return {"applied": False, "version": self.current_version(ledger)}
         vecs = vecs.where(F.col(self.vec_col).isNotNull())
         self._reserve(vecs, sample_hex)
-        centers = self.centroids_matrix()
+        # ONE state read serves both the centroid matrix and the fold base
+        # (this runs per micro-batch in ivf_index_sink — redundant collects
+        # of the same bounded frame are hot-path driver round-trips)
+        version0 = self.current_version(ledger)
+        if version0 < 0:
+            raise ValueError(f"IVF index at {self.path} not initialized")
+        state_rows = self._state_rows(version0)
+        centers = self._centers_from(state_rows)
         cur = {
             r["cell"]: (list(r["vec_sum"]), int(r["n_members"]))
-            for r in self.state().collect()
+            for r in state_rows
         }
         n_cells = len(cur)
         delta = self._batch_stats(vecs, centers, n_cells)
@@ -354,9 +420,9 @@ class IvfIndexStore:
                 (cell, [a + b for a, b in zip(osum, dsum)], on + dn)
             )
             n_new += dn
-        version = self.current_version() + 1
+        version = version0 + 1
         self._write_state(merged, version)
-        self._commit(batch_id, version, refit=False)
+        self._commit(batch_id, version, refit=False, _rows=ledger)
         # mean centroid shift — the observable re-centering magnitude,
         # derived from `merged` in memory (no state re-read: the streaming
         # sink calls this per micro-batch and extra Spark jobs here are
@@ -394,12 +460,15 @@ class IvfIndexStore:
         crash (the streaming sink must not die mid-batch)."""
         from airflow_dags_spark.operators.similarity import _fit_coarse_quantizer
 
-        if self._applied(batch_id):
-            return {"applied": False, "version": self.current_version()}
-        version0 = self.current_version()
-        state_rows = self._state_at(version0).collect()
+        ledger = self._ledger_rows()  # ONE ledger job for the whole call
+        if self._applied(batch_id, ledger):
+            return {"applied": False, "version": self.current_version(ledger)}
+        version0 = self.current_version(ledger)
+        state_rows = self._state_rows(version0)
         cur = self._centers_from(state_rows)
-        fit = self._centers_from(self._state_at(self.last_fit_version()).collect())
+        fit = self._centers_from(
+            self._state_at(self.last_fit_version(ledger)).collect()
+        )
         n_cells = len(state_rows)
         drift = float(np.linalg.norm(cur - fit, axis=1).mean())
         if drift <= drift_threshold:
@@ -429,7 +498,7 @@ class IvfIndexStore:
         )
         version = version0 + 1
         self._write_state(stats, version)
-        self._commit(batch_id, version, refit=True)
+        self._commit(batch_id, version, refit=True, _rows=ledger)
         return {
             "applied": True,
             "refit": True,
@@ -489,17 +558,26 @@ class PqCodebookStore:
         self.vec_col = vec_col
         self._ledger = ParquetTable(spark, f"{self.path}/ledger", "batch_id")
         self._sample = ParquetTable(spark, f"{self.path}/sample", key_col)
+        # same protocol batching as IvfIndexStore (see its __init__ note):
+        # version-keyed write-once state cache; ledger re-collected ONCE
+        # per public method and threaded through the private checks.
+        self._state_cache: tuple[int, list] | None = None
 
     # -- state access -------------------------------------------------------
 
     def exists(self) -> bool:
         return self._ledger.exists()
 
-    def current_version(self) -> int:
-        if not self.exists():
+    def _ledger_rows(self) -> list | None:
+        if not self._ledger.exists():
+            return None
+        return self._ledger.read().collect()
+
+    def current_version(self, _rows: list | None = None) -> int:
+        rows = self._ledger_rows() if _rows is None else _rows
+        if not rows:
             return -1
-        row = self._ledger.read().agg(F.max("version").alias("v")).collect()[0]
-        return int(row["v"])
+        return max(int(r["version"]) for r in rows)
 
     def state(self) -> DataFrame:
         v = self.current_version()
@@ -509,6 +587,13 @@ class PqCodebookStore:
 
     def _state_at(self, version: int) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/state/v{version}")
+
+    def _state_rows(self, version: int) -> list:
+        if self._state_cache is not None and self._state_cache[0] == version:
+            return self._state_cache[1]
+        rows = self._state_at(version).collect()
+        self._state_cache = (version, rows)
+        return rows
 
     def _books_from(self, state_rows) -> np.ndarray:
         """(m, n_codes, sub) codebook array from state rows: entry = mean
@@ -526,19 +611,17 @@ class PqCodebookStore:
 
     def codebooks(self) -> np.ndarray:
         """Current (m, n_codes, dim/m) codebooks — bounded driver-side."""
-        return self._books_from(self.state().collect())
+        v = self.current_version()
+        if v < 0:
+            raise ValueError(f"PQ store at {self.path} not initialized")
+        return self._books_from(self._state_rows(v))
 
-    def last_fit_version(self) -> int:
-        rows = (
-            self._ledger.read()
-            .where(F.col("refit"))
-            .agg(F.max("version").alias("v"))
-            .collect()
-        )
-        v = rows[0]["v"]
-        if v is None:
+    def last_fit_version(self, _rows: list | None = None) -> int:
+        rows = (self._ledger_rows() if _rows is None else _rows) or []
+        fits = [int(r["version"]) for r in rows if r["refit"]]
+        if not fits:
             raise ValueError(f"PQ store at {self.path} has no fit version")
-        return int(v)
+        return max(fits)
 
     def drift_since_fit(self) -> float:
         """Mean L2 shift of code centers between the last (re)fit version's
@@ -565,23 +648,39 @@ class PqCodebookStore:
         df.coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/state/v{version}"
         )
+        self._state_cache = (
+            version,
+            [
+                {"subspace": j, "code": c, "vec_sum": s, "n_members": n}
+                for j, c, s, n in stats
+            ],
+        )
 
-    def _commit(self, batch_id: str, version: int, refit: bool) -> None:
+    def _commit(
+        self,
+        batch_id: str,
+        version: int,
+        refit: bool,
+        _rows: list | None = None,
+    ) -> None:
+        """One-row ledger append; absence of ``batch_id`` was already
+        checked against the SAME collected ledger threaded through this
+        method call (see IvfIndexStore._commit — the insert_if_absent
+        anti-join re-read was pure per-commit latency)."""
+        rows = self._ledger_rows() if _rows is None else _rows
         row = tiny_df(
             self.spark,
             [(batch_id, version, refit)],
             "batch_id string, version int, refit boolean",
         )
-        self._ledger.insert_if_absent(row, order_by=["version"])
+        if rows is None:
+            self._ledger._atomic_overwrite(row)
+        else:
+            self._ledger.append(row)
 
-    def _applied(self, batch_id: str) -> bool:
-        return (
-            self.exists()
-            and self._ledger.read()
-            .where(F.col("batch_id") == batch_id)
-            .count()
-            > 0
-        )
+    def _applied(self, batch_id: str, _rows: list | None = None) -> bool:
+        rows = self._ledger_rows() if _rows is None else _rows
+        return bool(rows) and any(r["batch_id"] == batch_id for r in rows)
 
     def _reserve(self, vecs: DataFrame, sample_hex: str) -> None:
         """Fold the batch's deterministic md5 sample into the reservoir
@@ -615,60 +714,7 @@ class PqCodebookStore:
     def _batch_stats(
         self, vecs: DataFrame, books: np.ndarray
     ) -> list[tuple]:
-        """Distributed per-(subspace, code) (Σ unit sub-vector, count) of a
-        batch; only m × n_codes × sub partials are collected."""
-        m, n_codes, sub = books.shape
-
-        @F.pandas_udf("array<int>")
-        def _codes_of(v: pd.Series) -> pd.Series:
-            x = np.vstack(v.to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(norms > 0, norms, 1.0)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for j in range(m):
-                xs = x[:, j * sub : (j + 1) * sub]
-                d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
-                codes[:, j] = np.argmin(d, axis=1)
-            return pd.Series(list(codes))
-
-        v = as_double(self.vec_col)
-        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
-        assigned = vecs.where(F.col(self.vec_col).isNotNull()).select(
-            unit.alias("__u"), _codes_of(v).alias("__codes")
-        )
-        per = (
-            assigned.select(F.posexplode("__u").alias("dim", "val"), "__codes")
-            .select(
-                (F.col("dim") / sub).cast("int").alias("subspace"),
-                (F.col("dim") % sub).alias("subdim"),
-                F.element_at(
-                    "__codes", (F.col("dim") / sub).cast("int") + 1
-                ).alias("code"),
-                "val",
-            )
-            .groupBy("subspace", "code", "subdim")
-            .agg(
-                F.sum("val").alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-            )
-        )
-        rows = per.collect()  # bounded: ≤ m × n_codes × sub rows
-        by: dict[tuple[int, int], list] = {}
-        counts: dict[tuple[int, int], int] = {}
-        for r in rows:
-            key = (r["subspace"], r["code"])
-            by.setdefault(key, [0.0] * sub)[r["subdim"]] = float(r["s"])
-            if counts.setdefault(key, int(r["n"])) != int(r["n"]):
-                raise ValueError(
-                    "heterogeneous vector lengths in batch: per-subdim "
-                    f"counts disagree for (subspace, code) {key}"
-                )
-        return [
-            (j, c, by.get((j, c), [0.0] * sub), counts.get((j, c), 0))
-            for j in range(m)
-            for c in range(n_codes)
-        ]
+        return pq_batch_stats(vecs, books, vec_col=self.vec_col)
 
     def init_from(
         self,
@@ -687,8 +733,9 @@ class PqCodebookStore:
         from airflow_dags_spark.operators.similarity import _fit_pq_codebooks
 
         if self.exists():
-            if self._applied(batch_id):
-                return {"applied": False, "version": self.current_version()}
+            rows = self._ledger_rows()
+            if self._applied(batch_id, rows):
+                return {"applied": False, "version": self.current_version(rows)}
             raise ValueError("init_from on an already-initialized store")
         clean = vecs.where(F.col(self.vec_col).isNotNull())
         books = _fit_pq_codebooks(
@@ -697,7 +744,7 @@ class PqCodebookStore:
         self._reserve(clean, sample_hex)
         stats = self._batch_stats(clean, books)
         self._write_state(stats, 0)
-        self._commit(batch_id, 0, refit=True)
+        self._commit(batch_id, 0, refit=True, _rows=None)
         return {"applied": True, "version": 0, "m": m, "n_codes": n_codes}
 
     def add_batch(
@@ -706,14 +753,17 @@ class PqCodebookStore:
         """Encode a batch against the CURRENT codebooks, fold its
         per-(subspace, code) sums into the state, persist as the next
         version. Same replay contract as :meth:`IvfIndexStore.add_batch`."""
-        if self._applied(batch_id):
-            return {"applied": False, "version": self.current_version()}
+        ledger = self._ledger_rows()  # ONE ledger job: applied + version
+        if self._applied(batch_id, ledger):
+            return {"applied": False, "version": self.current_version(ledger)}
         # ONE state read serves both the codebooks and the fold base (this
         # runs per micro-batch in pq_codebook_sink — redundant collects of
         # the same bounded frame are hot-path driver round-trips), and ONE
         # ledger read serves the version arithmetic
-        version0 = self.current_version()
-        state_rows = self._state_at(version0).collect()
+        version0 = self.current_version(ledger)
+        if version0 < 0:
+            raise ValueError(f"PQ store at {self.path} not initialized")
+        state_rows = self._state_rows(version0)
         books = self._books_from(state_rows)
         m, n_codes, sub = books.shape
         clean = vecs.where(F.col(self.vec_col).isNotNull())
@@ -738,7 +788,7 @@ class PqCodebookStore:
                 n_new += dn  # each vector contributes once per subspace
         version = version0 + 1
         self._write_state(merged, version)
-        self._commit(batch_id, version, refit=False)
+        self._commit(batch_id, version, refit=False, _rows=ledger)
         new_books = np.zeros_like(books)
         for j, c, s, n in merged:
             if n > 0:
@@ -776,13 +826,14 @@ class PqCodebookStore:
         sampled yet at the configured ``sample_hex`` rate) is a
         diagnosed no-op, never a crash — the streaming sink must not die
         mid-batch on a small corpus."""
-        if self._applied(batch_id):
-            return {"applied": False, "version": self.current_version()}
+        ledger = self._ledger_rows()  # ONE ledger job for the whole call
+        if self._applied(batch_id, ledger):
+            return {"applied": False, "version": self.current_version(ledger)}
         # one state read serves drift, shape, and the version base
-        version0 = self.current_version()
-        cur_books = self._books_from(self._state_at(version0).collect())
+        version0 = self.current_version(ledger)
+        cur_books = self._books_from(self._state_rows(version0))
         fit_books = self._books_from(
-            self._state_at(self.last_fit_version()).collect()
+            self._state_at(self.last_fit_version(ledger)).collect()
         )
         m, n_codes, _sub = cur_books.shape
         drift = float(
@@ -807,10 +858,71 @@ class PqCodebookStore:
         )
         version = version0 + 1
         self._write_state(stats, version)
-        self._commit(batch_id, version, refit=True)
+        self._commit(batch_id, version, refit=True, _rows=ledger)
         return {
             "applied": True,
             "refit": True,
             "version": version,
             "drift": round(drift, 9),
         }
+
+
+def pq_batch_stats(
+    vecs: DataFrame, books: np.ndarray, *, vec_col: str = "embedding"
+) -> list[tuple]:
+    """Distributed per-(subspace, code) (Σ unit sub-vector, count) of a
+    batch; only m × n_codes × sub partials are collected. Module-level so
+    the store-backed query oracles can recompute the identical fold WITHOUT
+    the persistence layer (store-vs-direct equivalence, r10 verdict #1)."""
+    m, n_codes, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _codes_of(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms > 0, norms, 1.0)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    v = as_double(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    assigned = vecs.where(F.col(vec_col).isNotNull()).select(
+        unit.alias("__u"), _codes_of(v).alias("__codes")
+    )
+    per = (
+        assigned.select(F.posexplode("__u").alias("dim", "val"), "__codes")
+        .select(
+            (F.col("dim") / sub).cast("int").alias("subspace"),
+            (F.col("dim") % sub).alias("subdim"),
+            F.element_at(
+                "__codes", (F.col("dim") / sub).cast("int") + 1
+            ).alias("code"),
+            "val",
+        )
+        .groupBy("subspace", "code", "subdim")
+        .agg(
+            F.sum("val").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    rows = per.collect()  # bounded: ≤ m × n_codes × sub rows
+    by: dict[tuple[int, int], list] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (r["subspace"], r["code"])
+        by.setdefault(key, [0.0] * sub)[r["subdim"]] = float(r["s"])
+        if counts.setdefault(key, int(r["n"])) != int(r["n"]):
+            raise ValueError(
+                "heterogeneous vector lengths in batch: per-subdim "
+                f"counts disagree for (subspace, code) {key}"
+            )
+    return [
+        (j, c, by.get((j, c), [0.0] * sub), counts.get((j, c), 0))
+        for j in range(m)
+        for c in range(n_codes)
+    ]

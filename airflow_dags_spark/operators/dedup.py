@@ -634,7 +634,11 @@ def minhash_lsh_pairs(
     # tokenize→shingle→TF→minhash pipeline — measured 27.5 s vs 2.4 s for
     # the identical 5.5k-pair result at sf0.1 (r10). Per-invocation
     # state: each call re-featurizes from its input; DISK_ONLY keeps the
-    # (key, sparse-features, 8-hash) rows off the executor heap.
+    # (key, sparse-features, 8-hash) rows off the executor heap. Tradeoff
+    # (ADVICE r10): non-reliable storage + truncated lineage — an executor
+    # loss is unrecoverable and the O(|corpus|) hashed frame lands on
+    # executor-local disk; at lake scale prefer minhash_candidate_pairs
+    # (engine-owned, prunable — see SCALE.md "Known costs accepted").
     hashed = model.transform(featurized).localCheckpoint(
         eager=False, storageLevel=StorageLevel.DISK_ONLY
     )

@@ -6,7 +6,9 @@ SF, and prints a sorted cost table. Unlike bench.py (median-of-5 over the
 to rank where the OTHER ~330 queries spend time, since the driver also
 re-runs the full registry for correctness.
 
-Usage: python scripts_sweep_timing.py [sf_dir] [--runs N] [--queries a,b]
+Usage: python scripts_sweep_timing.py [sf_dir] [--runs=N] [--queries=a,b]
+(flags take '=' forms only; unrecognized '--' flags are an error rather
+than silently ignored — ADVICE r10)
 """
 
 from __future__ import annotations
@@ -30,8 +32,10 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
-        if a.startswith("--queries="):
+        elif a.startswith("--queries="):
             only = a.split("=", 1)[1].split(",")
+        elif a.startswith("--"):
+            sys.exit(f"unrecognized flag {a!r}: use --runs=N / --queries=a,b")
     registry.load_all()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
