@@ -100,8 +100,12 @@ def _verified_names() -> set[str]:
     """Names already driver-green in ANY past round (CORRECTNESS_r*.json).
 
     Green = all three checks passed, or a rows-only query that executed
-    (err is None/no_oracle). Absent/corrupt files → empty set (safe
-    fallback to the static priority)."""
+    (err is None/no_oracle). A query that has since GAINED a registered
+    oracle does not stay green off a rows-only record — it rotates back
+    into the window so the driver can hash-certify it (r10 verdict #1:
+    sim_ivf/pq_store_topk were counted not-correct as ``no_oracle``; now
+    that they carry oracles, only a hash match closes them). Absent or
+    corrupt files → empty set (safe fallback to the static priority)."""
     import glob
     import json
 
@@ -115,9 +119,12 @@ def _verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") in (None, "no_oracle") and (
-                row.get("hash_match")
-                or (row.get("err") == "no_oracle" and row.get("spark_rows", -1) >= 0)
+            if row.get("hash_match"):
+                green.add(name)
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows", -1) >= 0
+                and name not in registry.ORACLES
             ):
                 green.add(name)
     return green

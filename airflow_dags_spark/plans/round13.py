@@ -10,14 +10,18 @@
   boundary count re-derived declaratively so the oracle can re-compute
   the identical funnel.
 - **sim_pq_store_topk** / **sim_ivf_store_topk** — store-BACKED ANN
-  serving (rows-only: seeded sampled-fit internals): maintain an index
-  through the persistent store (init + one incremental batch), then
-  search with ``pq_ann_topk(books=store.codebooks())`` /
+  serving (oracle-checked since r11 via the store-vs-direct equivalence
+  projection — r10 verdict #1): maintain an index through the persistent
+  store (init + one incremental batch), serve with
+  ``pq_ann_topk(books=store.codebooks())`` /
   ``ivf_ann_topk(centers=store.centroids_matrix())`` — the integration
   seam the r9 verdict ranked #1: the maintained artifacts feed the query
-  path with NO per-call re-fit and no corpus re-sample
-  (tests/test_ann_store.py pins fit-free serving with a poisoned fit
-  function, plus recall and store-version determinism).
+  path with NO per-call re-fit and no corpus re-sample — and emit per
+  query whether the served top-k equals a direct in-memory recompute of
+  the same maintenance math (the seeded Lloyd fit itself is not
+  SQL-expressible, so the hash-checkable output is the equivalence, not
+  the raw top-k). tests/test_ann_store.py still pins fit-free serving
+  with a poisoned fit function, recall, and store-version determinism.
 
 Scale notes (100 TB): the funnel query's stages are the proven operator
 shapes (codegen scan gates, one md5 shuffle, banded candidate join —
@@ -263,22 +267,71 @@ def _store_halves(emb: DataFrame):
     )
 
 
-@register("sim_pq_store_topk", None)
-def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed PQ serving end-to-end: build a PqCodebookStore (init
-    on the even half, fold the odd half as an incremental batch — one
-    re-centered version), then ``pq_ann_topk(books=store.codebooks())``
-    encodes the corpus and ADC-scores against the MAINTAINED books. No
-    per-call fit, no corpus re-sample (VERDICT r9 #1); exact re-rank of
-    the top-50 PQ candidates restores recall.
+def _served_matches(emb: DataFrame, store_topk: DataFrame, direct_topk: DataFrame) -> DataFrame:
+    """Per-query equality of two served top-k lists — the oracle-checkable
+    projection of store-vs-direct equivalence (r10 verdict #1): one row
+    per query id with ``matches`` = the full ordered (cid, sim) result
+    sets agree exactly. Query ids come from the INPUT (vec_id < 8 with a
+    non-null embedding — DuckDB-derivable); a query whose probed cells are
+    empty serves an empty list on both arms and still matches."""
+    key = F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("sim"))))
+    a = store_topk.groupBy("qid").agg(key.alias("__a"))
+    b = direct_topk.groupBy("qid").agg(key.alias("__b"))
+    qids = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"))
+    return (
+        qids.join(a, "qid", "left")
+        .join(b, "qid", "left")
+        .select("qid", F.col("__a").eqNullSafe(F.col("__b")).alias("matches"))
+        .orderBy("qid")
+    )
 
-    Rows-only: the init fit is a seeded sampled Lloyd (driver-side
-    sample), not SQL-expressible; recall/determinism bounds live in
-    tests/test_ann_store.py. Scale shape: state is m×n_codes×(dim/m)
-    sufficient-stat rows; the serving scan touches code bytes only; the
-    one shuffle is the per-query top-k window."""
-    from airflow_dags_spark.operators.ann_store import PqCodebookStore
-    from airflow_dags_spark.operators.similarity import pq_ann_topk
+
+# The expected output of a CORRECT store: every input query id serves, and
+# the maintained artifacts reproduce the direct in-memory fold exactly.
+# The query-id set and the all-true expectation are both derivable from the
+# parquet inputs; the engine side COMPUTES matches (double-serving + exact
+# struct-list comparison), it never asserts it.
+STORE_EQUIV_ORACLE = """
+SELECT vec_id AS qid, TRUE AS matches
+FROM embeddings
+WHERE vec_id < 8 AND embedding IS NOT NULL
+ORDER BY qid
+"""
+
+
+@register("sim_pq_store_topk", STORE_EQUIV_ORACLE)
+def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed PQ serving end-to-end, under the driver's hash check
+    (r10 verdict #1 — was rows-only): build a PqCodebookStore (init on the
+    even half, fold the odd half as an incremental batch — one re-centered
+    version), serve ``pq_ann_topk(books=store.codebooks())`` (no per-call
+    fit, no corpus re-sample; exact re-rank of the top-50 PQ candidates),
+    and emit per query whether the served top-k is IDENTICAL to the top-k
+    from a DIRECT recompute of the same maintenance math (same seeded fit,
+    same per-(subspace, code) fold — ``pq_batch_stats`` — held in memory,
+    never persisted). The equality certifies the PERSISTENCE layer:
+    versioned state, ledger arithmetic, parquet round-trip and replay
+    return bit-identical artifacts to the in-memory fold. The seeded Lloyd
+    fit itself stays SQL-inexpressible — that is exactly why the checkable
+    projection is the equivalence, not the raw top-k (the verdict's
+    option B); recall/determinism bounds stay in tests/test_ann_store.py.
+
+    Float envelope: both arms fold the same partial aggregates over the
+    same scan partitioning, so equality is exact at the driver's SFs
+    (single-split inputs); at multi-split scale the arms agree to
+    float-accumulation order, the documented kmeans envelope.
+
+    Scale shape: state is m×n_codes×(dim/m) sufficient-stat rows; each
+    serving scan touches code bytes only; the only shuffles are the two
+    per-query top-k windows and the 8-row comparison join."""
+    from airflow_dags_spark.operators.ann_store import (
+        PqCodebookStore,
+        pq_batch_stats,
+    )
+    from airflow_dags_spark.operators.similarity import (
+        _fit_pq_codebooks,
+        pq_ann_topk,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
@@ -289,30 +342,70 @@ def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.init_from(init, m=8, n_codes=32, fit_sample=2000)
     store.add_batch(incr, "incr-1")
-    return pq_ann_topk(
-        emb,
-        10,
-        query_filter=F.col("vec_id") < 8,
-        refine=50,
-        books=store.codebooks(),
+
+    # direct arm: the identical maintenance math with NO store — fit on
+    # the init half, fold init stats, encode the increment against the
+    # re-centered books, fold again (the add_batch merge rule verbatim)
+    b_fit = _fit_pq_codebooks(init, "embedding", 8, 32, 2000, 10, 42)
+    s0 = pq_batch_stats(init, b_fit)
+    books0 = store._books_from(
+        [
+            {"subspace": j, "code": c, "vec_sum": s, "n_members": n}
+            for j, c, s, n in s0
+        ]
     )
+    s1 = pq_batch_stats(incr, books0)
+    merged = []
+    for (j, c, osum, on), (_, _, dsum, dn) in zip(s0, s1):
+        if dn == 0:
+            merged.append(
+                {"subspace": j, "code": c, "vec_sum": osum, "n_members": on}
+            )
+        else:
+            merged.append(
+                {
+                    "subspace": j,
+                    "code": c,
+                    "vec_sum": [x + y for x, y in zip(osum, dsum)],
+                    "n_members": on + dn,
+                }
+            )
+    direct_books = store._books_from(merged)
+
+    serve = lambda books: pq_ann_topk(  # noqa: E731
+        emb, 10, query_filter=F.col("vec_id") < 8, refine=50, books=books
+    )
+    return _served_matches(emb, serve(store.codebooks()), serve(direct_books))
 
 
-@register("sim_ivf_store_topk", None)
+@register("sim_ivf_store_topk", STORE_EQUIV_ORACLE)
 def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed IVF serving end-to-end: build an IvfIndexStore (init
-    on the even half, fold the odd half — the centroids re-center), then
-    ``ivf_ann_topk(centers=store.centroids_matrix())`` probes the
-    MAINTAINED quantizer's cells (nprobe=4 of 16 — the ANN regime, not
-    the degenerate full probe). No per-call fit (VERDICT r9 #1).
+    """Store-backed IVF serving end-to-end, under the driver's hash check
+    (r10 verdict #1 — was rows-only): build an IvfIndexStore (init on the
+    even half, fold the odd half — the centroids re-center), serve
+    ``ivf_ann_topk(centers=store.centroids_matrix())`` with nprobe=4 of 16
+    (the ANN regime, not the degenerate full probe; no per-call fit), and
+    emit per query whether the served top-k is IDENTICAL to the top-k from
+    a DIRECT recompute of the same maintenance math (same seeded fit, same
+    per-cell fold — ``ivf_batch_stats`` — held in memory, never
+    persisted). See ``sim_pq_store_topk`` for what the equality certifies
+    (persistence layer) and the float envelope; the seeded fit stays
+    SQL-inexpressible, which is why the checkable projection is the
+    equivalence (verdict option B). Recall and the exactness of the
+    full-probe degenerate case live in tests/test_ann_store.py.
 
-    Rows-only: sampled seeded fit internals; recall and the exactness of
-    the full-probe degenerate case live in tests/test_ann_store.py.
-    Scale shape: the centroid matrix is k×dim driver-side, assignment is
-    one Arrow matmul pass, probed-cell search touches nprobe/n_cells of
-    the corpus; the one shuffle is the per-query top-k window."""
-    from airflow_dags_spark.operators.ann_store import IvfIndexStore
-    from airflow_dags_spark.operators.similarity import ivf_ann_topk
+    Scale shape: the centroid matrices are k×dim driver-side, assignment
+    is one Arrow matmul pass, probed-cell search touches nprobe/n_cells of
+    the corpus per arm; the only shuffles are the two per-query top-k
+    windows and the 8-row comparison join."""
+    from airflow_dags_spark.operators.ann_store import (
+        IvfIndexStore,
+        ivf_batch_stats,
+    )
+    from airflow_dags_spark.operators.similarity import (
+        _fit_coarse_quantizer,
+        ivf_ann_topk,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
@@ -323,12 +416,33 @@ def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.init_from(init, n_cells=16, fit_sample=2000)
     store.add_batch(incr, "incr-1")
-    return ivf_ann_topk(
-        emb,
-        10,
-        query_filter=F.col("vec_id") < 8,
-        nprobe=4,
-        centers=store.centroids_matrix(),
+
+    # direct arm: identical maintenance math, no persistence
+    c_fit = _fit_coarse_quantizer(init, "embedding", 16, 2000, 10, 42)
+    s0 = ivf_batch_stats(init, c_fit, 16)
+    centers0 = IvfIndexStore._centers_from(
+        [{"cell": c, "vec_sum": s, "n_members": n} for c, s, n in s0]
+    )
+    s1 = ivf_batch_stats(incr, centers0, 16)
+    merged = []
+    for (c, osum, on), (_, dsum, dn) in zip(s0, s1):
+        if dn == 0:
+            merged.append({"cell": c, "vec_sum": osum, "n_members": on})
+        else:
+            merged.append(
+                {
+                    "cell": c,
+                    "vec_sum": [x + y for x, y in zip(osum, dsum)],
+                    "n_members": on + dn,
+                }
+            )
+    direct_centers = IvfIndexStore._centers_from(merged)
+
+    serve = lambda centers: ivf_ann_topk(  # noqa: E731
+        emb, 10, query_filter=F.col("vec_id") < 8, nprobe=4, centers=centers
+    )
+    return _served_matches(
+        emb, serve(store.centroids_matrix()), serve(direct_centers)
     )
 
 

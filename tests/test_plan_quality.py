@@ -1256,13 +1256,16 @@ def test_map_at_k_topn_is_salted(spark):
 
 def test_pr_auc_window_over_group_rows(spark):
     """PR-AUC inherits the AUC discipline: rows collapse to (segment,
-    distinct-score) groups BEFORE the one cumulative window; totals
-    broadcast."""
+    distinct-score) groups BEFORE any window; the per-segment cumulative
+    counts run as the bucketed prefix-sum composition (r11: the plain
+    per-prio window gave each segment ONE reducer — 8→32-core scaling
+    1.10), so exactly two windows: within-(prio, bucket) cumsum + the
+    tiny per-(prio, bucket) offset cascade, rejoined by broadcast."""
     plan = plan_of(spark, "ml_pr_auc")
     assert "partial_count" in plan
-    assert plan.count("Window [") == 1
+    assert plan.count("Window [") == 2  # within-bucket + offsets
     assert "Exchange SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # bucket offsets + totals rejoin
 
 
 def test_matryoshka_one_corpus_pass(spark):
@@ -1461,8 +1464,11 @@ def test_store_backed_ann_serving_plans_stay_bucketed(spark):
     nested-loop joins (the corpus side streams; probes/candidates join by
     cell or key), and the only windows are the per-query top-k ranks.
     Fit-free-ness is pinned separately with a poisoned fit function in
-    tests/test_ann_store.py — the fit is driver-side, not a plan stage."""
-    for name, max_windows in [("sim_ivf_store_topk", 1), ("sim_pq_store_topk", 2)]:
+    tests/test_ann_store.py — the fit is driver-side, not a plan stage.
+    Since r11 the queries serve TWO arms (store vs direct — the
+    equivalence the DuckDB oracle checks), so the window budget is per-arm
+    × 2; the comparison joins are equi-joins on qid, never nested-loop."""
+    for name, max_windows in [("sim_ivf_store_topk", 2), ("sim_pq_store_topk", 4)]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
