@@ -93,14 +93,26 @@ def pagerank(
         "ranks-0",
     )
 
+    from pyspark.sql import Observation
+
     teleport = (1.0 - damping) / n_nodes
     for i in range(max_iter):
+        # ONE driver action per iteration (r10 verdict #4; was three —
+        # dangling-mass aggregate, state write, delta aggregate):
+        # - the dangling mass rides along as a 1-row aggregate cross-joined
+        #   (broadcast) into the rank expression instead of a driver
+        #   ``first()`` — same F.sum over the same rows, same division;
+        # - the L1 convergence delta is a DataFrame Observation filled by
+        #   the state write itself (old rank is already on the joined row,
+        #   so |new − old| needs no second pass over the parquet buffers).
+        # Float caveat: the observed delta folds partials in partition
+        # order like the old join-aggregate did; it gates EARLY STOP only
+        # (tolerance heuristic) — ranks themselves are bit-identical to
+        # the three-action form.
         with_deg = ranks.join(deg, ranks.node == deg.src, "left")
-        # mass of dangling nodes, redistributed uniformly
-        dangling = (
+        dangling_df = (
             with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         contribs = (
             e.join(ranks, e.src == ranks.node)
@@ -109,28 +121,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        new_ranks = materialize(
-            ranks.select("node")
-            .join(contribs, ranks.node == contribs.dst, "left")
+        new_rank = (
+            F.lit(teleport)
+            + F.lit(damping)
+            * (
+                F.coalesce(F.col("inflow"), F.lit(0.0))
+                + F.col("__dangling") / F.lit(float(n_nodes))
+            )
+        )
+        obs = Observation(f"pr-delta-{i}")
+        staged = (
+            ranks.join(contribs, ranks.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.lit(dangling / n_nodes)
-                    )
-                ).alias("rank"),
-            ),
+                F.col("rank").alias("__old"),
+                new_rank.alias("rank_new"),
+            )
+            .observe(obs, F.sum(F.abs(F.col("rank_new") - F.col("__old"))).alias("delta"))
+        )
+        new_ranks = materialize(
+            staged.select("node", F.col("rank_new").alias("rank")),
             f"ranks-{(i + 1) % 2}",
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), F.col("n.node") == F.col("o.node"))
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .first()[0]
-        )
+        delta = obs.get["delta"]
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
@@ -206,9 +220,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # aggregate) once per consumer. Lazy DISK_ONLY checkpoints of the two
     # bounded frames (edges, oriented edges) compute each once — measured
     # 6.3 → 3.1 s at sf0.1, counts identical (r10). Per-invocation state:
-    # each call recomputes from its input.
-    from pyspark.storagelevel import StorageLevel
-
+    # each call recomputes from its input. Tradeoff (ADVICE r10): a
+    # localCheckpoint is NON-RELIABLE storage with truncated lineage — an
+    # executor loss makes the job unrecoverable, and it materializes
+    # O(|edges|) to executor-local disk; on clusters where either matters,
+    # swap for a reliable checkpoint dir or a parquet double-buffer (the
+    # connected-components discipline) at the cost of a distributed write.
     e = edges.select("src", "dst").localCheckpoint(
         eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
