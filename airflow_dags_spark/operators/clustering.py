@@ -94,6 +94,35 @@ def kmeans_fit(
     rng = np.random.RandomState(seed)
     centers = x0[rng.choice(len(x0), size=min(k, len(x0)), replace=False)].copy()
 
+    if len(sample) < init_sample:
+        # The md5-ordered sample did not hit its cap, i.e. it IS the whole
+        # non-null corpus: every distributed Lloyd round would scan exactly
+        # these rows to fold ≤ k×dim partials back to the driver. Run the
+        # rounds in numpy instead — ZERO Spark jobs per round (was one
+        # full mapInPandas pass + collect per round, the dominant cost of
+        # a small-corpus fit: ~10 × 0.25 s at sf0.1). At production scale
+        # the corpus exceeds ``init_sample`` and the distributed path below
+        # engages unchanged. Centers agree with the distributed fold to
+        # float-accumulation order (ulp) — the same envelope different
+        # partitionings already have (see determinism note above); this
+        # path is itself bit-deterministic (fixed md5 collect order).
+        for _ in range(max_iter):
+            assign = np.argmax(x0 @ centers.T, axis=1)
+            sums = np.zeros_like(centers)
+            counts = np.zeros(len(centers))
+            for j in np.unique(assign):
+                m = x0[assign == j]
+                sums[j] = m.sum(axis=0)
+                counts[j] = len(m)
+            new = centers.copy()
+            nz = counts > 0
+            new[nz] = _unit(sums[nz] / counts[nz, None])
+            shift = 1.0 - np.min(np.sum(new * centers, axis=1))
+            centers = new
+            if shift < tol:
+                break
+        return centers
+
     partial_schema = StructType(
         [
             StructField("cluster", IntegerType()),
@@ -344,6 +373,34 @@ def _batched_sub_kmeans(
         centers[c] = x0[
             rng.choice(len(x0), size=min(k2, len(x0)), replace=False)
         ].copy()
+
+    if all(sizes[c] <= init_sample for c in oversized):
+        # Every oversized cell's md5-ordered head IS the whole cell (the
+        # caller's ``sizes`` are exact counts), so each distributed round
+        # would fold exactly these rows — run the sub-Lloyd loops in numpy
+        # instead: ZERO Spark jobs (was ≤ max_iter mapInPandas+collect
+        # rounds). Cells past ``init_sample`` take the distributed path
+        # below unchanged; same ulp-order envelope as ``kmeans_fit``.
+        for c in sorted(oversized):
+            x = _unit(np.asarray(by_cell[c], dtype=np.float64))
+            cc = centers[c]
+            for _ in range(max_iter):
+                assign = np.argmax(x @ cc.T, axis=1)
+                sums = np.zeros_like(cc)
+                counts = np.zeros(len(cc))
+                for j in np.unique(assign):
+                    m = x[assign == j]
+                    sums[j] = m.sum(axis=0)
+                    counts[j] = len(m)
+                new = cc.copy()
+                nz = counts > 0
+                new[nz] = _unit(sums[nz] / counts[nz, None])
+                shift = 1.0 - np.min(np.sum(new * cc, axis=1))
+                cc = new
+                if shift < tol:
+                    break
+            centers[c] = cc
+        return centers
 
     partial_schema = StructType(
         [
