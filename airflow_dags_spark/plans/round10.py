@@ -255,15 +255,42 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("pos_cnt").cast("bigint").alias("n_pos"),
     )
-    w = (
-        Window.partitionBy("prio")
+    # Per-prio cumulative counts WITHOUT one reducer per priority: the
+    # plain per-prio window dragged each segment's ~30k distinct-score
+    # rows through a single task (5 segments ⇒ 5 tasks; 8→32-core scaling
+    # 1.10 in PERF_r10 — r10 verdict #7). Prefix-sum composition instead
+    # (the bucketed_running_sum_grouped idiom, two measures sharing one
+    # totals frame): cumulate within monotone cents buckets in parallel,
+    # offset each bucket by the tiny per-(prio, bucket) totals of strictly
+    # HIGHER buckets (DESC order). Counts are integers — exact at any fold
+    # order — so cum_n/cum_pos are bit-identical to the single-window form.
+    g = g.withColumn("__b", F.floor(F.col("cents") / F.lit(1_000_000)))
+    w_in = (
+        Window.partitionBy("prio", "__b")
         .orderBy(F.desc("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r = g.select(
+    w_off = (
+        Window.partitionBy("prio")
+        .orderBy(F.desc("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        g.groupBy("prio", "__b")
+        .agg(
+            F.sum("cnt").alias("__tn"),
+            F.sum("pos_cnt").alias("__tp"),
+        )
+        .select(
+            "prio", "__b",
+            F.coalesce(F.sum("__tn").over(w_off), F.lit(0)).alias("__on"),
+            F.coalesce(F.sum("__tp").over(w_off), F.lit(0)).alias("__op"),
+        )
+    )
+    r = g.join(F.broadcast(offsets), ["prio", "__b"]).select(
         "prio", "cnt", "pos_cnt",
-        F.sum("cnt").over(w).alias("cum_n"),
-        F.sum("pos_cnt").over(w).alias("cum_pos"),
+        (F.sum("cnt").over(w_in) + F.col("__on")).alias("cum_n"),
+        (F.sum("pos_cnt").over(w_in) + F.col("__op")).alias("cum_pos"),
     )
     j = r.join(F.broadcast(tot), "prio")
     term = F.when(
