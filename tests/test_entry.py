@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 import os
 
@@ -28,6 +30,7 @@ def test_queries_and_oracles_consistent():
     assert set(o).issubset(set(q))
 
 
+@pytest.mark.slow
 def test_all_queries_run_on_smoke_sf(spark):
     q = _entry_mod.queries()
     for name, fn in q.items():

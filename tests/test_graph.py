@@ -65,6 +65,7 @@ def test_pagerank_no_edges_is_uniform(spark):
         assert got[v] == pytest.approx(0.2, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_pagerank_total_mass_conserved_on_random_graph(spark):
     rng = np.random.RandomState(7)
     n = 30

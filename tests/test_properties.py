@@ -4,6 +4,7 @@ library's algebraic laws (Spark round-trips → few examples, wide coverage)."""
 
 from __future__ import annotations
 
+import pytest
 import json
 
 from hypothesis import HealthCheck, given, settings
@@ -76,6 +77,7 @@ batches = st.lists(
 
 @given(b1=batches, b2=batches)
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_merge_laws(spark, tmp_path_factory, b1, b2):
     """Laws the reference's ON CONFLICT semantics imply, on arbitrary batches:
     - idempotency: applying a batch twice == once (both K3 and K4)

@@ -369,6 +369,7 @@ def test_stateful_dedup_ttl_expiry_reemits(spark, tmp_path):
     assert [r.event_id for r in spark.read.parquet(out).collect()] == [9, 9]
 
 
+@pytest.mark.slow
 def test_groupstate_dedup_ttl_first_seen_only(spark, tmp_path):
     """Portable TTL dedup (applyInPandasWithState, default state store):
     a key emits once across micro-batches; redeliveries are suppressed.
@@ -419,6 +420,7 @@ def test_groupstate_dedup_ttl_first_seen_only(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2, 3]  # 1 NOT re-emitted
 
 
+@pytest.mark.slow
 def test_groupstate_dedup_ttl_expiry_reemits(spark, tmp_path):
     """After the TTL lapses the key is first-seen again — the dedup horizon
     is bounded (state O(keys within TTL)), re-emit checked against the
@@ -475,6 +477,7 @@ def test_native_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2]
 
 
+@pytest.mark.slow
 def test_cms_sink_streaming_heavy_hitters(spark, tmp_path):
     """Per-batch CMS dirs merge-on-read to the sketch of the whole stream
     (merge law), and every estimate upper-bounds the true count."""
@@ -517,6 +520,7 @@ def test_cms_sink_streaming_heavy_hitters(spark, tmp_path):
         assert r["cms_est"] >= r["true_cnt"]
 
 
+@pytest.mark.slow
 def test_ewma_tracker_evicts_idle_keys_past_watermark(spark, tmp_path):
     """Event-time timeout: a key idle past (last event + delay) is evicted
     when the watermark passes it — a later arrival restarts the fold from
@@ -737,6 +741,7 @@ def test_screened_ingest_sink_routes_and_stays_idempotent(spark, tmp_path):
     assert store.read().count() == 4
 
 
+@pytest.mark.slow
 def test_screened_ingest_crash_replay_keeps_intra_batch_routing(spark, tmp_path):
     """Write-order property: a batch with two INTRA-batch near-dups (same
     text, two novel keys) crashes after the route writes but before the
@@ -801,6 +806,7 @@ def test_screened_ingest_crash_replay_keeps_intra_batch_routing(spark, tmp_path)
     assert {r.doc_id for r in store.read().collect()} == {30, 31}
 
 
+@pytest.mark.slow
 def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
     spark, tmp_path
 ):
@@ -882,6 +888,7 @@ def test_screened_ingest_advisory_path_flags_cross_batch_redelivery(
     assert adv.read().count() == 1
 
 
+@pytest.mark.slow
 def test_screened_ingest_advisory_keeps_later_batch_flags(spark, tmp_path):
     """ADVICE r8 (low): the advisory table is keyed (doc_id, batch_id) —
     a key flagged once can be flagged AGAIN by a later batch (re-delivered
